@@ -1,0 +1,140 @@
+"""Host-side audio IO: WAV decode + resampling.
+
+Replaces the reference's AVFoundation record-to-WAV-and-read-back path
+(/root/reference/Whisper/Whisper/AudioRecorder.swift:56-86). Two tiers:
+
+  1. native C++ decoder (native/audio_io.cpp -> libwhisper_audio.so, loaded via
+     ctypes) — the production data-loader path, SIMD-friendly int16->float
+     conversion and polyphase resampling;
+  2. pure-Python fallback (stdlib `wave` + NumPy + scipy polyphase resample)
+     with identical semantics.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import wave
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_LIB_ENV = "WHISPER_TPU_AUDIO_LIB"
+_native_lib: Optional[ctypes.CDLL] = None
+_native_checked = False
+
+
+def _find_native_lib() -> Optional[ctypes.CDLL]:
+    global _native_lib, _native_checked
+    if _native_checked:
+        return _native_lib
+    _native_checked = True
+    candidates = []
+    if os.environ.get(_NATIVE_LIB_ENV):
+        candidates.append(os.environ[_NATIVE_LIB_ENV])
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    candidates.append(os.path.join(here, "native", "libwhisper_audio.so"))
+    for path in candidates:
+        if os.path.exists(path):
+            try:
+                lib = ctypes.CDLL(path)
+                lib.wa_load_wav.restype = ctypes.c_longlong
+                lib.wa_load_wav.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ]
+                lib.wa_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+                lib.wa_resample.restype = ctypes.c_longlong
+                lib.wa_resample.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_longlong,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ]
+                _native_lib = lib
+                return lib
+            except OSError:
+                continue
+    return None
+
+
+def _load_wav_python(path: str) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV file to float32 in [-1, 1], mono-averaged."""
+    with wave.open(path, "rb") as wf:
+        n_channels = wf.getnchannels()
+        width = wf.getsampwidth()
+        rate = wf.getframerate()
+        n_frames = wf.getnframes()
+        raw = wf.readframes(n_frames)
+
+    if width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width}")
+
+    if n_channels > 1:
+        data = data.reshape(-1, n_channels).mean(axis=1)
+    return data, rate
+
+
+def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resampling to target_sr (no-op when rates match)."""
+    if orig_sr == target_sr:
+        return audio.astype(np.float32, copy=False)
+    lib = _find_native_lib()
+    if lib is not None:
+        src = np.ascontiguousarray(audio, dtype=np.float32)
+        out_ptr = ctypes.POINTER(ctypes.c_float)()
+        n = lib.wa_resample(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            src.size,
+            int(orig_sr),
+            int(target_sr),
+            ctypes.byref(out_ptr),
+        )
+        if n >= 0:
+            out = np.ctypeslib.as_array(out_ptr, shape=(n,)).copy()
+            lib.wa_free(out_ptr)
+            return out
+    from scipy.signal import resample_poly
+    from math import gcd
+
+    g = gcd(orig_sr, target_sr)
+    return resample_poly(audio, target_sr // g, orig_sr // g).astype(np.float32)
+
+
+def load_audio(path: str, sample_rate: int = 16_000) -> np.ndarray:
+    """Load audio as float32 mono at `sample_rate`."""
+    lib = _find_native_lib()
+    if lib is not None and path.lower().endswith(".wav"):
+        out_ptr = ctypes.POINTER(ctypes.c_float)()
+        n = lib.wa_load_wav(path.encode(), int(sample_rate), ctypes.byref(out_ptr))
+        if n >= 0:
+            out = np.ctypeslib.as_array(out_ptr, shape=(n,)).copy()
+            lib.wa_free(out_ptr)
+            return out
+        # fall through to Python on native decode failure
+    if not path.lower().endswith(".wav"):
+        raise ValueError(
+            f"cannot decode {path!r}: only WAV is supported without the native "
+            "decoder (build native/ via `make -C native`)"
+        )
+    data, rate = _load_wav_python(path)
+    return resample(data, rate, sample_rate)
+
+
+def save_wav(path: str, audio: np.ndarray, sample_rate: int = 16_000) -> None:
+    """Write float32 mono audio to a 16-bit PCM WAV (test-fixture helper)."""
+    pcm = np.clip(np.asarray(audio, dtype=np.float64), -1.0, 1.0)
+    pcm = np.round(pcm * 32767.0).astype("<i2")
+    with wave.open(path, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm.tobytes())
