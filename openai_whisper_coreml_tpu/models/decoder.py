@@ -1,0 +1,212 @@
+"""Whisper text decoder: causal self-attention + audio cross-attention.
+
+The reference's decoder is a CoreML graph traced at a FIXED one-token input
+with no KV cache (/root/reference/whisper_to_cml.py:28-41) and called exactly
+once with the SOT token (/root/reference/Whisper/Whisper/Whisper.swift:34-36)
+— it cannot transcribe. This module completes the capability: one pure
+function serves
+
+  * teacher-forcing over a full token sequence (training, logit-parity tests,
+    prompt prefill), and
+  * single-step incremental decoding against a preallocated fixed-shape KV
+    cache (the shape discipline `lax.while_loop` requires on TPU).
+
+Cross-attention K/V over the 1500 audio positions are computed once per
+segment and reused by every decode step (the dominant FLOPs saving the
+reference's cache-less design forgoes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import WhisperConfig
+from .layers import (
+    attention_core,
+    cross_attention,
+    layer_norm,
+    linear,
+    merge_heads,
+    mlp,
+    split_heads,
+)
+
+Array = jax.Array
+
+
+class KVCache(NamedTuple):
+    """Preallocated self-attention cache: (n_layers, B, n_text_ctx, H, D)."""
+
+    k: Array
+    v: Array
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+
+class CrossKV(NamedTuple):
+    """Per-segment audio K/V: (n_layers, B, n_audio_ctx, H, D)."""
+
+    k: Array
+    v: Array
+
+
+def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32) -> KVCache:
+    shape = (cfg.n_text_layer, batch, cfg.n_text_ctx, cfg.n_text_head,
+             cfg.text_head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def precompute_cross_kv(params, cfg: WhisperConfig, audio_features: Array) -> CrossKV:
+    """audio_features (B, S, n_state) -> stacked per-layer cross K/V."""
+    blocks = params["decoder"]["blocks"]
+
+    def body(_, layer_params):
+        p = layer_params["cross_attn"]
+        k = split_heads(linear(audio_features, p["k"]), cfg.n_text_head)
+        v = split_heads(linear(audio_features, p["v"]), cfg.n_text_head)
+        return None, (k, v)
+
+    _, (ks, vs) = jax.lax.scan(body, None, blocks)
+    return CrossKV(ks, vs)
+
+
+def _cached_self_attention(x, p, n_head, cache_k, cache_v, pos_offset):
+    """Write this step's K/V into the cache at pos_offset, attend over cache.
+
+    x: (B, T, n_state); cache_k/v: (B, C, H, D); pos_offset: traced scalar.
+    Returns (out, new_cache_k, new_cache_v).
+    """
+    b, t, _ = x.shape
+    c = cache_k.shape[1]
+    q = split_heads(linear(x, p["q"]), n_head)
+    k_new = split_heads(linear(x, p["k"]), n_head).astype(cache_k.dtype)
+    v_new = split_heads(linear(x, p["v"]), n_head).astype(cache_v.dtype)
+
+    cache_k = jax.lax.dynamic_update_slice(cache_k, k_new, (0, pos_offset, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, v_new, (0, pos_offset, 0, 0))
+
+    q_pos = pos_offset + jnp.arange(t)[:, None]  # (T, 1)
+    k_pos = jnp.arange(c)[None, :]  # (1, C)
+    mask = (k_pos <= q_pos)[None, None]  # (1, 1, T, C)
+
+    out = attention_core(q, cache_k, cache_v, mask=mask)
+    return linear(merge_heads(out), p["out"]), cache_k, cache_v
+
+
+def decoder_block_cached(x, layer_params, cross_k, cross_v, cache_k, cache_v,
+                         n_head, pos_offset):
+    attn_out, cache_k, cache_v = _cached_self_attention(
+        layer_norm(x, layer_params["attn_ln"]), layer_params["attn"], n_head,
+        cache_k, cache_v, pos_offset)
+    x = x + attn_out
+    x = x + cross_attention(layer_norm(x, layer_params["cross_attn_ln"]),
+                            layer_params["cross_attn"], n_head, cross_k, cross_v)
+    x = x + mlp(layer_norm(x, layer_params["mlp_ln"]), layer_params["mlp"])
+    return x, cache_k, cache_v
+
+
+def decoder_block_full(x, layer_params, cross_k, cross_v, n_head):
+    """Teacher-forcing block: full causal self-attention (no cache)."""
+    t = x.shape[1]
+    mask = jnp.tril(jnp.ones((t, t), jnp.bool_))[None, None]
+    h = layer_norm(x, layer_params["attn_ln"])
+    p = layer_params["attn"]
+    q = split_heads(linear(h, p["q"]), n_head)
+    k = split_heads(linear(h, p["k"]), n_head)
+    v = split_heads(linear(h, p["v"]), n_head)
+    attn_out = linear(merge_heads(attention_core(q, k, v, mask=mask)), p["out"])
+    x = x + attn_out
+    x = x + cross_attention(layer_norm(x, layer_params["cross_attn_ln"]),
+                            layer_params["cross_attn"], n_head, cross_k, cross_v)
+    x = x + mlp(layer_norm(x, layer_params["mlp_ln"]), layer_params["mlp"])
+    return x
+
+
+def embed_tokens(params, cfg: WhisperConfig, tokens: Array,
+                 pos_offset, compute_dtype) -> Array:
+    dec = params["decoder"]
+    t = tokens.shape[1]
+    tok_emb = dec["token_embedding"][tokens]  # (B, T, n_state)
+    pos_emb = jax.lax.dynamic_slice(
+        dec["positional_embedding"],
+        (pos_offset, 0),
+        (t, cfg.n_text_state),
+    )
+    return (tok_emb + pos_emb[None]).astype(compute_dtype)
+
+
+def final_logits(params, x: Array) -> Array:
+    """ln -> tied-embedding projection; logits returned in fp32."""
+    dec = params["decoder"]
+    x = layer_norm(x, dec["ln"])
+    from .layers import matmul_precision
+
+    return jnp.dot(x, dec["token_embedding"].T.astype(x.dtype),
+                   preferred_element_type=jnp.float32,
+                   precision=matmul_precision(x.dtype))
+
+
+def decode_step(
+    params,
+    cfg: WhisperConfig,
+    tokens: Array,  # (B, T) int32 — T tokens starting at pos_offset
+    cross_kv: CrossKV,
+    cache: KVCache,
+    pos_offset,  # python int or traced scalar
+) -> Tuple[Array, KVCache]:
+    """Incremental decode: returns (logits (B, T, vocab) fp32, updated cache)."""
+    compute_dtype = params["decoder"]["token_embedding"].dtype
+    x = embed_tokens(params, cfg, tokens, pos_offset, compute_dtype)
+
+    def body(carry, xs):
+        layer_params, ck, cv, xk, xv = xs
+        x, = carry
+        x, ck, cv = decoder_block_cached(
+            x, layer_params, xk, xv, ck, cv, cfg.n_text_head, pos_offset)
+        return (x,), (ck, cv)
+
+    (x,), (new_k, new_v) = jax.lax.scan(
+        body, (x,),
+        (params["decoder"]["blocks"], cache.k, cache.v, cross_kv.k, cross_kv.v),
+    )
+    return final_logits(params, x), KVCache(new_k, new_v)
+
+
+def decoder_forward(
+    params,
+    cfg: WhisperConfig,
+    tokens: Array,  # (B, T)
+    audio_features: Optional[Array] = None,
+    cross_kv: Optional[CrossKV] = None,
+    *,
+    remat: bool = False,
+) -> Array:
+    """Teacher-forcing forward over a full sequence -> logits (B, T, vocab).
+
+    Equivalent (at T=1, SOT input) to the reference's single decoder call
+    (/root/reference/Whisper/Whisper/Whisper.swift:36).
+    """
+    if cross_kv is None:
+        if audio_features is None:
+            raise ValueError("need audio_features or cross_kv")
+        cross_kv = precompute_cross_kv(params, cfg, audio_features)
+
+    compute_dtype = params["decoder"]["token_embedding"].dtype
+    x = embed_tokens(params, cfg, tokens, 0, compute_dtype)
+
+    block = decoder_block_full
+    if remat:
+        block = jax.checkpoint(block, static_argnums=(4,))
+
+    def body(x, xs):
+        layer_params, xk, xv = xs
+        return block(x, layer_params, xk, xv, cfg.n_text_head), None
+
+    x, _ = jax.lax.scan(body, x,
+                        (params["decoder"]["blocks"], cross_kv.k, cross_kv.v))
+    return final_logits(params, x)
