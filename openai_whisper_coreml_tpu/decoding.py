@@ -1,0 +1,480 @@
+"""Autoregressive decoding: language ID, greedy sampling, logit rules.
+
+The reference's entire decode story is ONE cache-less decoder call seeded with
+SOT followed by an argmax over the 99 language logits
+(/root/reference/Whisper/Whisper/Whisper.swift:33-40; decoder traced at fixed
+(1,1) tokens, /root/reference/whisper_to_cml.py:28-32). This module keeps that
+capability (`detect_language`) and completes it into full Whisper decoding:
+
+  * a jitted `lax.while_loop` greedy/sampling decoder over a preallocated
+    fixed-shape KV cache, with per-batch early stopping;
+  * in-graph logit filters: token suppression, blank suppression at the first
+    step, and the full openai timestamp rule set (pairing, monotonicity,
+    max-initial, timestamp-vs-text probability mass);
+  * temperature as a traced scalar (0 -> argmax) so one compiled graph serves
+    the whole temperature-fallback ladder without recompiling.
+
+Everything data-dependent lives in the carry; shapes are static — the shape
+discipline TPU/XLA requires (SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import zlib
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import WhisperConfig
+from .models import decoder as dec_mod
+from .tokenizer import LANGUAGES, Tokenizer, get_tokenizer
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Options / results
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class DecodingOptions:
+    task: str = "transcribe"
+    language: Optional[str] = None
+    temperature: float = 0.0
+    sample_len: Optional[int] = None  # default: n_text_ctx // 2
+    best_of: Optional[int] = None  # sampling candidates (temperature > 0)
+    beam_size: Optional[int] = None
+    patience: Optional[float] = None
+    length_penalty: Optional[float] = None
+    prompt: Optional[Union[str, List[int]]] = None  # previous-context prompt
+    prefix: Optional[Union[str, List[int]]] = None  # prefix for this window
+    suppress_tokens: Optional[Union[str, Sequence[int]]] = "-1"
+    suppress_blank: bool = True
+    without_timestamps: bool = False
+    max_initial_timestamp: Optional[float] = 1.0
+
+
+@dataclasses.dataclass
+class DecodingResult:
+    tokens: List[int]
+    text: str
+    language: str
+    language_probs: Optional[Dict[str, float]]
+    avg_logprob: float
+    no_speech_prob: float
+    temperature: float
+    compression_ratio: float
+
+
+def compression_ratio(text: str) -> float:
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+# ---------------------------------------------------------------------------
+# Suppress-mask construction (host side; passed into jit as a constant array)
+# ---------------------------------------------------------------------------
+
+def build_suppress_mask(tokenizer: Tokenizer, options: DecodingOptions) -> np.ndarray:
+    """Boolean (vocab,) — True where the token must never be sampled.
+
+    Mirrors openai's SuppressTokens filter list: user-specified ids ("-1"
+    meaning the non-speech set), plus sot/sot_prev/sot_lm/no_speech, plus all
+    language+task specials, plus no_timestamps.
+    """
+    cfg = tokenizer.cfg
+    mask = np.zeros(cfg.n_vocab, dtype=bool)
+
+    sup = options.suppress_tokens
+    ids: List[int] = []
+    if isinstance(sup, str):
+        ids = [int(s) for s in sup.split(",") if s] if sup else []
+    elif sup is not None:
+        ids = list(sup)
+    if -1 in ids:
+        ids = [i for i in ids if i != -1]
+        ids.extend(tokenizer.non_speech_tokens)
+
+    ids.extend([tokenizer.transcribe, tokenizer.translate, tokenizer.sot,
+                tokenizer.sot_prev, tokenizer.sot_lm])
+    if tokenizer.no_speech is not None:
+        ids.append(tokenizer.no_speech)
+    # language tokens are only valid at the dedicated position
+    ids.extend(range(cfg.lang_token_start, cfg.lang_token_start + cfg.n_langs))
+    mask[np.asarray(sorted(set(ids)), dtype=np.int64)] = True
+    mask[tokenizer.no_timestamps] = True
+    return mask
+
+
+def build_blank_mask(tokenizer: Tokenizer) -> np.ndarray:
+    """True for ' ' encodings and EOT — suppressed at the first sampled step."""
+    mask = np.zeros(tokenizer.cfg.n_vocab, dtype=bool)
+    for t in tokenizer.blank_tokens:
+        mask[t] = True
+    mask[tokenizer.eot] = True
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# In-graph logit filters
+# ---------------------------------------------------------------------------
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def _apply_logit_rules(
+    logits: Array,  # (B, V) fp32
+    tokens: Array,  # (B, L) buffer
+    pos: Array,  # scalar: index being sampled now
+    cfg: WhisperConfig,
+    prompt_len: int,
+    suppress_mask: Array,  # (V,) bool
+    blank_mask: Array,  # (V,) bool
+    use_timestamps: bool,
+    ts_max: Array,  # (B,) int32 — max timestamp token sampled so far
+    max_initial_ts_index: Array,  # scalar int32, -1 disables
+) -> Array:
+    v = logits.shape[-1]
+    vocab_ids = jnp.arange(v, dtype=jnp.int32)[None, :]  # (1, V)
+    ts_begin = cfg.timestamp_begin
+    eot = cfg.eot_token
+
+    logits = jnp.where(suppress_mask[None, :], NEG_INF, logits)
+
+    is_first = pos == prompt_len
+    logits = jnp.where(is_first & blank_mask[None, :], NEG_INF, logits)
+
+    if not use_timestamps:
+        # without_timestamps: suppress every timestamp token
+        return jnp.where(vocab_ids >= ts_begin, NEG_INF, logits)
+
+    # ---- openai ApplyTimestampRules, vectorised ---------------------------
+    last = jnp.take_along_axis(tokens, jnp.full((tokens.shape[0], 1),
+                                                jnp.maximum(pos - 1, 0)), axis=1)
+    penult = jnp.take_along_axis(tokens, jnp.full((tokens.shape[0], 1),
+                                                  jnp.maximum(pos - 2, 0)), axis=1)
+    last_is_ts = (pos - 1 >= prompt_len) & (last >= ts_begin)  # (B,1)
+    # openai semantics: with fewer than two sampled tokens the "penultimate"
+    # slot counts as a timestamp, so the opening timestamp is followed by text
+    penult_is_ts = (pos - 2 < prompt_len) | (penult >= ts_begin)
+
+    # a) two timestamps in a row -> next must be text (no third timestamp)
+    rule_a = last_is_ts & penult_is_ts & (vocab_ids >= ts_begin)
+    # b) lone timestamp -> must pair: suppress text (ids < eot); eot allowed
+    rule_b = last_is_ts & ~penult_is_ts & (vocab_ids < eot)
+    # c) timestamps are non-decreasing: suppress [ts_begin, ts_last)
+    ts_last = jnp.where(last_is_ts[:, 0], ts_max + 1, ts_max)[:, None]
+    rule_c = (vocab_ids >= ts_begin) & (vocab_ids < ts_last)
+    logits = jnp.where(rule_a | rule_b | rule_c, NEG_INF, logits)
+
+    # d) first sampled token must be a timestamp, bounded by max_initial
+    force_first = is_first & (vocab_ids < ts_begin)
+    over_initial = (is_first & (max_initial_ts_index >= 0)
+                    & (vocab_ids > ts_begin + max_initial_ts_index))
+    logits = jnp.where(force_first | over_initial, NEG_INF, logits)
+
+    # e) if total timestamp probability outweighs the best text token,
+    #    sample a timestamp
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ts_logprob = jax.nn.logsumexp(
+        jnp.where(vocab_ids >= ts_begin, logprobs, NEG_INF), axis=-1, keepdims=True)
+    max_text = jnp.max(
+        jnp.where(vocab_ids < ts_begin, logprobs, NEG_INF), axis=-1, keepdims=True)
+    rule_e = (ts_logprob > max_text) & (vocab_ids < ts_begin)
+    return jnp.where(rule_e, NEG_INF, logits)
+
+
+# ---------------------------------------------------------------------------
+# Jitted greedy/sampling decode loop
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sample_len", "use_timestamps", "prompt_len",
+                     "sot_index"),
+)
+def greedy_decode_core(
+    params,
+    cfg: WhisperConfig,
+    audio_features: Array,  # (B, S, n_state)
+    initial_tokens: Array,  # (B, P) int32
+    suppress_mask: Array,  # (V,) bool
+    blank_mask: Array,  # (V,) bool
+    temperature: Array,  # scalar fp32; 0 -> argmax
+    key: Array,  # PRNG key (used when temperature > 0)
+    max_initial_ts_index: Array,  # scalar int32; -1 disables
+    *,
+    sample_len: int,
+    use_timestamps: bool,
+    prompt_len: int,
+    sot_index: int,
+):
+    """Returns (tokens (B, P+sample_len), sum_logprobs, n_sampled,
+    no_speech_prob) — all device arrays."""
+    b = audio_features.shape[0]
+    eot = cfg.eot_token
+    total_len = prompt_len + sample_len
+
+    cross_kv = dec_mod.precompute_cross_kv(params, cfg, audio_features)
+    cache = dec_mod.init_kv_cache(cfg, b, dtype=audio_features.dtype)
+
+    tokens = jnp.full((b, total_len), eot, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, initial_tokens, (0, 0))
+
+    prefill_logits, cache = dec_mod.decode_step(
+        params, cfg, initial_tokens, cross_kv, cache, 0)
+    # no-speech probability read at the SOT position of the prompt
+    # (openai semantics; generalises the reference's SOT-step probe)
+    no_speech_prob = jax.nn.softmax(
+        prefill_logits[:, sot_index].astype(jnp.float32), axis=-1
+    )[:, cfg.no_speech_token]
+
+    def sample(logits, k):
+        def argmax(_):
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        def sample_t(k):
+            return jax.random.categorical(
+                k, logits / jnp.maximum(temperature, 1e-6), axis=-1
+            ).astype(jnp.int32)
+
+        return jax.lax.cond(temperature > 0, sample_t, argmax, k)
+
+    def step(carry):
+        (pos, tokens, cache, logits, finished, sum_lp, n_sampled, ts_max,
+         key) = carry
+
+        filtered = _apply_logit_rules(
+            logits, tokens, pos, cfg, prompt_len, suppress_mask, blank_mask,
+            use_timestamps, ts_max, max_initial_ts_index)
+
+        key, sub = jax.random.split(key)
+        tok = sample(filtered, sub)
+        logprobs = jax.nn.log_softmax(filtered, axis=-1)
+        tok_lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
+
+        tok = jnp.where(finished, eot, tok)
+        sum_lp = sum_lp + jnp.where(finished, 0.0, tok_lp)
+        n_sampled = n_sampled + jnp.where(finished, 0, 1)
+        ts_max = jnp.where(
+            (tok >= cfg.timestamp_begin) & ~finished, tok, ts_max)
+        finished = finished | (tok == eot)
+
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, tok[:, None], (0, pos))
+
+        next_logits, cache = dec_mod.decode_step(
+            params, cfg, tok[:, None], cross_kv, cache, pos)
+        return (pos + 1, tokens, cache, next_logits[:, 0].astype(jnp.float32),
+                finished, sum_lp, n_sampled, ts_max, key)
+
+    def cond(carry):
+        pos, _, _, _, finished, *_ = carry
+        return (pos < total_len) & ~jnp.all(finished)
+
+    init = (
+        jnp.int32(prompt_len),
+        tokens,
+        cache,
+        prefill_logits[:, -1].astype(jnp.float32),
+        jnp.zeros((b,), jnp.bool_),
+        jnp.zeros((b,), jnp.float32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.full((b,), cfg.timestamp_begin, jnp.int32),
+        key,
+    )
+    (pos, tokens, cache, _, finished, sum_lp, n_sampled, ts_max, _) = (
+        jax.lax.while_loop(cond, step, init))
+    return tokens, sum_lp, n_sampled, no_speech_prob
+
+
+# ---------------------------------------------------------------------------
+# Language identification
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _detect_language_core(params, cfg: WhisperConfig, audio_features: Array):
+    b = audio_features.shape[0]
+    cross_kv = dec_mod.precompute_cross_kv(params, cfg, audio_features)
+    cache = dec_mod.init_kv_cache(cfg, b, dtype=audio_features.dtype)
+    sot = jnp.full((b, 1), cfg.sot_token, jnp.int32)
+    logits, _ = dec_mod.decode_step(params, cfg, sot, cross_kv, cache, 0)
+    logits = logits[:, 0].astype(jnp.float32)  # (B, V)
+
+    # mask to the language tokens only — the reference's slice
+    # logits[50259...50357] (Whisper.swift:37), generalised via config
+    vocab_ids = jnp.arange(cfg.n_vocab)[None, :]
+    in_lang = ((vocab_ids >= cfg.lang_token_start)
+               & (vocab_ids < cfg.lang_token_start + cfg.n_langs))
+    masked = jnp.where(in_lang, logits, NEG_INF)
+    probs = jax.nn.softmax(masked, axis=-1)
+    lang_probs = jax.lax.dynamic_slice(
+        probs, (0, cfg.lang_token_start), (b, cfg.n_langs))
+    return jnp.argmax(lang_probs, axis=-1), lang_probs
+
+
+def detect_language(model, mel_or_features, *, from_features: bool = False):
+    """Language-ID: returns (codes: List[str], probs: List[Dict[str,float]]).
+
+    Batched equivalent of the reference's decode()
+    (/root/reference/Whisper/Whisper/Whisper.swift:33-40).
+    """
+    cfg = model.cfg
+    if not cfg.multilingual:
+        raise ValueError("language detection requires a multilingual model")
+    x = jnp.asarray(mel_or_features)
+    if from_features:
+        feats = x if x.ndim == 3 else x[None]
+    else:
+        mel = x if x.ndim == 3 else x[None]
+        feats = model._encode_jit(model.params, mel=mel)
+    idx, probs = _detect_language_core(model.params, cfg, feats)
+    idx = np.asarray(idx)
+    probs = np.asarray(probs)
+    codes = [LANGUAGES[i] for i in idx]
+    prob_dicts = [
+        {LANGUAGES[j]: float(p[j]) for j in range(cfg.n_langs)} for p in probs
+    ]
+    return codes, prob_dicts
+
+
+# ---------------------------------------------------------------------------
+# Host-side decoding task (builds prompts/masks, runs the jitted core)
+# ---------------------------------------------------------------------------
+
+def _as_token_list(tokenizer: Tokenizer, x: Union[str, List[int], None],
+                   prepend_space: bool = True) -> List[int]:
+    if x is None:
+        return []
+    if isinstance(x, str):
+        text = (" " + x.strip()) if prepend_space else x
+        return tokenizer.encode(text)
+    return list(x)
+
+
+def decode(
+    model,
+    mel_or_features: Array,
+    options: DecodingOptions = DecodingOptions(),
+    *,
+    from_features: bool = False,
+    tokenizer: Optional[Tokenizer] = None,
+    seed: int = 0,
+) -> List[DecodingResult]:
+    """Decode a batch of 30 s segments; returns one DecodingResult each."""
+    cfg = model.cfg
+    x = jnp.asarray(mel_or_features)
+    if from_features:
+        feats = x if x.ndim == 3 else x[None]
+    else:
+        mel = x if x.ndim == 3 else x[None]
+        feats = model._encode_jit(model.params, mel=mel)
+    b = feats.shape[0]
+
+    if options.beam_size is not None:
+        from .beam import beam_decode  # implemented in beam.py
+
+        return beam_decode(model, feats, options, tokenizer=tokenizer)
+
+    # -- language ----------------------------------------------------------
+    language = options.language
+    language_probs: List[Optional[Dict[str, float]]] = [None] * b
+    if cfg.multilingual and language is None:
+        codes, prob_dicts = detect_language(model, feats, from_features=True)
+        language_probs = prob_dicts
+        langs = codes
+    else:
+        langs = [language or "en"] * b
+
+    # one jitted call per distinct language in the batch would recompile;
+    # instead build per-sample prompts of identical length
+    if tokenizer is None:
+        tokenizer = get_tokenizer(cfg, language=langs[0] if cfg.multilingual
+                                  else None, task=options.task)
+
+    sot_seqs = []
+    for lang in langs:
+        if cfg.multilingual:
+            task_tok = (tokenizer.transcribe if options.task == "transcribe"
+                        else tokenizer.translate)
+            seq = [tokenizer.sot, tokenizer.language_token(lang), task_tok]
+        else:
+            seq = [tokenizer.sot]
+        if options.without_timestamps:
+            seq.append(tokenizer.no_timestamps)
+        sot_seqs.append(seq)
+
+    prompt_tokens = _as_token_list(tokenizer, options.prompt)
+    prefix_tokens = _as_token_list(tokenizer, options.prefix)
+
+    sample_len = options.sample_len or cfg.n_text_ctx // 2
+    if prompt_tokens:
+        # keep at most the trailing half-context of previous text
+        max_prompt = cfg.n_text_ctx // 2 - 1
+        prompt_tokens = prompt_tokens[-max_prompt:]
+
+    initial = []
+    for seq in sot_seqs:
+        toks = ([tokenizer.sot_prev] + prompt_tokens if prompt_tokens else [])
+        toks = toks + seq + prefix_tokens
+        initial.append(toks)
+    prompt_len = len(initial[0])
+    assert all(len(t) == prompt_len for t in initial)
+    sot_index = initial[0].index(tokenizer.sot)
+    sample_len = min(sample_len, cfg.n_text_ctx - prompt_len)
+
+    suppress_mask = jnp.asarray(build_suppress_mask(tokenizer, options))
+    blank_mask = jnp.asarray(build_blank_mask(tokenizer)
+                             if options.suppress_blank
+                             else np.zeros(cfg.n_vocab, bool))
+
+    max_init_idx = -1
+    if options.max_initial_timestamp is not None and not options.without_timestamps:
+        max_init_idx = round(options.max_initial_timestamp / 0.02)
+
+    tokens, sum_lp, n_sampled, no_speech_prob = greedy_decode_core(
+        model.params,
+        cfg,
+        feats,
+        jnp.asarray(np.asarray(initial, np.int32)),
+        suppress_mask,
+        blank_mask,
+        jnp.float32(options.temperature),
+        jax.random.PRNGKey(seed),
+        jnp.int32(max_init_idx),
+        sample_len=sample_len,
+        use_timestamps=not options.without_timestamps,
+        prompt_len=prompt_len,
+        sot_index=sot_index,
+    )
+
+    tokens = np.asarray(tokens)
+    sum_lp = np.asarray(sum_lp)
+    n_sampled = np.asarray(n_sampled)
+    no_speech_prob = np.asarray(no_speech_prob)
+
+    results = []
+    for i in range(b):
+        sampled = tokens[i, prompt_len:]
+        eot_pos = np.nonzero(sampled == tokenizer.eot)[0]
+        cut = int(eot_pos[0]) if len(eot_pos) else len(sampled)
+        toks = sampled[:cut].tolist()
+        text = tokenizer.decode(toks).strip()
+        avg_lp = float(sum_lp[i] / max(int(n_sampled[i]), 1))
+        results.append(DecodingResult(
+            tokens=toks,
+            text=text,
+            language=langs[i],
+            language_probs=language_probs[i],
+            avg_logprob=avg_lp,
+            no_speech_prob=float(no_speech_prob[i]),
+            temperature=float(options.temperature),
+            compression_ratio=compression_ratio(text),
+        ))
+    return results

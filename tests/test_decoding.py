@@ -1,0 +1,147 @@
+"""Decode-loop tests: language ID parity, greedy loop invariants, logit rules."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openai_whisper_coreml_tpu.config import tiny_test_config
+from openai_whisper_coreml_tpu.decoding import (
+    DecodingOptions,
+    build_suppress_mask,
+    decode,
+    detect_language,
+)
+from openai_whisper_coreml_tpu.models.whisper import WhisperModel
+from openai_whisper_coreml_tpu.params import init_params
+from openai_whisper_coreml_tpu.tokenizer import get_tokenizer
+
+N_CTX = 64  # small audio context for CPU speed
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test_config(n_audio_ctx=N_CTX, n_text_ctx=96)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    return WhisperModel(cfg=cfg, params=params)
+
+
+@pytest.fixture(scope="module")
+def mel(model):
+    rng = np.random.default_rng(7)
+    return rng.standard_normal((2, model.cfg.n_mels, 2 * N_CTX)).astype(np.float32)
+
+
+def test_detect_language(model, mel):
+    codes, probs = detect_language(model, mel)
+    assert len(codes) == 2
+    assert all(c in probs[0] for c in ("en", "zh", "su"))
+    for code, p in zip(codes, probs):
+        np.testing.assert_allclose(sum(p.values()), 1.0, atol=1e-4)
+        # argmax of the dict must equal the returned code
+        assert max(p, key=p.get) == code
+
+
+def test_detect_language_matches_reference_semantics(model, mel):
+    """The reference argmaxes raw logits over the 99 language ids
+    (Whisper.swift:37-39); our softmax+argmax must select the same index."""
+    feats = model.encode(mel)
+    logits = model.logits(
+        np.full((2, 1), model.cfg.sot_token, np.int32), feats)
+    lang_slice = np.asarray(logits[:, 0,
+        model.cfg.lang_token_start : model.cfg.lang_token_start + model.cfg.n_langs])
+    expected = lang_slice.argmax(axis=-1)
+    codes, _ = detect_language(model, feats, from_features=True)
+    from openai_whisper_coreml_tpu.tokenizer import LANGUAGES
+
+    assert [LANGUAGES[i] for i in expected] == codes
+
+
+def test_greedy_decode_runs_and_respects_rules(model, mel):
+    opts = DecodingOptions(language="en", sample_len=10)
+    results = decode(model, mel, opts)
+    assert len(results) == 2
+    tok = get_tokenizer(model.cfg, language="en")
+    suppress = build_suppress_mask(tok, opts)
+    for r in results:
+        assert r.language == "en"
+        assert all(0 <= t < model.cfg.n_vocab for t in r.tokens)
+        # suppressed ids must never appear
+        assert not any(suppress[t] for t in r.tokens)
+        # with timestamps on, the first sampled token must be a timestamp
+        # within max_initial_timestamp (1.0s -> <=50 steps of 0.02)
+        assert r.tokens[0] >= model.cfg.timestamp_begin
+        assert r.tokens[0] <= model.cfg.timestamp_begin + 50
+        assert isinstance(r.avg_logprob, float) and r.avg_logprob <= 0
+        assert 0.0 <= r.no_speech_prob <= 1.0
+
+
+def test_timestamp_monotonic_and_paired(model, mel):
+    results = decode(model, mel, DecodingOptions(language="en", sample_len=24))
+    begin = model.cfg.timestamp_begin
+    for r in results:
+        ts = [t for t in r.tokens if t >= begin]
+        assert ts == sorted(ts), "timestamps must be non-decreasing"
+        # opening timestamp is followed by text, not another timestamp
+        if len(r.tokens) > 1:
+            assert r.tokens[0] >= begin and r.tokens[1] < begin
+        # never three timestamps in a row
+        for a, b, c in zip(r.tokens, r.tokens[1:], r.tokens[2:]):
+            assert not (a >= begin and b >= begin and c >= begin)
+        # a lone timestamp is always followed by another timestamp or ends
+        # the sequence; i.e. text->ts->text never happens (pairing rule)
+        for i in range(1, len(r.tokens) - 1):
+            if r.tokens[i] >= begin and r.tokens[i - 1] < begin:
+                assert r.tokens[i + 1] >= begin
+
+
+def test_without_timestamps(model, mel):
+    results = decode(
+        model, mel,
+        DecodingOptions(language="en", sample_len=10, without_timestamps=True))
+    for r in results:
+        assert all(t < model.cfg.timestamp_begin for t in r.tokens)
+
+
+def test_temperature_sampling_changes_output(model, mel):
+    r0 = decode(model, mel, DecodingOptions(language="en", sample_len=12))
+    r1 = decode(model, mel,
+                DecodingOptions(language="en", sample_len=12, temperature=1.5),
+                seed=3)
+    # with a random model and high temperature, outputs should differ
+    assert (r0[0].tokens != r1[0].tokens) or (r0[1].tokens != r1[1].tokens)
+    assert r1[0].temperature == 1.5
+
+
+def test_prompt_and_prefix(model, mel):
+    tok = get_tokenizer(model.cfg, language="en")
+    prompt = tok.encode(" previous context")
+    results = decode(
+        model, mel,
+        DecodingOptions(language="en", sample_len=8, prompt=prompt,
+                        without_timestamps=True))
+    assert len(results) == 2  # runs with sot_prev-prefixed prompt
+
+
+def test_tokenizer_roundtrip_bytes():
+    cfg = tiny_test_config()
+    tok = get_tokenizer(cfg)
+    text = "Hello, world! ¿Cómo estás? 你好"
+    ids = tok.encode(text)
+    assert tok.decode(ids) == text
+    # special ids match the reference's constants (Whisper.swift:35,37)
+    assert tok.sot == 50258
+    assert tok.eot == 50257
+    assert tok.language_token("en") == 50259
+    assert tok.language_token("su") == 50357
+
+
+def test_tokenizer_timestamp_decode():
+    cfg = tiny_test_config()
+    tok = get_tokenizer(cfg)
+    ids = [cfg.timestamp_begin] + tok.encode(" hi") + [cfg.timestamp_begin + 100]
+    s = tok.decode_with_timestamps(ids)
+    assert s.startswith("<|0.00|>")
+    assert s.endswith("<|2.00|>")
+    assert " hi" in s
