@@ -1,0 +1,132 @@
+"""Command-line interface: `python -m openai_whisper_coreml_tpu.cli`.
+
+The TPU-host replacement for the reference's SwiftUI shell
+(/root/reference/Whisper/Whisper/ContentView.swift — tap-to-record, fixed
+10 s window, prints language + latency): file/array input, any length, full
+transcription/translation with timestamps, language-ID mode, structured
+output formats, per-stage timing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="whisper-tpu",
+        description="TPU-native Whisper: transcribe/translate/identify audio.",
+    )
+    p.add_argument("audio", nargs="+", help="audio file path(s) (WAV, or any "
+                   "format when the native decoder is built)")
+    p.add_argument("--model", default="tiny", help="model size name")
+    p.add_argument("--checkpoint", default=None,
+                   help="converted checkpoint path (.safetensors)")
+    p.add_argument("--vocab", default=None,
+                   help="tokenizer ranks file (tiktoken) or HF vocab.json")
+    p.add_argument("--task", choices=("transcribe", "translate", "lang-id"),
+                   default="transcribe")
+    p.add_argument("--language", default=None,
+                   help="language code; default: auto-detect")
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--temperature-increment-on-fallback", type=float, default=0.2)
+    p.add_argument("--beam-size", type=int, default=None)
+    p.add_argument("--patience", type=float, default=None)
+    p.add_argument("--length-penalty", type=float, default=None)
+    p.add_argument("--without-timestamps", action="store_true")
+    p.add_argument("--no-condition-on-previous-text", action="store_true")
+    p.add_argument("--initial-prompt", default=None)
+    p.add_argument("--compression-ratio-threshold", type=float, default=2.4)
+    p.add_argument("--logprob-threshold", type=float, default=-1.0)
+    p.add_argument("--no-speech-threshold", type=float, default=0.6)
+    p.add_argument("--output-dir", "-o", default=".")
+    p.add_argument("--output-format", "-f", default="txt",
+                   choices=("txt", "srt", "vtt", "tsv", "json", "all"))
+    p.add_argument("--batch", type=int, default=1,
+                   help="windows decoded per device batch (serving path)")
+    p.add_argument("--dtype", choices=("bfloat16", "float32"), default=None)
+    p.add_argument("--verbose", "-v", action="store_true")
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from . import load_model
+    from .audio import load_audio
+    from .utils.writers import write_result
+
+    if args.vocab:
+        import os
+
+        os.environ["WHISPER_TPU_VOCAB"] = args.vocab
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+             None: None}[args.dtype]
+
+    t0 = time.time()
+    model = load_model(args.model, dtype=dtype, checkpoint=args.checkpoint)
+    if args.verbose:
+        print(f"loaded {args.model} ({model.num_params / 1e6:.0f}M params) "
+              f"on {jax.default_backend()} in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+
+    if args.temperature > 0 or args.temperature_increment_on_fallback is None:
+        temperature = [args.temperature]
+    else:
+        temperature = list(np.arange(
+            args.temperature, 1.0 + 1e-6,
+            args.temperature_increment_on_fallback))
+
+    status = 0
+    for path in args.audio:
+        t0 = time.time()
+        audio = load_audio(path)
+        duration = len(audio) / 16_000
+
+        if args.task == "lang-id":
+            # capability parity with the reference app (Whisper.swift:33-40)
+            from .audio import pad_or_trim
+            from .decoding import detect_language
+
+            mel = model.log_mel(pad_or_trim(audio))
+            codes, probs = detect_language(model, np.asarray(mel)[None])
+            top = sorted(probs[0].items(), key=lambda kv: -kv[1])[:5]
+            print(f"{path}: {codes[0]}  "
+                  + "  ".join(f"{c}={p:.3f}" for c, p in top))
+            continue
+
+        result = model.transcribe(
+            audio,
+            task=args.task,
+            language=args.language,
+            temperature=temperature,
+            compression_ratio_threshold=args.compression_ratio_threshold,
+            logprob_threshold=args.logprob_threshold,
+            no_speech_threshold=args.no_speech_threshold,
+            condition_on_previous_text=not args.no_condition_on_previous_text,
+            initial_prompt=args.initial_prompt,
+            without_timestamps=args.without_timestamps,
+            verbose=args.verbose,
+            beam_size=args.beam_size,
+            patience=args.patience,
+            length_penalty=args.length_penalty,
+        )
+        elapsed = time.time() - t0
+        out = write_result(result, path, args.output_dir, args.output_format)
+        rtfx = duration / elapsed if elapsed > 0 else float("inf")
+        print(f"{path}: {duration:.1f}s audio in {elapsed:.1f}s "
+              f"({rtfx:.1f}x realtime) -> {out}", file=sys.stderr)
+    return status
+
+
+if __name__ == "__main__":
+    sys.exit(main())

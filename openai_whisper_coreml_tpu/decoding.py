@@ -196,27 +196,32 @@ def _apply_logit_rules(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "sample_len", "use_timestamps", "prompt_len",
-                     "sot_index"),
+    static_argnames=("cfg", "sample_len", "use_timestamps", "prompt_len"),
 )
 def greedy_decode_core(
     params,
     cfg: WhisperConfig,
     audio_features: Array,  # (B, S, n_state)
-    initial_tokens: Array,  # (B, P) int32
+    initial_tokens: Array,  # (B, P) int32, left-padded to the P bucket
     suppress_mask: Array,  # (V,) bool
     blank_mask: Array,  # (V,) bool
     temperature: Array,  # scalar fp32; 0 -> argmax
     key: Array,  # PRNG key (used when temperature > 0)
     max_initial_ts_index: Array,  # scalar int32; -1 disables
+    pad_len: Array,  # scalar int32: slots [0, pad_len) are masked padding
+    sot_index: Array,  # scalar int32: slot holding the SOT token
     *,
     sample_len: int,
     use_timestamps: bool,
     prompt_len: int,
-    sot_index: int,
 ):
     """Returns (tokens (B, P+sample_len), sum_logprobs, n_sampled,
-    no_speech_prob) — all device arrays."""
+    no_speech_prob) — all device arrays.
+
+    prompt_len is a BUCKET size (static); the true prompt occupies slots
+    [pad_len, prompt_len). Bucketing keeps the number of compiled graphs
+    bounded while long-form conditioning grows the prompt every window.
+    """
     b = audio_features.shape[0]
     eot = cfg.eot_token
     total_len = prompt_len + sample_len
@@ -228,11 +233,11 @@ def greedy_decode_core(
     tokens = jax.lax.dynamic_update_slice(tokens, initial_tokens, (0, 0))
 
     prefill_logits, cache = dec_mod.decode_step(
-        params, cfg, initial_tokens, cross_kv, cache, 0)
+        params, cfg, initial_tokens, cross_kv, cache, 0, valid_from=pad_len)
     # no-speech probability read at the SOT position of the prompt
     # (openai semantics; generalises the reference's SOT-step probe)
     no_speech_prob = jax.nn.softmax(
-        prefill_logits[:, sot_index].astype(jnp.float32), axis=-1
+        jnp.take(prefill_logits, sot_index, axis=1).astype(jnp.float32), axis=-1
     )[:, cfg.no_speech_token]
 
     def sample(logits, k):
@@ -270,7 +275,8 @@ def greedy_decode_core(
             tokens, tok[:, None], (0, pos))
 
         next_logits, cache = dec_mod.decode_step(
-            params, cfg, tok[:, None], cross_kv, cache, pos)
+            params, cfg, tok[:, None], cross_kv, cache, pos,
+            valid_from=pad_len)
         return (pos + 1, tokens, cache, next_logits[:, 0].astype(jnp.float32),
                 finished, sum_lp, n_sampled, ts_max, key)
 
@@ -348,6 +354,16 @@ def detect_language(model, mel_or_features, *, from_features: bool = False):
 # Host-side decoding task (builds prompts/masks, runs the jitted core)
 # ---------------------------------------------------------------------------
 
+_PROMPT_BUCKETS = (4, 8, 16, 32, 64, 128, 224)
+
+
+def _prompt_bucket(n: int, n_ctx: int) -> int:
+    for b in _PROMPT_BUCKETS:
+        if n <= b:
+            return b
+    return min(n, n_ctx - 1)
+
+
 def _as_token_list(tokenizer: Tokenizer, x: Union[str, List[int], None],
                    prepend_space: bool = True) -> List[int]:
     if x is None:
@@ -424,9 +440,15 @@ def decode(
         toks = ([tokenizer.sot_prev] + prompt_tokens if prompt_tokens else [])
         toks = toks + seq + prefix_tokens
         initial.append(toks)
-    prompt_len = len(initial[0])
-    assert all(len(t) == prompt_len for t in initial)
-    sot_index = initial[0].index(tokenizer.sot)
+    true_len = len(initial[0])
+    assert all(len(t) == true_len for t in initial)
+
+    # Bucket the prompt length so the jitted core compiles once per bucket,
+    # not once per window of a long-form run (conditioning grows the prompt).
+    prompt_len = _prompt_bucket(true_len, cfg.n_text_ctx)
+    pad = prompt_len - true_len
+    sot_index = pad + initial[0].index(tokenizer.sot)
+    initial = [[tokenizer.eot] * pad + t for t in initial]
     sample_len = min(sample_len, cfg.n_text_ctx - prompt_len)
 
     suppress_mask = jnp.asarray(build_suppress_mask(tokenizer, options))
@@ -448,10 +470,11 @@ def decode(
         jnp.float32(options.temperature),
         jax.random.PRNGKey(seed),
         jnp.int32(max_init_idx),
+        jnp.int32(pad),
+        jnp.int32(sot_index),
         sample_len=sample_len,
         use_timestamps=not options.without_timestamps,
         prompt_len=prompt_len,
-        sot_index=sot_index,
     )
 
     tokens = np.asarray(tokens)

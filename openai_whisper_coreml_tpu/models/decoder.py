@@ -75,11 +75,13 @@ def precompute_cross_kv(params, cfg: WhisperConfig, audio_features: Array) -> Cr
     return CrossKV(ks, vs)
 
 
-def _cached_self_attention(x, p, n_head, cache_k, cache_v, pos_offset):
+def _cached_self_attention(x, p, n_head, cache_k, cache_v, pos_offset,
+                           valid_from):
     """Write this step's K/V into the cache at pos_offset, attend over cache.
 
     x: (B, T, n_state); cache_k/v: (B, C, H, D); pos_offset: traced scalar.
-    Returns (out, new_cache_k, new_cache_v).
+    Slots [0, valid_from) are left-padding (prompt-length bucketing) and are
+    masked out of attention. Returns (out, new_cache_k, new_cache_v).
     """
     b, t, _ = x.shape
     c = cache_k.shape[1]
@@ -92,17 +94,17 @@ def _cached_self_attention(x, p, n_head, cache_k, cache_v, pos_offset):
 
     q_pos = pos_offset + jnp.arange(t)[:, None]  # (T, 1)
     k_pos = jnp.arange(c)[None, :]  # (1, C)
-    mask = (k_pos <= q_pos)[None, None]  # (1, 1, T, C)
+    mask = ((k_pos <= q_pos) & (k_pos >= valid_from))[None, None]  # (1,1,T,C)
 
     out = attention_core(q, cache_k, cache_v, mask=mask)
     return linear(merge_heads(out), p["out"]), cache_k, cache_v
 
 
 def decoder_block_cached(x, layer_params, cross_k, cross_v, cache_k, cache_v,
-                         n_head, pos_offset):
+                         n_head, pos_offset, valid_from):
     attn_out, cache_k, cache_v = _cached_self_attention(
         layer_norm(x, layer_params["attn_ln"]), layer_params["attn"], n_head,
-        cache_k, cache_v, pos_offset)
+        cache_k, cache_v, pos_offset, valid_from)
     x = x + attn_out
     x = x + cross_attention(layer_norm(x, layer_params["cross_attn_ln"]),
                             layer_params["cross_attn"], n_head, cross_k, cross_v)
@@ -128,15 +130,16 @@ def decoder_block_full(x, layer_params, cross_k, cross_v, n_head):
 
 
 def embed_tokens(params, cfg: WhisperConfig, tokens: Array,
-                 pos_offset, compute_dtype) -> Array:
+                 pos_offset, compute_dtype, valid_from=0) -> Array:
+    """Token + learned-position embedding. Cache slot i holds logical position
+    i - valid_from (left-pad bucketing); padded slots clamp to position 0 and
+    are masked out of attention anyway."""
     dec = params["decoder"]
     t = tokens.shape[1]
     tok_emb = dec["token_embedding"][tokens]  # (B, T, n_state)
-    pos_emb = jax.lax.dynamic_slice(
-        dec["positional_embedding"],
-        (pos_offset, 0),
-        (t, cfg.n_text_state),
-    )
+    positions = jnp.clip(pos_offset + jnp.arange(t) - valid_from, 0,
+                         cfg.n_text_ctx - 1)
+    pos_emb = jnp.take(dec["positional_embedding"], positions, axis=0)
     return (tok_emb + pos_emb[None]).astype(compute_dtype)
 
 
@@ -158,16 +161,18 @@ def decode_step(
     cross_kv: CrossKV,
     cache: KVCache,
     pos_offset,  # python int or traced scalar
+    valid_from=0,  # slots [0, valid_from) are masked left-padding
 ) -> Tuple[Array, KVCache]:
     """Incremental decode: returns (logits (B, T, vocab) fp32, updated cache)."""
     compute_dtype = params["decoder"]["token_embedding"].dtype
-    x = embed_tokens(params, cfg, tokens, pos_offset, compute_dtype)
+    x = embed_tokens(params, cfg, tokens, pos_offset, compute_dtype, valid_from)
 
     def body(carry, xs):
         layer_params, ck, cv, xk, xv = xs
         x, = carry
         x, ck, cv = decoder_block_cached(
-            x, layer_params, xk, xv, ck, cv, cfg.n_text_head, pos_offset)
+            x, layer_params, xk, xv, ck, cv, cfg.n_text_head, pos_offset,
+            valid_from)
         return (x,), (ck, cv)
 
     (x,), (new_k, new_v) = jax.lax.scan(

@@ -1,0 +1,253 @@
+"""Long-form transcription: 30 s windowing with timestamp-seek.
+
+The reference truncates/zero-pads everything to EXACTLY one 30 s window and
+discards the rest (/root/reference/Whisper/Whisper/ContentView.swift:57-60 —
+`min(audio.count, input.count)` silently drops audio past 30 s). This module
+implements the real Whisper long-form algorithm instead: slide a 30 s window,
+decode it, advance the window to the last complete timestamped segment, carry
+the decoded text as conditioning prompt, with the temperature-fallback quality
+ladder (retry a window at higher temperature when the output is degenerate).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .audio import load_audio, log_mel_spectrogram, pad_or_trim
+from .config import (
+    FRAMES_PER_SECOND,
+    HOP_LENGTH,
+    N_FRAMES,
+    N_SAMPLES,
+    SAMPLE_RATE,
+)
+from .decoding import DecodingOptions, DecodingResult, decode
+from .tokenizer import get_tokenizer
+
+
+@dataclasses.dataclass
+class Segment:
+    id: int
+    seek: int
+    start: float
+    end: float
+    text: str
+    tokens: List[int]
+    temperature: float
+    avg_logprob: float
+    compression_ratio: float
+    no_speech_prob: float
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def transcribe(
+    model,
+    audio: Union[str, np.ndarray],
+    *,
+    task: str = "transcribe",
+    language: Optional[str] = None,
+    temperature: Union[float, Sequence[float]] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: Optional[float] = 2.4,
+    logprob_threshold: Optional[float] = -1.0,
+    no_speech_threshold: Optional[float] = 0.6,
+    condition_on_previous_text: bool = True,
+    initial_prompt: Optional[str] = None,
+    without_timestamps: bool = False,
+    verbose: Optional[bool] = None,
+    **decode_options,
+) -> Dict[str, Any]:
+    """Transcribe (or translate) audio of any length.
+
+    Returns {"text", "segments", "language"} in the openai/whisper result
+    schema.
+    """
+    cfg = model.cfg
+
+    if isinstance(audio, str):
+        audio = load_audio(audio)
+    audio = np.asarray(audio, dtype=np.float32)
+    if audio.ndim != 1:
+        raise ValueError(f"transcribe expects mono audio, got {audio.shape}")
+
+    # Full-length mel plus one window of trailing padding (so the final
+    # window is always complete), openai semantics.
+    n_samples_ceil = ((len(audio) + HOP_LENGTH - 1) // HOP_LENGTH) * HOP_LENGTH
+    padded = np.zeros(n_samples_ceil + N_SAMPLES, dtype=np.float32)
+    padded[: len(audio)] = audio
+    mel = np.asarray(log_mel_spectrogram(padded, n_mels=cfg.n_mels))
+    content_frames = mel.shape[-1] - N_FRAMES
+    content_duration = content_frames / FRAMES_PER_SECOND
+
+    # --- language ---------------------------------------------------------
+    if language is None:
+        if not cfg.multilingual:
+            language = "en"
+        else:
+            codes, _ = model.detect_language(
+                np.asarray(pad_or_trim(mel[:, :N_FRAMES], N_FRAMES, axis=-1))[None])
+            language = codes[0]
+            if verbose:
+                print(f"Detected language: {language}")
+
+    tokenizer = get_tokenizer(cfg, language=language if cfg.multilingual else None,
+                              task=task)
+
+    temperatures = ([temperature] if isinstance(temperature, (int, float))
+                    else list(temperature))
+
+    all_tokens: List[int] = []
+    all_segments: List[Segment] = []
+    prompt_reset_since = 0
+
+    if initial_prompt is not None:
+        initial_prompt_tokens = tokenizer.encode(" " + initial_prompt.strip())
+        all_tokens.extend(initial_prompt_tokens)
+    else:
+        initial_prompt_tokens = []
+
+    def decode_with_fallback(segment_mel: np.ndarray) -> DecodingResult:
+        result: Optional[DecodingResult] = None
+        for t in temperatures:
+            opts = DecodingOptions(
+                task=task,
+                language=language if cfg.multilingual else None,
+                temperature=float(t),
+                prompt=(all_tokens[prompt_reset_since:]
+                        if condition_on_previous_text else initial_prompt_tokens)
+                or None,
+                without_timestamps=without_timestamps,
+                **decode_options,
+            )
+            result = decode(model, segment_mel[None], opts,
+                            tokenizer=None)[0]
+
+            needs_fallback = False
+            if (compression_ratio_threshold is not None
+                    and result.compression_ratio > compression_ratio_threshold):
+                needs_fallback = True  # repetitive/degenerate
+            if (logprob_threshold is not None
+                    and result.avg_logprob < logprob_threshold):
+                needs_fallback = True  # low confidence
+            if (no_speech_threshold is not None
+                    and result.no_speech_prob > no_speech_threshold):
+                needs_fallback = False  # silence: accept and let caller skip
+            if not needs_fallback:
+                break
+        assert result is not None
+        return result
+
+    seek = 0
+    input_stride = 2  # mel frames per audio position (3000 -> 1500)
+    # one timestamp token step = 0.02 s = input_stride mel frames
+    ts_begin = cfg.timestamp_begin
+
+    while seek < content_frames:
+        time_offset = seek / FRAMES_PER_SECOND
+        segment_mel = mel[:, seek : seek + N_FRAMES]
+        segment_size = min(N_FRAMES, content_frames - seek)
+        segment_duration = segment_size / FRAMES_PER_SECOND
+        if segment_mel.shape[-1] < N_FRAMES:
+            segment_mel = np.pad(
+                segment_mel, ((0, 0), (0, N_FRAMES - segment_mel.shape[-1])))
+
+        result = decode_with_fallback(segment_mel)
+        tokens = np.asarray(result.tokens, dtype=np.int64)
+
+        if no_speech_threshold is not None:
+            should_skip = result.no_speech_prob > no_speech_threshold
+            if (logprob_threshold is not None
+                    and result.avg_logprob > logprob_threshold):
+                should_skip = False  # confident despite no_speech
+            if should_skip:
+                seek += segment_size
+                continue
+
+        previous_seek = seek
+        current_segments: List[Segment] = []
+
+        def new_segment(start: float, end: float, seg_tokens: np.ndarray):
+            seg_tokens = seg_tokens.tolist()
+            text_tokens = [t for t in seg_tokens if t < tokenizer.eot]
+            current_segments.append(Segment(
+                id=0,  # renumbered at the end
+                seek=previous_seek,
+                start=start,
+                end=end,
+                text=tokenizer.decode(text_tokens),
+                tokens=seg_tokens,
+                temperature=result.temperature,
+                avg_logprob=result.avg_logprob,
+                compression_ratio=result.compression_ratio,
+                no_speech_prob=result.no_speech_prob,
+            ))
+
+        timestamp_tokens = tokens >= ts_begin
+        single_timestamp_ending = (
+            len(timestamp_tokens) >= 2
+            and not timestamp_tokens[-2] and timestamp_tokens[-1])
+
+        consecutive = np.where(timestamp_tokens[:-1] & timestamp_tokens[1:])[0] + 1
+        if len(consecutive) > 0:
+            # complete (closed) segments inside this window
+            slices = consecutive.tolist()
+            if single_timestamp_ending:
+                slices.append(len(tokens))
+            last_slice = 0
+            for current_slice in slices:
+                sliced = tokens[last_slice:current_slice]
+                start_pos = int(sliced[0]) - ts_begin
+                end_pos = int(sliced[-1]) - ts_begin
+                new_segment(
+                    time_offset + start_pos * 0.02,
+                    time_offset + end_pos * 0.02,
+                    sliced,
+                )
+                last_slice = current_slice
+            if single_timestamp_ending:
+                seek += segment_size  # no speech after the final timestamp
+            else:
+                last_ts_pos = int(tokens[last_slice - 1]) - ts_begin
+                # guard: a degenerate window whose last timestamp is 0.00
+                # must still advance, or the loop would never terminate
+                seek += max(last_ts_pos * input_stride, input_stride)
+        else:
+            duration = segment_duration
+            ts = tokens[timestamp_tokens]
+            if len(ts) > 0 and int(ts[-1]) != ts_begin:
+                duration = (int(ts[-1]) - ts_begin) * 0.02
+            new_segment(time_offset, time_offset + duration, tokens)
+            seek += segment_size
+
+        if verbose:
+            for seg in current_segments:
+                print(f"[{_fmt_time(seg.start)} --> {_fmt_time(seg.end)}]"
+                      f" {seg.text}")
+
+        all_segments.extend(current_segments)
+        for seg in current_segments:
+            all_tokens.extend(seg.tokens)
+
+        if not condition_on_previous_text or result.temperature > 0.5:
+            # degenerate context is worse than none
+            prompt_reset_since = len(all_tokens)
+
+    for i, seg in enumerate(all_segments):
+        seg.id = i
+
+    return {
+        "text": "".join(seg.text for seg in all_segments),
+        "segments": [seg.to_dict() for seg in all_segments],
+        "language": language,
+        "duration": content_duration,
+    }
+
+
+def _fmt_time(seconds: float) -> str:
+    m, s = divmod(seconds, 60.0)
+    h, m = divmod(int(m), 60)
+    return f"{h:02d}:{int(m):02d}:{s:06.3f}"
