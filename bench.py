@@ -1,0 +1,96 @@
+"""Benchmark: batched whisper transcription throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (BASELINE.json config 5, single-chip slice): whisper-large-v3,
+batch of 30 s windows, mel frontend + encoder + greedy decode of SAMPLE_LEN
+tokens through the preallocated-KV-cache loop. Random weights decode the full
+SAMPLE_LEN (no early EOT), so this is a conservative (worst-case) RTFx: real
+checkpoints emit ~50-150 tokens per window and stop early.
+
+vs_baseline is value / 150 — the >=150x real-time per chip target from
+BASELINE.md (the reference publishes no numbers; BASELINE.json "published": {}).
+
+Env overrides: BENCH_MODEL (default large-v3), BENCH_BATCH (default 16),
+BENCH_SAMPLE_LEN (default 224), BENCH_REPEATS (default 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import openai_whisper_coreml_tpu as wt
+    from openai_whisper_coreml_tpu.audio import log_mel_spectrogram
+    from openai_whisper_coreml_tpu.decoding import (
+        DecodingOptions,
+        build_blank_mask,
+        build_suppress_mask,
+        greedy_decode_core,
+    )
+    from openai_whisper_coreml_tpu.tokenizer import get_tokenizer
+
+    model_name = os.environ.get("BENCH_MODEL", "large-v3")
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    sample_len = int(os.environ.get("BENCH_SAMPLE_LEN", "224"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+
+    model = wt.load_model(model_name)
+    cfg = model.cfg
+    tok = get_tokenizer(cfg, language="en")
+    opts = DecodingOptions(language="en")
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((batch, 480_000)) * 0.1).astype(np.float32)
+    audio_dev = jax.device_put(jnp.asarray(audio))
+
+    suppress = jnp.asarray(build_suppress_mask(tok, opts))
+    blank = jnp.asarray(build_blank_mask(tok))
+    initial = np.tile(
+        np.asarray([[tok.eot, tok.sot, tok.language_token("en"),
+                     tok.transcribe]], np.int32), (batch, 1))
+    prompt_len = initial.shape[1]
+    initial_dev = jnp.asarray(initial)
+    key = jax.random.PRNGKey(0)
+
+    def run(audio_in):
+        mel = log_mel_spectrogram(audio_in, n_mels=cfg.n_mels)
+        feats = model._encode_jit(model.params, mel=mel)
+        tokens, sum_lp, n_sampled, nsp = greedy_decode_core(
+            model.params, cfg, feats, initial_dev, suppress, blank,
+            jnp.float32(0.0), key, jnp.int32(50), jnp.int32(1), jnp.int32(2),
+            sample_len=sample_len, use_timestamps=True, prompt_len=prompt_len)
+        return tokens
+
+    # warmup / compile
+    run(audio_dev).block_until_ready()
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run(audio_dev).block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    elapsed = min(times)
+    audio_seconds = batch * 30.0
+    rtfx = audio_seconds / elapsed
+
+    print(json.dumps({
+        "metric": f"rtfx_{model_name.replace('-', '_')}_batched_b{batch}",
+        "value": round(rtfx, 2),
+        "unit": "audio_sec/sec/chip",
+        "vs_baseline": round(rtfx / 150.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,7 +38,13 @@ Array = jax.Array
 
 
 class KVCache(NamedTuple):
-    """Preallocated self-attention cache: (n_layers, B, n_text_ctx, H, D)."""
+    """Preallocated self-attention cache: (n_layers, B, n_text_ctx, n_state).
+
+    Head dims stay MERGED in storage: a (..., H, D) layout pads D=64 to the
+    128-lane tile and doubles HBM (observed 2.4x expansion on large-v3);
+    (..., n_state) keeps the minor dim a multiple of 128. Heads are split
+    transiently at the attention site.
+    """
 
     k: Array
     v: Array
@@ -49,15 +55,15 @@ class KVCache(NamedTuple):
 
 
 class CrossKV(NamedTuple):
-    """Per-segment audio K/V: (n_layers, B, n_audio_ctx, H, D)."""
+    """Per-segment audio K/V: (n_layers, B, n_audio_ctx, n_state), merged
+    heads (same HBM-padding rationale as KVCache)."""
 
     k: Array
     v: Array
 
 
 def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32) -> KVCache:
-    shape = (cfg.n_text_layer, batch, cfg.n_text_ctx, cfg.n_text_head,
-             cfg.text_head_dim)
+    shape = (cfg.n_text_layer, batch, cfg.n_text_ctx, cfg.n_text_state)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -67,8 +73,8 @@ def precompute_cross_kv(params, cfg: WhisperConfig, audio_features: Array) -> Cr
 
     def body(_, layer_params):
         p = layer_params["cross_attn"]
-        k = split_heads(linear(audio_features, p["k"]), cfg.n_text_head)
-        v = split_heads(linear(audio_features, p["v"]), cfg.n_text_head)
+        k = linear(audio_features, p["k"])
+        v = linear(audio_features, p["v"])
         return None, (k, v)
 
     _, (ks, vs) = jax.lax.scan(body, None, blocks)
@@ -86,17 +92,18 @@ def _cached_self_attention(x, p, n_head, cache_k, cache_v, pos_offset,
     b, t, _ = x.shape
     c = cache_k.shape[1]
     q = split_heads(linear(x, p["q"]), n_head)
-    k_new = split_heads(linear(x, p["k"]), n_head).astype(cache_k.dtype)
-    v_new = split_heads(linear(x, p["v"]), n_head).astype(cache_v.dtype)
+    k_new = linear(x, p["k"]).astype(cache_k.dtype)  # (B, T, n_state)
+    v_new = linear(x, p["v"]).astype(cache_v.dtype)
 
-    cache_k = jax.lax.dynamic_update_slice(cache_k, k_new, (0, pos_offset, 0, 0))
-    cache_v = jax.lax.dynamic_update_slice(cache_v, v_new, (0, pos_offset, 0, 0))
+    cache_k = jax.lax.dynamic_update_slice(cache_k, k_new, (0, pos_offset, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, v_new, (0, pos_offset, 0))
 
     q_pos = pos_offset + jnp.arange(t)[:, None]  # (T, 1)
     k_pos = jnp.arange(c)[None, :]  # (1, C)
     mask = ((k_pos <= q_pos) & (k_pos >= valid_from))[None, None]  # (1,1,T,C)
 
-    out = attention_core(q, cache_k, cache_v, mask=mask)
+    out = attention_core(q, split_heads(cache_k, n_head),
+                         split_heads(cache_v, n_head), mask=mask)
     return linear(merge_heads(out), p["out"]), cache_k, cache_v
 
 

@@ -123,8 +123,11 @@ def self_attention(x: Array, p, n_head: int,
 def cross_attention(x: Array, p, n_head: int,
                     k: Array, v: Array,
                     flash: bool = False) -> Array:
-    """Cross-attention against precomputed audio K/V (B, S, H, D)."""
+    """Cross-attention against precomputed audio K/V (B, S, n_state) —
+    merged-head storage (HBM tiling; see decoder.KVCache), split here."""
     q = split_heads(linear(x, p["q"]), n_head)
+    k = split_heads(k, n_head)
+    v = split_heads(v, n_head)
     if flash:
         from ..ops.flash_attention import flash_attention
 

@@ -45,7 +45,8 @@ def init_params(cfg: WhisperConfig, key: jax.Array, dtype=jnp.float32) -> Params
     n, nh = cfg.n_audio_state, 4 * cfg.n_audio_state
     nt = cfg.n_text_state
 
-    keys = iter(jax.random.split(key, 64))
+    n_keys = cfg.n_audio_layer + cfg.n_text_layer + 8
+    keys = iter(jax.random.split(key, n_keys))
 
     def dense(k, fan_in, shape):
         return (jax.random.normal(k, shape) / np.sqrt(fan_in)).astype(dtype)

@@ -1,0 +1,140 @@
+"""Training / fine-tuning: sharded cross-entropy step over a (data, model) mesh.
+
+The reference has no training story (weights are baked into .mlpackage files
+at export time, /root/reference/whisper_to_cml.py:45-52). A production
+framework needs fine-tuning: this module provides a pjit-able train step —
+teacher-forcing cross entropy on (mel, tokens) pairs, AdamW via optax, DP over
+the batch axis + TP over the model axis, with rematerialised blocks so
+activation memory stays flat in depth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .config import WhisperConfig
+from .models import decoder as dec_mod
+from .models import encoder as enc_mod
+from .parallel.mesh import AXIS_DATA, AXIS_MODEL
+from .parallel.sharding import param_pspecs, param_shardings
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-5
+    weight_decay: float = 0.01
+    b1: float = 0.9
+    b2: float = 0.98
+    eps: float = 1e-6
+    max_grad_norm: float = 1.0
+    remat: bool = True
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(tc.max_grad_norm),
+        optax.adamw(tc.learning_rate, b1=tc.b1, b2=tc.b2, eps=tc.eps,
+                    weight_decay=tc.weight_decay),
+    )
+
+
+def loss_fn(
+    params: Params,
+    cfg: WhisperConfig,
+    mel: jax.Array,  # (B, n_mels, 3000)
+    tokens: jax.Array,  # (B, T) — [sot_sequence, text..., eot], padded
+    loss_mask: jax.Array,  # (B, T) float — 1 where the NEXT token is a target
+    *,
+    remat: bool = True,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Teacher-forcing CE: predict tokens[:, 1:] from tokens[:, :-1]."""
+    feats = enc_mod.encode(params, cfg, mel, remat=remat)
+    logits = dec_mod.decoder_forward(params, cfg, tokens[:, :-1],
+                                     audio_features=feats, remat=remat)
+    targets = tokens[:, 1:]
+    mask = loss_mask[:, 1:].astype(jnp.float32)
+
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logprobs, targets[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(mask.sum(), 1.0)
+    loss = (nll * mask).sum() / denom
+
+    acc = ((jnp.argmax(logits, axis=-1) == targets) * mask).sum() / denom
+    return loss, {"loss": loss, "accuracy": acc, "tokens": mask.sum()}
+
+
+def make_train_step(
+    cfg: WhisperConfig,
+    mesh: Mesh,
+    tc: TrainConfig = TrainConfig(),
+):
+    """Build (init_fn, step_fn) jitted over the mesh.
+
+    step_fn(params, opt_state, batch) -> (params, opt_state, metrics), with
+    params/opt_state TP-sharded and the batch DP-sharded; XLA inserts the
+    gradient all-reduce over "data" and the TP collectives over "model".
+    """
+    optimizer = make_optimizer(tc)
+    pspecs = param_pspecs(cfg)
+    pshard = param_shardings(cfg, mesh)
+    batch_sharding = NamedSharding(mesh, P(AXIS_DATA))
+    rep = NamedSharding(mesh, P())
+
+    def init_opt_state(params: Params):
+        return optimizer.init(params)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(pshard, None, batch_sharding, batch_sharding,
+                      batch_sharding),
+        out_shardings=(pshard, None, rep),
+        donate_argnums=(0, 1),
+    )
+    def step_fn(params, opt_state, mel, tokens, loss_mask):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, cfg, mel, tokens, loss_mask,
+                                   remat=tc.remat)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    def init_fn(params: Params):
+        params = jax.device_put(params, pshard)
+        opt_state = jax.jit(init_opt_state)(params)
+        return params, opt_state
+
+    return init_fn, step_fn
+
+
+def make_batch(cfg: WhisperConfig, tokenizer, mel, texts, language="en",
+               max_len: Optional[int] = None):
+    """Host-side batch assembly: [sot_seq] + text + [eot], right-padded.
+
+    loss_mask covers the text+eot region (prompt positions excluded).
+    """
+    import numpy as np
+
+    sot_seq = list(tokenizer.sot_sequence_including_notimestamps)
+    rows, masks = [], []
+    for text in texts:
+        ids = sot_seq + tokenizer.encode(" " + text.strip()) + [tokenizer.eot]
+        mask = [0] * len(sot_seq) + [1] * (len(ids) - len(sot_seq))
+        rows.append(ids)
+        masks.append(mask)
+    L = max_len or max(len(r) for r in rows)
+    tokens = np.full((len(rows), L), tokenizer.eot, np.int32)
+    loss_mask = np.zeros((len(rows), L), np.float32)
+    for i, (r, m) in enumerate(zip(rows, masks)):
+        r, m = r[:L], m[:L]
+        tokens[i, : len(r)] = r
+        loss_mask[i, : len(m)] = m
+    return mel, tokens, loss_mask

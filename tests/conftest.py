@@ -3,15 +3,17 @@ tests run without TPU hardware (SURVEY.md §4 'Multi-chip without a pod')."""
 
 import os
 
-# Must be set before jax is imported anywhere. The session environment pins
-# JAX_PLATFORMS=axon (the real TPU tunnel); tests always run on virtual CPU
-# devices so they are hermetic and can fake an 8-chip mesh.
+# The session environment pins JAX_PLATFORMS=axon (a real TPU tunnel) and a
+# sitecustomize imports jax before this file runs, so jax has already read the
+# env. Backends are initialised lazily though, so config.update still wins as
+# long as no computation has happened yet. Tests always run on 8 virtual CPU
+# devices: hermetic, and enough to fake a v5e-8 mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
