@@ -1,0 +1,183 @@
+"""Pallas flash attention for TPU (forward; inference + training fwd).
+
+The hot attention in Whisper is the encoder's 1500-position self-attention
+(the compute the reference hides inside its CoreML encoder graph,
+/root/reference/whisper_to_cml.py:10-23). A naive implementation materialises
+a (1500, 1500) score matrix per head in HBM; this kernel tiles Q against K/V
+blocks with an online softmax so scores never leave VMEM:
+
+  * grid (batch, heads, q_blocks, kv_blocks) — kv innermost ("arbitrary"),
+    batch/head/q parallel across megacores;
+  * running max / sum / output accumulator in fp32 VMEM scratch, carried
+    across kv blocks (the canonical flash recurrence);
+  * sequence lengths padded to the 128 tile; padded keys are masked with a
+    large negative (not -inf: exp(-inf - -inf) would NaN);
+  * optional causal mode skips whole KV blocks above the diagonal (used by
+    decoder teacher-forcing in training).
+
+The jnp fallback (models.layers.attention_core) remains the test oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+               sm_scale: float, causal: bool, q_len: int, kv_len: int,
+               block_q: int, block_k: int, n_kv_blocks: int):
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    # causal: skip kv blocks entirely above the diagonal
+    if causal:
+        should_run = (iq + 1) * block_q - 1 >= ik * block_k
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]  # (block_q, D)
+        k = k_ref[0, 0]  # (block_k, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (block_q, block_k)
+        s = s * sm_scale
+
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
+        mask = col_ids < kv_len
+        if causal:
+            row_ids = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                       + iq * block_q)
+            mask = mask & (col_ids <= row_ids)
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_scr[...]  # (block_q, LANES)
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
+        m_next = jnp.maximum(m_prev, m_curr)  # broadcast -> (block_q, LANES)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])  # (block_q, block_k)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        v = v_ref[0, 0]  # (block_k, D)
+        o_curr = jax.lax.dot(p.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + o_curr
+
+    @pl.when(ik == n_kv_blocks - 1)
+    def _store():
+        l = l_scr[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "block_q", "block_k", "interpret"),
+)
+def flash_attention(
+    q: jax.Array,  # (B, Tq, H, D)
+    k: jax.Array,  # (B, Tk, H, D)
+    v: jax.Array,  # (B, Tk, H, D)
+    *,
+    causal: bool = False,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Flash attention; returns (B, Tq, H, D) in q.dtype.
+
+    Matches models.layers.attention_core numerics (joint D**-0.5 scale,
+    fp32 softmax) to bf16 rounding. On CPU backends the kernel runs in
+    interpreter mode automatically (tests without a TPU).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    sm_scale = d ** -0.5
+
+    tq_p = _round_up(tq, block_q)
+    tk_p = _round_up(tk, block_k)
+
+    # (B, H, T, D) layout: contiguous (T, D) tiles per (batch, head)
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    if tq_p != tq:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, tq_p - tq), (0, 0)))
+    if tk_p != tk:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, tk_p - tk), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, tk_p - tk), (0, 0)))
+
+    n_q_blocks = tq_p // block_q
+    n_kv_blocks = tk_p // block_k
+
+    kernel = functools.partial(
+        _fa_kernel,
+        sm_scale=sm_scale,
+        causal=causal,
+        q_len=tq,
+        kv_len=tk,
+        block_q=block_q,
+        block_k=block_k,
+        n_kv_blocks=n_kv_blocks,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, tq_p, d), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(b, h, n_q_blocks, n_kv_blocks),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d),
+                                   lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, LANES), jnp.float32),  # running max
+                pltpu.VMEM((block_q, LANES), jnp.float32),  # running sum
+                pltpu.VMEM((block_q, d), jnp.float32),  # output accumulator
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qt, kt, vt)
+
+    out = jnp.swapaxes(out, 1, 2)  # (B, Tq_p, H, D)
+    if tq_p != tq:
+        out = out[:, :tq]
+    return out

@@ -1,0 +1,126 @@
+"""Fused Pallas log-mel frontend (window -> rDFT -> mel -> log/compress).
+
+TPU-native replacement for the reference's Rust DSP staticlib
+(/root/reference/stft/src/lib.rs:49-102: per-frame rFFT loop, naive 80x201x3000
+mel matmul, then a global-max dynamic-range pass). One kernel invocation per
+audio sample fuses the whole chain on-chip:
+
+  * framing trick: with hop=160 and n_fft=400 (= 5 x 80), reshape the padded
+    audio into 80-sample chunks; frame t is chunks [2t .. 2t+4], so the
+    windowed rDFT becomes FIVE shifted (T, 80) @ (80, 201) matmuls against
+    precomputed window-weighted DFT sub-matrices — pure MXU work, no strided
+    gather, no (T, 400) frame materialisation;
+  * power spectrum, mel projection (201 -> n_mels), log10 clamp, and the
+    per-sample global-max compression (lib.rs:82-99 semantics) all happen in
+    VMEM before a single output write.
+
+audio.log_mel_spectrogram (XLA) is the reference implementation and fallback;
+parity is gated at 1e-4 in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..audio import dft_matrices, hann_window, mel_filters
+from ..config import HOP_LENGTH, N_FFT
+
+CHUNK = 80  # n_fft = 5*CHUNK, hop = 2*CHUNK
+
+
+@functools.lru_cache(maxsize=None)
+def _windowed_dft_submatrices() -> tuple[np.ndarray, np.ndarray]:
+    """(5, 80, 201) cos / -sin matrices, window folded in.
+
+    Re(X[t, f]) = sum_j chunks[2t+j] @ C[j], likewise Im with S[j].
+    """
+    cos_m, sin_m = dft_matrices(N_FFT)  # (400, 201)
+    w = hann_window(N_FFT)[:, None]  # (400, 1)
+    cw = (cos_m * w).astype(np.float32).reshape(5, CHUNK, -1)
+    sw = (sin_m * w).astype(np.float32).reshape(5, CHUNK, -1)
+    return cw, sw
+
+
+def _mel_kernel(e_ref, o_ref, cw_ref, sw_ref, fb_ref, out_ref, *, t_frames):
+    t = t_frames
+
+    def stft_part(mat_ref):
+        acc = jnp.zeros((t, mat_ref.shape[-1]), jnp.float32)
+        # frame t = chunks[2t], [2t+1], [2t+2], [2t+3], [2t+4]
+        #         = E[t], O[t], E[t+1], O[t+1], E[t+2]
+        for j, (src, off) in enumerate(
+                ((e_ref, 0), (o_ref, 0), (e_ref, 1), (o_ref, 1), (e_ref, 2))):
+            acc = acc + jax.lax.dot(
+                src[0, off : off + t, :], mat_ref[j],
+                preferred_element_type=jnp.float32)
+        return acc
+
+    re = stft_part(cw_ref)  # (T, 201)
+    im = stft_part(sw_ref)
+    power = re * re + im * im
+
+    mel = jax.lax.dot(power, fb_ref[...],
+                      preferred_element_type=jnp.float32)  # (T, n_mels)
+    log_spec = jnp.log(jnp.maximum(mel, 1e-10)) / np.log(10.0).astype(np.float32)
+    log_max = jnp.max(log_spec)
+    log_spec = jnp.maximum(log_spec, log_max - 8.0)
+    out_ref[0] = (log_spec + 4.0) / 4.0
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels", "interpret"))
+def log_mel_pallas(
+    audio: jax.Array,  # (B, n_samples) float32, n_samples % 160 == 0
+    n_mels: int = 80,
+    *,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fused log-mel; returns (B, n_mels, n_samples // 160) float32."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if audio.ndim == 1:
+        return log_mel_pallas(audio[None], n_mels, interpret=interpret)[0]
+    b, n = audio.shape
+    if n % HOP_LENGTH:
+        raise ValueError(f"n_samples ({n}) must be a multiple of {HOP_LENGTH}")
+    t_frames = n // HOP_LENGTH
+
+    audio = audio.astype(jnp.float32)
+    padded = jnp.pad(audio, ((0, 0), (N_FFT // 2, N_FFT // 2)), mode="reflect")
+    chunks = padded.reshape(b, -1, CHUNK)  # (B, 2T+5, 80)
+    e = chunks[:, 0::2]  # (B, T+3, 80)
+    o = chunks[:, 1::2]  # (B, T+2, 80)
+    # equalise for a uniform BlockSpec
+    o = jnp.pad(o, ((0, 0), (0, 1), (0, 0)))  # (B, T+3, 80)
+
+    cw, sw = _windowed_dft_submatrices()
+    fb = mel_filters(n_mels).T  # (201, n_mels)
+
+    kernel = functools.partial(_mel_kernel, t_frames=t_frames)
+    rows = e.shape[1]
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t_frames, n_mels), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, rows, CHUNK), lambda bi: (bi, 0, 0)),
+                pl.BlockSpec((1, rows, CHUNK), lambda bi: (bi, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # cw (5, 80, 201)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # sw
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # filterbank
+            ],
+            out_specs=pl.BlockSpec((1, t_frames, n_mels), lambda bi: (bi, 0, 0)),
+        ),
+        interpret=interpret,
+    )(e, o, jnp.asarray(cw), jnp.asarray(sw), jnp.asarray(fb))
+
+    return jnp.swapaxes(out, 1, 2)  # (B, n_mels, T)
