@@ -1,0 +1,200 @@
+"""Jitted beam-search decoding.
+
+Completes the decode capability the reference entirely lacks (its decoder is
+a single cache-less SOT step, /root/reference/Whisper/Whisper/Whisper.swift:36).
+Canonical TPU-friendly formulation, all static shapes:
+
+  * beams flattened into the batch axis (B*K rows share one KV cache);
+  * each step: top-2K candidates from (K x V) merged scores; the first K
+    non-EOT continue, EOT candidates merge into a per-batch finished buffer
+    (top max_candidates = round(beam_size * patience) kept, openai semantics);
+  * KV cache reordered per step by gathering beam sources (the "beam
+    reordering via gather" called out in SURVEY.md §7 hard parts);
+  * first-step degeneracy broken by masking beams 1..K-1 to -inf;
+  * early exit when no alive beam can beat the worst kept finished score;
+  * final ranking by avg-logprob, or GNMT length penalty ((5+L)/6)^p.
+
+Timestamp/suppress logit rules are shared with the greedy path
+(decoding._apply_logit_rules) so beam transcripts obey the same grammar.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import WhisperConfig
+from .models import decoder as dec_mod
+
+NEG_INF = jnp.float32(-1e30)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sample_len", "use_timestamps", "prompt_len",
+                     "beam_size", "max_candidates"),
+)
+def beam_decode_core(
+    params,
+    cfg: WhisperConfig,
+    audio_features,  # (B, S, n_state)
+    initial_tokens,  # (B, P) int32, left-padded to bucket
+    suppress_mask,  # (V,) bool
+    blank_mask,  # (V,) bool
+    max_initial_ts_index,  # scalar int32
+    pad_len,  # scalar int32
+    sot_index,  # scalar int32
+    *,
+    sample_len: int,
+    use_timestamps: bool,
+    prompt_len: int,
+    beam_size: int,
+    max_candidates: int,
+):
+    """Returns (best_tokens (B, P+sample_len), best_sum_logprob (B,),
+    best_len (B,), no_speech_prob (B,))."""
+    from .decoding import _apply_logit_rules
+
+    b = audio_features.shape[0]
+    k = beam_size
+    eot = cfg.eot_token
+    total_len = prompt_len + sample_len
+    bk = b * k
+
+    # replicate audio features / prompts across beams -> flattened rows
+    feats = jnp.repeat(audio_features, k, axis=0)  # (B*K, S, n)
+    init = jnp.repeat(initial_tokens, k, axis=0)  # (B*K, P)
+
+    cross_kv = dec_mod.precompute_cross_kv(params, cfg, feats)
+    cache = dec_mod.init_kv_cache(cfg, bk, dtype=audio_features.dtype)
+
+    tokens = jnp.full((bk, total_len), eot, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, init, (0, 0))
+
+    prefill_logits, cache = dec_mod.decode_step(
+        params, cfg, init, cross_kv, cache, 0, valid_from=pad_len)
+    no_speech_prob = jax.nn.softmax(
+        jnp.take(prefill_logits, sot_index, axis=1).astype(jnp.float32),
+        axis=-1)[:, cfg.no_speech_token].reshape(b, k)[:, 0]
+
+    v = cfg.n_vocab
+
+    def apply_rules(logits, tokens, pos, ts_max):
+        return _apply_logit_rules(
+            logits, tokens, pos, cfg, prompt_len, suppress_mask, blank_mask,
+            use_timestamps, ts_max, max_initial_ts_index)
+
+    def step(carry):
+        (pos, tokens, cache, logits, sum_lp, seq_len, ts_max,
+         fin_scores, fin_tokens, fin_lens) = carry
+        # logits (B*K, V) fp32 for position pos
+
+        filtered = apply_rules(logits, tokens, pos, ts_max)
+        logprobs = jax.nn.log_softmax(filtered, axis=-1)  # (B*K, V)
+
+        # first sampled step: only beam 0 proposes (identical prefixes)
+        beam_ids = jnp.arange(bk) % k
+        first = pos == prompt_len
+        beam_alive_mask = jnp.where(first & (beam_ids > 0), NEG_INF, 0.0)
+
+        cand = (sum_lp[:, None] + logprobs
+                + beam_alive_mask[:, None])  # (B*K, V)
+        cand = cand.reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(cand, 2 * k)  # (B, 2K)
+        src_beam = top_idx // v  # (B, 2K) in [0, K)
+        tok = (top_idx % v).astype(jnp.int32)
+        is_eot = tok == eot
+
+        # ---- finished buffer update (EOT candidates) ----
+        eot_scores = jnp.where(is_eot, top_scores, NEG_INF)  # (B, 2K)
+        all_scores = jnp.concatenate([fin_scores, eot_scores], axis=1)
+        # candidate token rows for finished entries: current tokens of the
+        # source beam with EOT written at pos
+        src_rows = jnp.take_along_axis(
+            tokens.reshape(b, k, total_len), src_beam[..., None], axis=1
+        )  # (B, 2K, L)
+        src_rows = src_rows.at[:, :, pos].set(eot)
+        cand_lens = jnp.take_along_axis(
+            seq_len.reshape(b, k), src_beam, axis=1) + 1  # incl. eot
+        all_tokens = jnp.concatenate([fin_tokens, src_rows], axis=1)
+        all_lens = jnp.concatenate([fin_lens, cand_lens], axis=1)
+        keep_scores, keep_idx = jax.lax.top_k(all_scores, max_candidates)
+        fin_scores = keep_scores
+        fin_tokens = jnp.take_along_axis(all_tokens, keep_idx[..., None],
+                                         axis=1)
+        fin_lens = jnp.take_along_axis(all_lens, keep_idx, axis=1)
+
+        # ---- select K continuing (non-EOT) beams ----
+        alive_scores = jnp.where(is_eot, NEG_INF, top_scores)  # (B, 2K)
+        new_scores, pick = jax.lax.top_k(alive_scores, k)  # (B, K)
+        new_tok = jnp.take_along_axis(tok, pick, axis=1)  # (B, K)
+        new_src = jnp.take_along_axis(src_beam, pick, axis=1)  # (B, K)
+
+        # gather rows: flat source index = b * K + src
+        flat_src = (jnp.arange(b)[:, None] * k + new_src).reshape(bk)
+        newt = new_tok.reshape(bk)
+        tokens = tokens[flat_src].at[:, pos].set(newt)
+        sum_lp = new_scores.reshape(bk)
+        seq_len = jnp.take_along_axis(
+            seq_len.reshape(b, k), new_src, axis=1).reshape(bk) + 1
+        ts_max_g = jnp.take_along_axis(
+            ts_max.reshape(b, k), new_src, axis=1).reshape(bk)
+        ts_max = jnp.where(newt >= cfg.timestamp_begin, newt, ts_max_g)
+
+        cache = dec_mod.KVCache(cache.k[:, flat_src], cache.v[:, flat_src])
+
+        next_logits, cache = dec_mod.decode_step(
+            params, cfg, newt[:, None], cross_kv, cache, pos,
+            valid_from=pad_len)
+
+        return (pos + 1, tokens, cache, next_logits[:, 0].astype(jnp.float32),
+                sum_lp, seq_len, ts_max, fin_scores, fin_tokens, fin_lens)
+
+    def cond(carry):
+        (pos, _tokens, _cache, _logits, sum_lp, _seq_len, _ts, fin_scores,
+         *_rest) = carry
+        best_alive = jnp.max(sum_lp.reshape(b, k), axis=1)
+        worst_fin = jnp.min(fin_scores, axis=1)
+        improvable = jnp.any(best_alive > worst_fin)
+        return (pos < total_len) & improvable
+
+    init_carry = (
+        jnp.int32(prompt_len),
+        tokens,
+        cache,
+        prefill_logits[:, -1].astype(jnp.float32),
+        jnp.zeros((bk,), jnp.float32),
+        jnp.zeros((bk,), jnp.int32),
+        jnp.full((bk,), cfg.timestamp_begin, jnp.int32),
+        jnp.full((b, max_candidates), NEG_INF, jnp.float32),
+        jnp.full((b, max_candidates, total_len), eot, jnp.int32),
+        jnp.zeros((b, max_candidates), jnp.int32),
+    )
+    (pos, tokens, cache, logits, sum_lp, seq_len, _ts, fin_scores,
+     fin_tokens, fin_lens) = jax.lax.while_loop(cond, step, init_carry)
+
+    # fall back to alive beams where nothing finished
+    alive_scores = sum_lp.reshape(b, k)
+    alive_tokens = tokens.reshape(b, k, total_len)
+    alive_lens = seq_len.reshape(b, k)
+    has_fin = fin_scores[:, 0] > NEG_INF / 2
+
+    all_scores = jnp.where(has_fin[:, None],
+                           fin_scores[:, : k],
+                           alive_scores)
+    all_tokens = jnp.where(has_fin[:, None, None],
+                           fin_tokens[:, : k],
+                           alive_tokens)
+    all_lens = jnp.where(has_fin[:, None], fin_lens[:, : k], alive_lens)
+    return all_tokens, all_scores, all_lens, no_speech_prob
+
+
+def rank_sequences(scores, lengths, length_penalty: Optional[float]):
+    """openai MaximumLikelihoodRanker: avg logprob, or GNMT length penalty."""
+    lengths = jnp.maximum(lengths.astype(jnp.float32), 1.0)
+    if length_penalty is None:
+        return scores / lengths
+    return scores / (((5.0 + lengths) / 6.0) ** length_penalty)

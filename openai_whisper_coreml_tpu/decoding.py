@@ -393,11 +393,6 @@ def decode(
         feats = model._encode_jit(model.params, mel=mel)
     b = feats.shape[0]
 
-    if options.beam_size is not None:
-        from .beam import beam_decode  # implemented in beam.py
-
-        return beam_decode(model, feats, options, tokenizer=tokenizer)
-
     # -- language ----------------------------------------------------------
     language = options.language
     language_probs: List[Optional[Dict[str, float]]] = [None] * b
@@ -460,22 +455,53 @@ def decode(
     if options.max_initial_timestamp is not None and not options.without_timestamps:
         max_init_idx = round(options.max_initial_timestamp / 0.02)
 
-    tokens, sum_lp, n_sampled, no_speech_prob = greedy_decode_core(
-        model.params,
-        cfg,
-        feats,
-        jnp.asarray(np.asarray(initial, np.int32)),
-        suppress_mask,
-        blank_mask,
-        jnp.float32(options.temperature),
-        jax.random.PRNGKey(seed),
-        jnp.int32(max_init_idx),
-        jnp.int32(pad),
-        jnp.int32(sot_index),
-        sample_len=sample_len,
-        use_timestamps=not options.without_timestamps,
-        prompt_len=prompt_len,
-    )
+    use_beam = options.beam_size is not None and options.temperature == 0.0
+    if use_beam:
+        from .beam import beam_decode_core, rank_sequences
+
+        k = options.beam_size
+        max_candidates = max(k, round(k * (options.patience or 1.0)))
+        all_tokens, all_scores, all_lens, no_speech_prob = beam_decode_core(
+            model.params,
+            cfg,
+            feats,
+            jnp.asarray(np.asarray(initial, np.int32)),
+            suppress_mask,
+            blank_mask,
+            jnp.int32(max_init_idx),
+            jnp.int32(pad),
+            jnp.int32(sot_index),
+            sample_len=sample_len,
+            use_timestamps=not options.without_timestamps,
+            prompt_len=prompt_len,
+            beam_size=k,
+            max_candidates=max_candidates,
+        )
+        ranked = rank_sequences(all_scores, all_lens, options.length_penalty)
+        best = jnp.argmax(ranked, axis=1)
+        tokens = np.asarray(jnp.take_along_axis(
+            all_tokens, best[:, None, None], axis=1)[:, 0])
+        sum_lp = np.asarray(jnp.take_along_axis(
+            all_scores, best[:, None], axis=1)[:, 0])
+        n_sampled = np.asarray(jnp.take_along_axis(
+            all_lens, best[:, None], axis=1)[:, 0])
+    else:
+        tokens, sum_lp, n_sampled, no_speech_prob = greedy_decode_core(
+            model.params,
+            cfg,
+            feats,
+            jnp.asarray(np.asarray(initial, np.int32)),
+            suppress_mask,
+            blank_mask,
+            jnp.float32(options.temperature),
+            jax.random.PRNGKey(seed),
+            jnp.int32(max_init_idx),
+            jnp.int32(pad),
+            jnp.int32(sot_index),
+            sample_len=sample_len,
+            use_timestamps=not options.without_timestamps,
+            prompt_len=prompt_len,
+        )
 
     tokens = np.asarray(tokens)
     sum_lp = np.asarray(sum_lp)

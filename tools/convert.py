@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Convert public Whisper checkpoints to the TPU-native format.
+
+This is the framework's L0 toolchain, replacing the reference's CoreML export
+pipeline (/root/reference/whisper_to_cml.py: torch.jit.trace + coremltools ->
+.mlpackage) and its filterbank exporter (/root/reference/export_m80.py — the
+mel filterbank needs no asset here; it is derived in closed form, see
+openai_whisper_coreml_tpu/audio.py).
+
+Supported inputs:
+  * openai/whisper .pt files (the dict with "dims" and "model_state_dict")
+  * HuggingFace checkpoints: a directory containing model.safetensors (or
+    pytorch_model.bin) for Whisper* models
+
+Usage:
+  python tools/convert.py --input small.pt --output ckpts/small.safetensors
+  python tools/convert.py --input /path/to/hf/whisper-small --model small \
+      --output ckpts/small.safetensors
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+_DIMS_TO_NAME = {
+    # (n_audio_state, n_audio_layer, n_mels, n_vocab) -> model name
+    (384, 4, 80, 51865): "tiny",
+    (384, 4, 80, 51864): "tiny.en",
+    (512, 6, 80, 51865): "base",
+    (512, 6, 80, 51864): "base.en",
+    (768, 12, 80, 51865): "small",
+    (768, 12, 80, 51864): "small.en",
+    (1024, 24, 80, 51865): "medium",
+    (1024, 24, 80, 51864): "medium.en",
+    (1280, 32, 80, 51865): "large-v2",
+    (1280, 32, 128, 51866): "large-v3",
+}
+
+
+def load_state_dict(path: str):
+    """Returns (state_dict, detected_model_name_or_None, format)."""
+    if os.path.isdir(path):
+        # HuggingFace directory
+        st = os.path.join(path, "model.safetensors")
+        if os.path.exists(st):
+            from safetensors.torch import load_file
+
+            return load_file(st), None, "hf"
+        bin_path = os.path.join(path, "pytorch_model.bin")
+        if os.path.exists(bin_path):
+            import torch
+
+            return torch.load(bin_path, map_location="cpu",
+                              weights_only=True), None, "hf"
+        raise FileNotFoundError(f"no model weights found under {path}")
+
+    if path.endswith(".safetensors"):
+        from safetensors.torch import load_file
+
+        sd = load_file(path)
+        fmt = "hf" if any(k.startswith(("model.", "proj_out."))
+                          or k.startswith("encoder.layers") for k in sd) else "openai"
+        return sd, None, fmt
+
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        dims = obj.get("dims", {})
+        key = (dims.get("n_audio_state"), dims.get("n_audio_layer"),
+               dims.get("n_mels"), dims.get("n_vocab"))
+        name = _DIMS_TO_NAME.get(key)
+        # large-v3-turbo: same dims signature except decoder depth
+        if name == "large-v3" and dims.get("n_text_layer") == 4:
+            name = "large-v3-turbo"
+        if name == "large-v2" and dims.get("n_text_layer") == 32:
+            # v1 and v2 share dims; default to large-v2 naming
+            name = "large-v2"
+        return obj["model_state_dict"], name, "openai"
+    return obj, None, "openai"
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help=".pt / .safetensors file or HF checkpoint dir")
+    ap.add_argument("--model", default=None,
+                    help="model size name (auto-detected for openai .pt)")
+    ap.add_argument("--output", required=True, help="output .safetensors path")
+    ap.add_argument("--dtype", choices=("float32", "bfloat16"),
+                    default="float32")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from openai_whisper_coreml_tpu.config import get_config
+    from openai_whisper_coreml_tpu.params import (
+        count_params,
+        params_from_hf_state_dict,
+        params_from_openai_state_dict,
+    )
+    from openai_whisper_coreml_tpu.utils.checkpoint import save_params
+
+    sd, detected, fmt = load_state_dict(args.input)
+    name = args.model or detected
+    if name is None:
+        raise SystemExit("could not auto-detect model size; pass --model")
+    cfg = get_config(name)
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
+
+    if fmt == "hf":
+        params = params_from_hf_state_dict(cfg, sd, dtype=dtype)
+    else:
+        params = params_from_openai_state_dict(cfg, sd, dtype=dtype)
+
+    save_params(params, args.output, model_name=name,
+                extra_meta={"source_format": fmt, "dtype": args.dtype})
+    print(f"wrote {args.output}: {name} ({count_params(params)/1e6:.1f}M "
+          f"params, {fmt} source)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
