@@ -51,6 +51,10 @@ def _windowed_dft_submatrices() -> tuple[np.ndarray, np.ndarray]:
 def _mel_kernel(e_ref, o_ref, cw_ref, sw_ref, fb_ref, out_ref, *, t_frames):
     t = t_frames
 
+    # fidelity gate is 1e-3 vs fp64: fp32 operands must not be truncated to
+    # bf16 on the MXU (frontend FLOPs are negligible, precision is not)
+    hi = jax.lax.Precision.HIGHEST
+
     def stft_part(mat_ref):
         acc = jnp.zeros((t, mat_ref.shape[-1]), jnp.float32)
         # frame t = chunks[2t], [2t+1], [2t+2], [2t+3], [2t+4]
@@ -59,14 +63,14 @@ def _mel_kernel(e_ref, o_ref, cw_ref, sw_ref, fb_ref, out_ref, *, t_frames):
                 ((e_ref, 0), (o_ref, 0), (e_ref, 1), (o_ref, 1), (e_ref, 2))):
             acc = acc + jax.lax.dot(
                 src[0, off : off + t, :], mat_ref[j],
-                preferred_element_type=jnp.float32)
+                precision=hi, preferred_element_type=jnp.float32)
         return acc
 
     re = stft_part(cw_ref)  # (T, 201)
     im = stft_part(sw_ref)
     power = re * re + im * im
 
-    mel = jax.lax.dot(power, fb_ref[...],
+    mel = jax.lax.dot(power, fb_ref[...], precision=hi,
                       preferred_element_type=jnp.float32)  # (T, n_mels)
     log_spec = jnp.log(jnp.maximum(mel, 1e-10)) / np.log(10.0).astype(np.float32)
     log_max = jnp.max(log_spec)

@@ -1,0 +1,216 @@
+"""Batched serving: many audio streams through one device batch.
+
+The reference serves exactly one utterance at a time on-device (tap-to-record
+UI, /root/reference/Whisper/Whisper/ContentView.swift:30-68). Production TPU
+serving is batch-first: this module packs 30 s windows from many requests into
+fixed-size device batches (one compiled graph), decodes them together, and
+reassembles per-request results.
+
+Design notes (TPU-shaped):
+  * window-level batching: long audio fans out into independent windows
+    (chunk-parallel == data-parallel, SURVEY.md §2), so a single request
+    never serialises the batch; conditioning-on-previous-text is OFF in
+    batch mode (it would serialise windows; accuracy delta is small and
+    documented by openai);
+  * fixed batch size with EOT-padding of underfull batches -> one XLA graph;
+  * per-window no-speech skip and temperature fallback applied per window.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .audio import log_mel_spectrogram
+from .config import FRAMES_PER_SECOND, HOP_LENGTH, N_FRAMES
+from .decoding import DecodingOptions, DecodingResult, decode
+from .transcribe import Segment
+
+
+@dataclasses.dataclass
+class ServeOptions:
+    batch_size: int = 8
+    task: str = "transcribe"
+    language: Optional[str] = None  # None -> per-request detection
+    temperature: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+    beam_size: Optional[int] = None
+    without_timestamps: bool = False
+    logprob_threshold: Optional[float] = -1.0
+    no_speech_threshold: Optional[float] = 0.6
+    compression_ratio_threshold: Optional[float] = 2.4
+    sample_len: Optional[int] = None
+
+
+@dataclasses.dataclass
+class _Window:
+    request_id: int
+    offset_frames: int
+    mel: np.ndarray  # (n_mels, N_FRAMES)
+    result: Optional[DecodingResult] = None
+
+
+def _windows_for(audio: np.ndarray, n_mels: int, request_id: int) -> List[_Window]:
+    n = len(audio)
+    n_ceil = ((n + HOP_LENGTH - 1) // HOP_LENGTH) * HOP_LENGTH
+    padded = np.zeros(n_ceil + N_FRAMES * HOP_LENGTH, dtype=np.float32)
+    padded[:n] = audio
+    mel = np.asarray(log_mel_spectrogram(padded, n_mels=n_mels))
+    content_frames = mel.shape[-1] - N_FRAMES
+    out = []
+    for seek in range(0, max(content_frames, 1), N_FRAMES):
+        out.append(_Window(request_id, seek, mel[:, seek : seek + N_FRAMES]))
+    return out
+
+
+def transcribe_batch(
+    model,
+    audios: Sequence[Union[np.ndarray, str]],
+    options: ServeOptions = ServeOptions(),
+) -> List[Dict[str, Any]]:
+    """Transcribe many independent audio arrays/files at once.
+
+    Returns one openai-schema result dict per input.
+    """
+    from .audio import load_audio
+
+    arrays: List[np.ndarray] = []
+    for a in audios:
+        if isinstance(a, str):
+            a = load_audio(a)
+        arrays.append(np.asarray(a, np.float32))
+
+    # fan out to windows
+    windows: List[_Window] = []
+    for rid, arr in enumerate(arrays):
+        windows.extend(_windows_for(arr, model.cfg.n_mels, rid))
+
+    bs = options.batch_size
+    base_opts = dict(
+        task=options.task,
+        language=options.language,
+        beam_size=options.beam_size,
+        without_timestamps=options.without_timestamps,
+        sample_len=options.sample_len,
+    )
+
+    # decode in fixed-size batches; pad the tail batch by repeating the last
+    # window (one compiled graph for every batch)
+    for start in range(0, len(windows), bs):
+        chunk = windows[start : start + bs]
+        mels = np.stack([w.mel for w in chunk], axis=0)
+        if len(chunk) < bs:
+            pad = np.repeat(mels[-1:], bs - len(chunk), axis=0)
+            mels = np.concatenate([mels, pad], axis=0)
+
+        results: List[Optional[DecodingResult]] = [None] * len(chunk)
+        pending = list(range(len(chunk)))
+        for t in options.temperature:
+            if not pending:
+                break
+            res = decode(model, mels,
+                         DecodingOptions(temperature=float(t), **base_opts))
+            still: List[int] = []
+            for i in pending:
+                r = res[i]
+                bad = False
+                if (options.compression_ratio_threshold is not None
+                        and r.compression_ratio
+                        > options.compression_ratio_threshold):
+                    bad = True
+                if (options.logprob_threshold is not None
+                        and r.avg_logprob < options.logprob_threshold):
+                    bad = True
+                if (options.no_speech_threshold is not None
+                        and r.no_speech_prob > options.no_speech_threshold):
+                    bad = False  # silence: accept, skipped below
+                if bad:
+                    still.append(i)
+                else:
+                    results[i] = r
+            pending = still
+        for i in pending:  # all temperatures failed: keep the last attempt
+            results[i] = res[i]
+        for w, r in zip(chunk, results):
+            w.result = r
+
+    # reassemble per request
+    out: List[Dict[str, Any]] = []
+    for rid, arr in enumerate(arrays):
+        segs: List[Segment] = []
+        language_votes: Dict[str, float] = {}
+        for w in windows:
+            if w.request_id != rid or w.result is None:
+                continue
+            r = w.result
+            if r.language_probs:
+                for code, p in r.language_probs.items():
+                    language_votes[code] = language_votes.get(code, 0.0) + p
+            skip = (options.no_speech_threshold is not None
+                    and r.no_speech_prob > options.no_speech_threshold
+                    and (options.logprob_threshold is None
+                         or r.avg_logprob < options.logprob_threshold))
+            if skip:
+                continue
+            time_offset = w.offset_frames / FRAMES_PER_SECOND
+            segs.extend(_segments_from_result(
+                model.cfg, r, time_offset, w.offset_frames))
+        for i, s in enumerate(segs):
+            s.id = i
+        language = (options.language
+                    or (max(language_votes, key=language_votes.get)
+                        if language_votes else "en"))
+        out.append({
+            "text": "".join(s.text for s in segs),
+            "segments": [s.to_dict() for s in segs],
+            "language": language,
+            "duration": len(arr) / 16_000,
+        })
+    return out
+
+
+def _segments_from_result(cfg, r: DecodingResult, time_offset: float,
+                          seek: int) -> List[Segment]:
+    """Split one window's tokens into timestamped segments (batch-mode
+    variant of the transcribe.py logic; no seek feedback needed since
+    windows are fixed)."""
+    from .tokenizer import get_tokenizer
+
+    tok = get_tokenizer(cfg, language=r.language if cfg.multilingual else None)
+    ts_begin = cfg.timestamp_begin
+    tokens = np.asarray(r.tokens, dtype=np.int64)
+
+    def seg(start, end, toks):
+        text_toks = [t for t in toks if t < tok.eot]
+        return Segment(
+            id=0, seek=seek, start=start, end=end,
+            text=tok.decode(text_toks), tokens=list(toks),
+            temperature=r.temperature, avg_logprob=r.avg_logprob,
+            compression_ratio=r.compression_ratio,
+            no_speech_prob=r.no_speech_prob)
+
+    if tokens.size == 0:
+        return []
+    is_ts = tokens >= ts_begin
+    consecutive = np.where(is_ts[:-1] & is_ts[1:])[0] + 1
+    segs = []
+    if len(consecutive):
+        last = 0
+        for cur in list(consecutive) + [len(tokens)]:
+            sliced = tokens[last:cur]
+            ts_in = sliced[sliced >= ts_begin]
+            if len(ts_in):
+                start = time_offset + (int(ts_in[0]) - ts_begin) * 0.02
+                end = time_offset + (int(ts_in[-1]) - ts_begin) * 0.02
+            else:
+                start = end = time_offset
+            if np.any(sliced < tok.eot) or len(ts_in):
+                segs.append(seg(start, end, sliced))
+            last = cur
+    else:
+        ts_in = tokens[is_ts]
+        end_off = ((int(ts_in[-1]) - ts_begin) * 0.02
+                   if len(ts_in) else N_FRAMES / FRAMES_PER_SECOND)
+        segs.append(seg(time_offset, time_offset + end_off, tokens))
+    return segs

@@ -1,0 +1,118 @@
+"""WER metric, eval harness, and batched serving tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from openai_whisper_coreml_tpu.config import tiny_test_config
+from openai_whisper_coreml_tpu.eval.harness import discover, evaluate
+from openai_whisper_coreml_tpu.eval.wer import compute_wer, normalize_text, word_errors
+from openai_whisper_coreml_tpu.models.whisper import WhisperModel
+from openai_whisper_coreml_tpu.params import init_params
+
+
+def test_normalize_text():
+    assert normalize_text("Hello, World!") == "hello world"
+    assert normalize_text("I can't  do [noise] that") == "i can not do that"
+    assert normalize_text("they're we've I'll") == "they are we have i will"
+
+
+def test_word_errors_exact():
+    s, d, i, h = word_errors("a b c".split(), "a b c".split())
+    assert (s, d, i, h) == (0, 0, 0, 3)
+
+
+def test_word_errors_mixed():
+    # ref: the cat sat | hyp: the bat sat down -> 1 sub + 1 ins
+    s, d, i, h = word_errors("the cat sat".split(), "the bat sat down".split())
+    assert (s, d, i) == (1, 0, 1)
+    assert h == 2
+
+
+def test_compute_wer_multi():
+    r = compute_wer(["the cat sat", "hello world"],
+                    ["the cat sat", "hello word"])
+    assert r.n_ref_words == 5
+    assert r.substitutions == 1
+    assert abs(r.wer - 0.2) < 1e-9
+
+
+def test_wer_empty_hyp():
+    r = compute_wer(["three word reference"], [""])
+    assert r.deletions == 3
+    assert r.wer == 1.0
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2)
+    return WhisperModel(cfg=cfg, params=init_params(cfg, jax.random.PRNGKey(0)))
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    from openai_whisper_coreml_tpu.utils import audio_io
+
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        t = np.arange(int((2 + i) * 16000)) / 16000
+        x = (0.2 * np.sin(2 * np.pi * (150 + 40 * i) * t)
+             + 0.02 * rng.standard_normal(t.shape)).astype(np.float32)
+        audio_io.save_wav(str(root / f"utt{i}.wav"), x, 16000)
+        (root / f"utt{i}.txt").write_text(f"reference text {i}")
+    return str(root)
+
+
+def test_discover_flat(corpus):
+    utts = discover(corpus)
+    assert len(utts) == 3
+    assert utts[0].reference == "reference text 0"
+
+
+def test_discover_librispeech(tmp_path):
+    from openai_whisper_coreml_tpu.utils import audio_io
+
+    d = tmp_path / "19" / "198"
+    d.mkdir(parents=True)
+    audio_io.save_wav(str(d / "19-198-0000.wav"),
+                      np.zeros(16000, np.float32), 16000)
+    (d / "19-198.trans.txt").write_text("19-198-0000 HELLO WORLD\n")
+    utts = discover(str(tmp_path))
+    assert len(utts) == 1
+    assert utts[0].reference == "HELLO WORLD"
+
+
+def test_evaluate_end_to_end(model, corpus):
+    report = evaluate(model, corpus, batch_size=2, language="en",
+                      no_speech_threshold=None, logprob_threshold=None,
+                      compression_ratio_threshold=None, sample_len=8)
+    assert report["n_utterances"] == 3
+    assert 0.0 <= report["wer"]  # random model: terrible WER, but computed
+    assert report["audio_seconds"] > 8
+    assert report["rtfx"] > 0
+    assert len(report["examples"]) == 3
+
+
+def test_transcribe_batch_multi_request(model):
+    from openai_whisper_coreml_tpu.serve import ServeOptions, transcribe_batch
+
+    rng = np.random.default_rng(1)
+    audios = [
+        (0.2 * rng.standard_normal(16000 * 3)).astype(np.float32),
+        (0.2 * rng.standard_normal(16000 * 35)).astype(np.float32),  # 2 windows
+    ]
+    results = transcribe_batch(
+        model, audios,
+        ServeOptions(batch_size=2, language="en", sample_len=8,
+                     no_speech_threshold=None, logprob_threshold=None,
+                     compression_ratio_threshold=None, temperature=(0.0,)))
+    assert len(results) == 2
+    assert abs(results[0]["duration"] - 3.0) < 0.01
+    assert abs(results[1]["duration"] - 35.0) < 0.01
+    # the 35s request must produce segments beyond the first window
+    seeks = {s["seek"] for s in results[1]["segments"]}
+    assert any(s >= 3000 for s in seeks)
