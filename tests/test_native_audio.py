@@ -1,0 +1,83 @@
+"""Native C++ audio decoder tests (skipped when the .so isn't built)."""
+
+import ctypes
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SO = os.path.join(REPO, "native", "libwhisper_audio.so")
+
+pytestmark = pytest.mark.skipif(not os.path.exists(SO),
+                                reason="native lib not built (make -C native)")
+
+
+@pytest.fixture(scope="module")
+def lib():
+    # Force a fresh resolution pointing at the repo .so
+    os.environ["WHISPER_TPU_AUDIO_LIB"] = SO
+    from openai_whisper_coreml_tpu.utils import audio_io
+
+    audio_io._native_checked = False
+    audio_io._native_lib = None
+    found = audio_io._find_native_lib()
+    assert found is not None
+    yield found
+    audio_io._native_checked = False
+    audio_io._native_lib = None
+
+
+def test_native_wav_roundtrip(tmp_path, lib, rng):
+    from openai_whisper_coreml_tpu.utils import audio_io
+
+    x = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    p = str(tmp_path / "n.wav")
+    audio_io.save_wav(p, x, 16000)
+    y = audio_io.load_audio(p, 16000)
+    assert y.shape == x.shape
+    np.testing.assert_allclose(x, y, atol=2.0 / 32768)
+
+
+def test_native_resample_sine(tmp_path, lib):
+    from openai_whisper_coreml_tpu.utils import audio_io
+
+    t = np.arange(48000) / 48000.0
+    x = np.sin(2 * np.pi * 440.0 * t).astype(np.float32) * 0.5
+    p = str(tmp_path / "n48.wav")
+    audio_io.save_wav(p, x, 48000)
+    y = audio_io.load_audio(p, 16000)
+    assert abs(len(y) - 16000) <= 1
+    peak = np.argmax(np.abs(np.fft.rfft(y[:16000])))
+    assert abs(peak - 440) <= 2
+    # amplitude preserved within a few percent
+    assert abs(np.abs(y).max() - 0.5) < 0.05
+
+
+def test_native_rejects_garbage(tmp_path, lib):
+    p = str(tmp_path / "bad.wav")
+    with open(p, "wb") as f:
+        f.write(b"not a wav file at all")
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = lib.wa_load_wav(p.encode(), 16000, ctypes.byref(out))
+    assert n == -1
+
+
+def test_native_stereo_mixdown(tmp_path, lib):
+    import wave
+
+    from openai_whisper_coreml_tpu.utils import audio_io
+
+    left = (np.ones(8000) * 0.5 * 32767).astype("<i2")
+    right = (np.ones(8000) * -0.5 * 32767).astype("<i2")
+    inter = np.empty(16000, "<i2")
+    inter[0::2], inter[1::2] = left, right
+    p = str(tmp_path / "st.wav")
+    with wave.open(p, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(inter.tobytes())
+    y = audio_io.load_audio(p, 16000)
+    assert len(y) == 8000
+    assert np.abs(y).max() < 1e-4  # L/R cancel after mixdown
