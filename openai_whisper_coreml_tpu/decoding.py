@@ -486,11 +486,19 @@ def decode(
         n_sampled = np.asarray(jnp.take_along_axis(
             all_lens, best[:, None], axis=1)[:, 0])
     else:
+        # best_of: independent sampling candidates, ranked by avg logprob
+        # (openai semantics; only meaningful at temperature > 0)
+        n_cand = (options.best_of
+                  if options.best_of and options.temperature > 0 else 1)
+        feats_in = (jnp.repeat(feats, n_cand, axis=0) if n_cand > 1 else feats)
+        init_arr = np.asarray(initial, np.int32)
+        if n_cand > 1:
+            init_arr = np.repeat(init_arr, n_cand, axis=0)
         tokens, sum_lp, n_sampled, no_speech_prob = greedy_decode_core(
             model.params,
             cfg,
-            feats,
-            jnp.asarray(np.asarray(initial, np.int32)),
+            feats_in,
+            jnp.asarray(init_arr),
             suppress_mask,
             blank_mask,
             jnp.float32(options.temperature),
@@ -502,6 +510,17 @@ def decode(
             use_timestamps=not options.without_timestamps,
             prompt_len=prompt_len,
         )
+        if n_cand > 1:
+            tokens = np.asarray(tokens).reshape(b, n_cand, -1)
+            sum_lp = np.asarray(sum_lp).reshape(b, n_cand)
+            n_sampled = np.asarray(n_sampled).reshape(b, n_cand)
+            no_speech_prob = np.asarray(no_speech_prob).reshape(b, n_cand)[:, 0]
+            avg = sum_lp / np.maximum(n_sampled, 1)
+            best = np.argmax(avg, axis=1)
+            rows = np.arange(b)
+            tokens = tokens[rows, best]
+            sum_lp = sum_lp[rows, best]
+            n_sampled = n_sampled[rows, best]
 
     tokens = np.asarray(tokens)
     sum_lp = np.asarray(sum_lp)

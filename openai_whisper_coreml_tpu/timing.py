@@ -1,0 +1,291 @@
+"""Word-level timestamps via cross-attention alignment (DTW).
+
+Beyond anything in the reference (which emits no text at all): openai/whisper
+aligns decoder cross-attention against the audio frames with dynamic time
+warping to assign per-word start/end times. This module reimplements that:
+
+  * a teacher-forcing decoder pass that also returns cross-attention
+    probabilities for a set of alignment heads (collected inside the
+    layer scan, so only selected layers' weights are kept);
+  * alignment-head default: all heads of the upper half of decoder layers
+    (openai's documented fallback when a model ships no alignment-head mask);
+  * attention post-processing (per-token standardisation, median filter,
+    head averaging) and a NumPy DTW over the negative log attention matrix;
+  * word segmentation of token sequences and timestamp attachment.
+"""
+
+from __future__ import annotations
+
+import string
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import WhisperConfig
+from .models import decoder as dec_mod
+from .models.layers import layer_norm, linear, matmul_precision, split_heads
+from .tokenizer import Tokenizer
+
+TOKENS_PER_SECOND = 50  # audio positions per second (1500 / 30s)
+
+
+@dataclass
+class WordTiming:
+    word: str
+    tokens: List[int]
+    start: float
+    end: float
+    probability: float
+
+
+def default_alignment_heads(cfg: WhisperConfig) -> np.ndarray:
+    """(n_text_layer, n_text_head) bool — upper half of the decoder layers."""
+    mask = np.zeros((cfg.n_text_layer, cfg.n_text_head), dtype=bool)
+    mask[cfg.n_text_layer // 2 :] = True
+    return mask
+
+
+def _cross_attention_weights(params, cfg: WhisperConfig, tokens, audio_features):
+    """Teacher-forcing pass returning (logits, weights (L, B, H, T, S))."""
+    cross_kv = dec_mod.precompute_cross_kv(params, cfg, audio_features)
+    compute_dtype = params["decoder"]["token_embedding"].dtype
+    x = dec_mod.embed_tokens(params, cfg, tokens, 0, compute_dtype)
+    n_head = cfg.n_text_head
+
+    def body(x, xs):
+        layer_params, xk, xv = xs
+        t = x.shape[1]
+        mask = jnp.tril(jnp.ones((t, t), jnp.bool_))[None, None]
+        h = layer_norm(x, layer_params["attn_ln"])
+        p = layer_params["attn"]
+        from .models.layers import attention_core, merge_heads
+
+        q = split_heads(linear(h, p["q"]), n_head)
+        k = split_heads(linear(h, p["k"]), n_head)
+        v = split_heads(linear(h, p["v"]), n_head)
+        x = x + linear(merge_heads(attention_core(q, k, v, mask=mask)),
+                       p["out"])
+
+        # cross attention, keeping the probability matrix
+        cp = layer_params["cross_attn"]
+        h2 = layer_norm(x, layer_params["cross_attn_ln"])
+        q2 = split_heads(linear(h2, cp["q"]), n_head)
+        k2 = split_heads(xk, n_head)
+        v2 = split_heads(xv, n_head)
+        d = q2.shape[-1]
+        scale = d ** -0.25
+        logits2 = jnp.einsum("bqhd,bkhd->bhqk", (q2 * scale).astype(q2.dtype),
+                             (k2 * scale).astype(k2.dtype),
+                             preferred_element_type=jnp.float32,
+                             precision=matmul_precision(q2.dtype))
+        w = jax.nn.softmax(logits2.astype(jnp.float32), axis=-1)  # (B,H,T,S)
+        out2 = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v2.dtype), v2,
+                          preferred_element_type=jnp.float32,
+                          precision=matmul_precision(v2.dtype))
+        x = x + linear(merge_heads(out2.astype(x.dtype)), cp["out"])
+
+        from .models.layers import mlp
+
+        x = x + mlp(layer_norm(x, layer_params["mlp_ln"]), layer_params["mlp"])
+        return x, w
+
+    x, weights = jax.lax.scan(
+        body, x, (params["decoder"]["blocks"], cross_kv.k, cross_kv.v))
+    logits = dec_mod.final_logits(params, x)
+    return logits, weights
+
+
+_cross_attention_weights_jit = jax.jit(
+    _cross_attention_weights, static_argnames=("cfg",))
+
+
+def median_filter(x: np.ndarray, width: int) -> np.ndarray:
+    """Median filter along the last axis (reflect padding), pure NumPy."""
+    if width <= 1 or x.shape[-1] <= width:
+        return x
+    pad = width // 2
+    padded = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    windows = np.lib.stride_tricks.sliding_window_view(padded, width, axis=-1)
+    return np.median(windows, axis=-1)
+
+
+def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Monotonic alignment path minimising total cost.
+
+    cost: (n_tokens, n_frames). Returns (token_indices, frame_indices).
+    """
+    n, m = cost.shape
+    INF = np.inf
+    acc = np.full((n + 1, m + 1), INF)
+    acc[0, 0] = 0.0
+    trace = np.zeros((n + 1, m + 1), dtype=np.int8)
+    for i in range(1, n + 1):
+        row_cost = cost[i - 1]
+        for j in range(1, m + 1):
+            c0 = acc[i - 1, j - 1]  # match (diag)
+            c1 = acc[i - 1, j]  # token advance
+            c2 = acc[i, j - 1]  # frame advance
+            if c0 <= c1 and c0 <= c2:
+                acc[i, j] = c0 + row_cost[j - 1]
+                trace[i, j] = 0
+            elif c1 <= c2:
+                acc[i, j] = c1 + row_cost[j - 1]
+                trace[i, j] = 1
+            else:
+                acc[i, j] = c2 + row_cost[j - 1]
+                trace[i, j] = 2
+    i, j = n, m
+    ti, fi = [], []
+    while i > 0 and j > 0:
+        ti.append(i - 1)
+        fi.append(j - 1)
+        step = trace[i, j]
+        if step == 0:
+            i, j = i - 1, j - 1
+        elif step == 1:
+            i -= 1
+        else:
+            j -= 1
+    return np.array(ti[::-1]), np.array(fi[::-1])
+
+
+def split_tokens_on_spaces(tokenizer: Tokenizer, tokens: Sequence[int]
+                           ) -> Tuple[List[str], List[List[int]]]:
+    """Group text tokens into words (split on leading spaces/punctuation)."""
+    words: List[str] = []
+    word_tokens: List[List[int]] = []
+    for tok in tokens:
+        tok = int(tok)
+        if tok >= tokenizer.eot:
+            continue
+        piece = tokenizer.decode([tok])
+        starts_new = (piece.startswith(" ") or not words
+                      or (piece.strip() and piece.strip()[0] in
+                          string.punctuation and words[-1].strip()))
+        punct_only = piece.strip() and all(
+            c in string.punctuation for c in piece.strip())
+        if words and punct_only and not piece.startswith(" "):
+            # attach trailing punctuation to the previous word
+            words[-1] += piece
+            word_tokens[-1].append(tok)
+        elif starts_new:
+            words.append(piece)
+            word_tokens.append([tok])
+        else:
+            words[-1] += piece
+            word_tokens[-1].append(tok)
+    return words, word_tokens
+
+
+def find_word_alignment(
+    model,
+    tokenizer: Tokenizer,
+    text_tokens: Sequence[int],
+    audio_features,  # (1, S, n_state) or (S, n_state)
+    num_frames: int,  # mel frames of real (unpadded) audio in this window
+    *,
+    medfilt_width: int = 7,
+    alignment_heads: Optional[np.ndarray] = None,
+) -> List[WordTiming]:
+    """Align one window's text tokens to time; returns per-word timings."""
+    cfg = model.cfg
+    feats = jnp.asarray(audio_features)
+    if feats.ndim == 2:
+        feats = feats[None]
+
+    sot_seq = list(tokenizer.sot_sequence_including_notimestamps)
+    tokens = np.asarray(
+        [*sot_seq, *[int(t) for t in text_tokens], tokenizer.eot],
+        np.int32)[None]
+
+    logits, weights = _cross_attention_weights_jit(
+        model.params, cfg, jnp.asarray(tokens), feats)
+    # token probabilities for the text tokens
+    probs = np.asarray(jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1))
+    text_start = len(sot_seq)
+    text_probs = [
+        float(probs[text_start + i - 1, int(t)])
+        for i, t in enumerate(text_tokens)
+    ] if len(text_tokens) else []
+
+    w = np.asarray(weights[:, 0])  # (L, H, T, S)
+    if alignment_heads is None:
+        alignment_heads = default_alignment_heads(cfg)
+    sel = w[alignment_heads]  # (n_sel, T, S)
+
+    n_audio = max(1, num_frames // 2)
+    sel = sel[:, :, :n_audio]
+    # standardise per head+token, smooth over time, average heads
+    mean = sel.mean(axis=-1, keepdims=True)
+    std = sel.std(axis=-1, keepdims=True) + 1e-8
+    sel = (sel - mean) / std
+    sel = median_filter(sel, medfilt_width)
+    matrix = sel.mean(axis=0)  # (T, n_audio)
+
+    # align only the text region (drop sot prompt and final eot row)
+    matrix = matrix[text_start : text_start + len(text_tokens)]
+    if matrix.size == 0:
+        return []
+
+    ti, fi = dtw_path(-matrix)
+
+    # token boundaries: first frame where each token appears in the path
+    jumps = np.diff(ti, prepend=-1) > 0
+    token_start_frames = fi[jumps]
+    token_end_frames = np.append(token_start_frames[1:], fi[-1] + 1)
+
+    words, word_tokens = split_tokens_on_spaces(tokenizer, text_tokens)
+    timings: List[WordTiming] = []
+    cursor = 0
+    for word, toks in zip(words, word_tokens):
+        n_tok = len(toks)
+        start_f = token_start_frames[min(cursor, len(token_start_frames) - 1)]
+        end_f = token_end_frames[
+            min(cursor + n_tok - 1, len(token_end_frames) - 1)]
+        tok_probs = text_probs[cursor : cursor + n_tok]
+        timings.append(WordTiming(
+            word=word,
+            tokens=toks,
+            start=round(float(start_f) / TOKENS_PER_SECOND, 3),
+            end=round(float(end_f) / TOKENS_PER_SECOND, 3),
+            probability=float(np.mean(tok_probs)) if tok_probs else 0.0,
+        ))
+        cursor += n_tok
+    return timings
+
+
+def add_word_timestamps_to_segments(
+    model,
+    tokenizer: Tokenizer,
+    segments: List,  # transcribe.Segment for ONE window
+    audio_features,
+    num_frames: int,
+    time_offset: float,
+) -> None:
+    """Attach .words to each segment of a window (in place)."""
+    text_tokens = [t for seg in segments for t in seg.tokens
+                   if t < tokenizer.eot]
+    if not text_tokens:
+        return
+    timings = find_word_alignment(model, tokenizer, text_tokens,
+                                  audio_features, num_frames)
+    idx = 0
+    for seg in segments:
+        seg_n = sum(1 for t in seg.tokens if t < tokenizer.eot)
+        words = []
+        consumed = 0
+        for wt in timings[idx:]:
+            if consumed >= seg_n:
+                break
+            words.append({
+                "word": wt.word,
+                "start": round(time_offset + wt.start, 3),
+                "end": round(time_offset + wt.end, 3),
+                "probability": wt.probability,
+            })
+            consumed += len(wt.tokens)
+        idx += len(words)
+        seg.words = words

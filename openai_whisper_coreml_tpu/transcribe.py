@@ -40,9 +40,13 @@ class Segment:
     avg_logprob: float
     compression_ratio: float
     no_speech_prob: float
+    words: Optional[List[Dict[str, Any]]] = None
 
     def to_dict(self) -> Dict[str, Any]:
-        return dataclasses.asdict(self)
+        d = dataclasses.asdict(self)
+        if d["words"] is None:
+            del d["words"]
+        return d
 
 
 def transcribe(
@@ -58,6 +62,7 @@ def transcribe(
     condition_on_previous_text: bool = True,
     initial_prompt: Optional[str] = None,
     without_timestamps: bool = False,
+    word_timestamps: bool = False,
     verbose: Optional[bool] = None,
     **decode_options,
 ) -> Dict[str, Any]:
@@ -222,6 +227,14 @@ def transcribe(
                 duration = (int(ts[-1]) - ts_begin) * 0.02
             new_segment(time_offset, time_offset + duration, tokens)
             seek += segment_size
+
+        if word_timestamps and current_segments:
+            from .timing import add_word_timestamps_to_segments
+
+            feats = model.encode(segment_mel[None])
+            add_word_timestamps_to_segments(
+                model, tokenizer, current_segments, feats,
+                num_frames=segment_size, time_offset=time_offset)
 
         if verbose:
             for seg in current_segments:

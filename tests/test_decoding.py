@@ -145,3 +145,17 @@ def test_tokenizer_timestamp_decode():
     assert s.startswith("<|0.00|>")
     assert s.endswith("<|2.00|>")
     assert " hi" in s
+
+
+def test_best_of_sampling(model, mel):
+    r1 = decode(model, mel, DecodingOptions(
+        language="en", sample_len=8, temperature=0.9, best_of=4,
+        without_timestamps=True), seed=1)
+    assert len(r1) == 2
+    # best_of must not yield a worse average logprob than a single sample
+    # with the same seed (it includes more candidates)
+    r0 = decode(model, mel, DecodingOptions(
+        language="en", sample_len=8, temperature=0.9,
+        without_timestamps=True), seed=1)
+    for a, b in zip(r1, r0):
+        assert a.avg_logprob >= b.avg_logprob - 1e-5

@@ -1,0 +1,100 @@
+"""Word-timestamp (DTW alignment) tests."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from openai_whisper_coreml_tpu.config import tiny_test_config
+from openai_whisper_coreml_tpu.models.whisper import WhisperModel
+from openai_whisper_coreml_tpu.params import init_params
+from openai_whisper_coreml_tpu.timing import (
+    default_alignment_heads,
+    dtw_path,
+    find_word_alignment,
+    median_filter,
+    split_tokens_on_spaces,
+)
+from openai_whisper_coreml_tpu.tokenizer import get_tokenizer
+
+
+def test_median_filter():
+    x = np.array([[1.0, 100.0, 1.0, 1.0, 1.0, 100.0, 1.0]])
+    y = median_filter(x, 3)
+    assert y.shape == x.shape
+    assert y[0, 1] == 1.0  # spike removed
+
+
+def test_dtw_identity():
+    # diagonal-dominant cost must give a near-diagonal path
+    n = 8
+    cost = np.ones((n, n)) - np.eye(n)
+    ti, fi = dtw_path(cost)
+    assert ti[0] == 0 and fi[0] == 0
+    assert ti[-1] == n - 1 and fi[-1] == n - 1
+    # path visits every token in order
+    assert sorted(set(ti)) == list(range(n))
+    assert (np.diff(ti) >= 0).all() and (np.diff(fi) >= 0).all()
+
+
+def test_dtw_monotonic_rectangular():
+    rng = np.random.default_rng(0)
+    cost = rng.random((5, 40))
+    ti, fi = dtw_path(cost)
+    assert (np.diff(ti) >= 0).all() and (np.diff(fi) >= 0).all()
+    assert ti[-1] == 4 and fi[-1] == 39
+
+
+def test_default_alignment_heads():
+    cfg = tiny_test_config(n_layer=4, n_head=2)
+    mask = default_alignment_heads(cfg)
+    assert mask.shape == (4, 2)
+    assert not mask[:2].any() and mask[2:].all()
+
+
+def test_split_tokens_on_spaces():
+    cfg = tiny_test_config()
+    tok = get_tokenizer(cfg)
+    ids = tok.encode(" hello world, again")
+    words, word_tokens = split_tokens_on_spaces(tok, ids)
+    joined = "".join(words)
+    assert joined == " hello world, again"
+    assert sum(len(w) for w in word_tokens) == len(ids)
+    assert words[0].strip() == "hello"
+
+
+def test_find_word_alignment_end_to_end():
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2, n_audio_ctx=64,
+                           n_text_ctx=96)
+    model = WhisperModel(cfg=cfg, params=init_params(cfg, jax.random.PRNGKey(0)))
+    tok = get_tokenizer(cfg, language="en")
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((1, 64, 64)).astype(np.float32)
+    text_tokens = tok.encode(" alpha beta gamma")
+
+    timings = find_word_alignment(model, tok, text_tokens, feats,
+                                  num_frames=128)
+    assert len(timings) == 3
+    for w in timings:
+        assert 0.0 <= w.start <= w.end <= 128 / 100 + 1e-6
+        assert 0.0 <= w.probability <= 1.0
+    # monotone word order
+    starts = [w.start for w in timings]
+    assert starts == sorted(starts)
+
+
+def test_transcribe_word_timestamps():
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2)
+    model = WhisperModel(cfg=cfg, params=init_params(cfg, jax.random.PRNGKey(0)))
+    rng = np.random.default_rng(2)
+    audio = (0.1 * rng.standard_normal(16000 * 3)).astype(np.float32)
+    result = model.transcribe(
+        audio, language="en", temperature=0.0, sample_len=8,
+        word_timestamps=True,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None)
+    assert result["segments"]
+    for seg in result["segments"]:
+        assert "words" in seg
+        for w in seg["words"]:
+            assert w["start"] <= w["end"]
