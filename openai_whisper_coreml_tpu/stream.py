@@ -1,0 +1,168 @@
+"""Streaming transcription: incremental decoding with LocalAgreement.
+
+The reference records a fixed 10 s clip, then processes it offline
+(/root/reference/Whisper/Whisper/ContentView.swift:40-68). Real-time serving
+needs incremental output: this module re-decodes a sliding window as audio
+arrives and CONFIRMS the longest common prefix of the last `agreement`
+hypotheses (the LocalAgreement-n policy from the streaming-Whisper
+literature), so emitted text never retracts.
+
+Buffer policy: when the unconfirmed window approaches 30 s, the oldest
+segment boundary (timestamp token) inside the confirmed region becomes a cut
+point: audio before it is dropped and its text becomes the conditioning
+prompt. All decoding reuses the batch-of-one jitted graphs from decoding.py
+(no new compilation beyond the first call).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from .audio import pad_or_trim
+from .config import N_SAMPLES, SAMPLE_RATE
+from .decoding import DecodingOptions, decode
+
+
+@dataclasses.dataclass
+class StreamEvent:
+    """A piece of newly-confirmed transcript."""
+
+    text: str
+    tokens: List[int]
+    is_final: bool = False
+
+
+class StreamingTranscriber:
+    """Feed audio chunks; receive confirmed transcript increments.
+
+    Usage:
+        st = StreamingTranscriber(model, language="en")
+        for chunk in audio_chunks:          # arbitrary-size float32 @16k
+            for ev in st.feed(chunk):
+                print(ev.text, end="", flush=True)
+        for ev in st.finish():
+            print(ev.text)
+    """
+
+    def __init__(
+        self,
+        model,
+        *,
+        language: Optional[str] = "en",
+        agreement: int = 2,
+        decode_interval: float = 1.0,
+        sample_len: Optional[int] = None,
+        temperature: float = 0.0,
+        beam_size: Optional[int] = None,
+    ) -> None:
+        if agreement < 1:
+            raise ValueError("agreement must be >= 1")
+        self.model = model
+        self.language = language
+        self.agreement = agreement
+        self.decode_interval = decode_interval
+        self.opts = dict(
+            language=language,
+            temperature=temperature,
+            sample_len=sample_len,
+            beam_size=beam_size,
+            without_timestamps=True,
+        )
+        self._buffer = np.zeros(0, np.float32)
+        self._since_decode = 0  # samples fed since last decode
+        self._confirmed: List[int] = []  # confirmed tokens for current buffer
+        self._hyps: List[List[int]] = []  # recent hypotheses
+        self._prompt: List[int] = []  # committed text (conditioning)
+        self._tokenizer = None
+
+    # -- internals ----------------------------------------------------------
+
+    def _tok(self):
+        if self._tokenizer is None:
+            from .tokenizer import get_tokenizer
+
+            self._tokenizer = get_tokenizer(
+                self.model.cfg,
+                language=self.language if self.model.cfg.multilingual else None)
+        return self._tokenizer
+
+    def _decode_window(self) -> List[int]:
+        mel = self.model.log_mel(pad_or_trim(self._buffer))
+        res = decode(
+            self.model, np.asarray(mel)[None],
+            DecodingOptions(prompt=self._prompt or None, **self.opts))[0]
+        return res.tokens
+
+    @staticmethod
+    def _common_prefix(seqs: List[List[int]]) -> List[int]:
+        if not seqs:
+            return []
+        out = []
+        for vals in zip(*seqs):
+            if all(v == vals[0] for v in vals):
+                out.append(vals[0])
+            else:
+                break
+        return out
+
+    def _confirm(self) -> List[int]:
+        """Run one decode, update hypothesis history, return newly-confirmed
+        tokens."""
+        hyp = self._decode_window()
+        self._hyps.append(hyp)
+        self._hyps = self._hyps[-self.agreement :]
+        if len(self._hyps) < self.agreement:
+            return []
+        prefix = self._common_prefix(self._hyps)
+        if len(prefix) <= len(self._confirmed):
+            return []
+        new = prefix[len(self._confirmed) :]
+        self._confirmed = prefix
+        return new
+
+    def _maybe_trim(self) -> None:
+        """Keep the rolling buffer under 30 s by committing confirmed text."""
+        if len(self._buffer) <= N_SAMPLES - SAMPLE_RATE:  # 1 s headroom
+            return
+        if not self._confirmed:
+            # nothing confirmed: hard-trim the oldest 10 s (content there is
+            # unconfirmable anyway once it leaves the window)
+            drop = 10 * SAMPLE_RATE
+            self._buffer = self._buffer[drop:]
+            self._hyps.clear()
+            return
+        # commit everything confirmed, keep the last ~10 s of audio as
+        # context for the still-unconfirmed tail
+        self._prompt = (self._prompt + self._confirmed)[-(self.model.cfg.n_text_ctx // 2 - 1):]
+        keep = 10 * SAMPLE_RATE
+        self._buffer = self._buffer[-keep:]
+        self._confirmed = []
+        self._hyps.clear()
+
+    # -- public API ---------------------------------------------------------
+
+    def feed(self, samples: np.ndarray) -> List[StreamEvent]:
+        """Append audio; returns newly confirmed transcript events."""
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._buffer = np.concatenate([self._buffer, samples])
+        self._since_decode += len(samples)
+
+        events: List[StreamEvent] = []
+        if self._since_decode >= self.decode_interval * SAMPLE_RATE:
+            self._since_decode = 0
+            new = self._confirm()
+            if new:
+                events.append(StreamEvent(self._tok().decode(new), new))
+            self._maybe_trim()
+        return events
+
+    def finish(self) -> List[StreamEvent]:
+        """Flush: decode once more and emit everything unconfirmed."""
+        hyp = self._decode_window() if len(self._buffer) else []
+        new = hyp[len(self._confirmed) :]
+        self._confirmed = hyp
+        ev = StreamEvent(self._tok().decode(new), new, is_final=True)
+        return [ev] if new else [StreamEvent("", [], is_final=True)]

