@@ -13,6 +13,39 @@ from .config import CONFIGS, WhisperConfig, get_config  # noqa: F401
 from .audio import load_audio, log_mel_spectrogram, pad_or_trim  # noqa: F401
 
 
+def __getattr__(name):
+    # lazy heavyweight imports so `import openai_whisper_coreml_tpu` stays fast
+    if name == "DecodingOptions":
+        from .decoding import DecodingOptions
+
+        return DecodingOptions
+    if name == "DecodingResult":
+        from .decoding import DecodingResult
+
+        return DecodingResult
+    if name == "decode":
+        from .decoding import decode
+
+        return decode
+    if name == "detect_language":
+        from .decoding import detect_language
+
+        return detect_language
+    if name == "transcribe":
+        from .transcribe import transcribe
+
+        return transcribe
+    if name == "get_tokenizer":
+        from .tokenizer import get_tokenizer
+
+        return get_tokenizer
+    if name == "StreamingTranscriber":
+        from .stream import StreamingTranscriber
+
+        return StreamingTranscriber
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 def load_model(name: str, *, dtype=None, checkpoint=None, seed: int = 0):
     """Build a Whisper model of the given size; see models.whisper."""
     from .models.whisper import load_model as _load

@@ -39,6 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--patience", type=float, default=None)
     p.add_argument("--length-penalty", type=float, default=None)
     p.add_argument("--without-timestamps", action="store_true")
+    p.add_argument("--word-timestamps", action="store_true",
+                   help="attach per-word timings via cross-attention DTW")
+    p.add_argument("--stream", action="store_true",
+                   help="simulate real-time streaming over the file, "
+                        "printing confirmed text incrementally")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler device trace here")
     p.add_argument("--no-condition-on-previous-text", action="store_true")
     p.add_argument("--initial-prompt", default=None)
     p.add_argument("--compression-ratio-threshold", type=float, default=2.4)
@@ -86,11 +93,29 @@ def main(argv: Optional[List[str]] = None) -> int:
             args.temperature, 1.0 + 1e-6,
             args.temperature_increment_on_fallback))
 
+    from .utils.profiling import device_trace
+
     status = 0
     for path in args.audio:
         t0 = time.time()
         audio = load_audio(path)
         duration = len(audio) / 16_000
+
+        if args.stream:
+            from .stream import StreamingTranscriber
+
+            st = StreamingTranscriber(model, language=args.language or "en",
+                                      beam_size=args.beam_size)
+            chunk = 16_000  # 1 s
+            for off in range(0, len(audio), chunk):
+                for ev in st.feed(audio[off : off + chunk]):
+                    print(ev.text, end="", flush=True)
+            for ev in st.finish():
+                print(ev.text, flush=True)
+            elapsed = time.time() - t0
+            print(f"{path}: streamed {duration:.1f}s in {elapsed:.1f}s",
+                  file=sys.stderr)
+            continue
 
         if args.task == "lang-id":
             # capability parity with the reference app (Whisper.swift:33-40)
@@ -104,22 +129,24 @@ def main(argv: Optional[List[str]] = None) -> int:
                   + "  ".join(f"{c}={p:.3f}" for c, p in top))
             continue
 
-        result = model.transcribe(
-            audio,
-            task=args.task,
-            language=args.language,
-            temperature=temperature,
-            compression_ratio_threshold=args.compression_ratio_threshold,
-            logprob_threshold=args.logprob_threshold,
-            no_speech_threshold=args.no_speech_threshold,
-            condition_on_previous_text=not args.no_condition_on_previous_text,
-            initial_prompt=args.initial_prompt,
-            without_timestamps=args.without_timestamps,
-            verbose=args.verbose,
-            beam_size=args.beam_size,
-            patience=args.patience,
-            length_penalty=args.length_penalty,
-        )
+        with device_trace(args.profile_dir):
+            result = model.transcribe(
+                audio,
+                task=args.task,
+                language=args.language,
+                temperature=temperature,
+                compression_ratio_threshold=args.compression_ratio_threshold,
+                logprob_threshold=args.logprob_threshold,
+                no_speech_threshold=args.no_speech_threshold,
+                condition_on_previous_text=not args.no_condition_on_previous_text,
+                initial_prompt=args.initial_prompt,
+                without_timestamps=args.without_timestamps,
+                word_timestamps=args.word_timestamps,
+                verbose=args.verbose,
+                beam_size=args.beam_size,
+                patience=args.patience,
+                length_penalty=args.length_penalty,
+            )
         elapsed = time.time() - t0
         out = write_result(result, path, args.output_dir, args.output_format)
         rtfx = duration / elapsed if elapsed > 0 else float("inf")
