@@ -105,8 +105,8 @@ def flash_attention(
     v: jax.Array,  # (B, Tk, H, D)
     *,
     causal: bool = False,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Flash attention; returns (B, Tq, H, D) in q.dtype.
@@ -120,6 +120,15 @@ def flash_attention(
     b, tq, h, d = q.shape
     tk = k.shape[1]
     sm_scale = d ** -0.5
+
+    # Whisper head_dim is 64, so the QK^T contraction only half-fills the MXU;
+    # large tiles amortise that. At encoder geometry (1500 -> 1536) the whole
+    # KV fits one block (online softmax degenerates to one pass), which
+    # benchmarked ~4x faster than 128x128 tiling on v5e.
+    if block_q is None:
+        block_q = min(512, _round_up(tq, 128))
+    if block_k is None:
+        block_k = min(1536, _round_up(tk, 128))
 
     tq_p = _round_up(tq, block_q)
     tk_p = _round_up(tk, block_k)

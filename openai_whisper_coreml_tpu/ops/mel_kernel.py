@@ -48,34 +48,36 @@ def _windowed_dft_submatrices() -> tuple[np.ndarray, np.ndarray]:
     return cw, sw
 
 
-def _mel_kernel(e_ref, o_ref, cw_ref, sw_ref, fb_ref, out_ref, *, t_frames):
-    t = t_frames
+def _mel_kernel(e_ref, o_ref, cw_ref, sw_ref, fb_ref, out_ref, *, block_t):
+    """One frame-block of one sample. E/O stay VMEM-resident across the
+    frame-block grid dimension (their BlockSpec ignores it); per-block
+    intermediates are (block_t, 201/n_mels) so VMEM stays bounded."""
+    t0 = pl.program_id(1) * block_t
 
     # fidelity gate is 1e-3 vs fp64: fp32 operands must not be truncated to
     # bf16 on the MXU (frontend FLOPs are negligible, precision is not)
     hi = jax.lax.Precision.HIGHEST
 
     def stft_part(mat_ref):
-        acc = jnp.zeros((t, mat_ref.shape[-1]), jnp.float32)
+        acc = jnp.zeros((block_t, mat_ref.shape[-1]), jnp.float32)
         # frame t = chunks[2t], [2t+1], [2t+2], [2t+3], [2t+4]
         #         = E[t], O[t], E[t+1], O[t+1], E[t+2]
         for j, (src, off) in enumerate(
                 ((e_ref, 0), (o_ref, 0), (e_ref, 1), (o_ref, 1), (e_ref, 2))):
             acc = acc + jax.lax.dot(
-                src[0, off : off + t, :], mat_ref[j],
+                src[0, pl.ds(t0 + off, block_t), :], mat_ref[j],
                 precision=hi, preferred_element_type=jnp.float32)
         return acc
 
-    re = stft_part(cw_ref)  # (T, 201)
+    re = stft_part(cw_ref)  # (block_t, 201)
     im = stft_part(sw_ref)
     power = re * re + im * im
 
     mel = jax.lax.dot(power, fb_ref[...], precision=hi,
-                      preferred_element_type=jnp.float32)  # (T, n_mels)
-    log_spec = jnp.log(jnp.maximum(mel, 1e-10)) / np.log(10.0).astype(np.float32)
-    log_max = jnp.max(log_spec)
-    log_spec = jnp.maximum(log_spec, log_max - 8.0)
-    out_ref[0] = (log_spec + 4.0) / 4.0
+                      preferred_element_type=jnp.float32)  # (block_t, n_mels)
+    # unclamped log10; the per-sample global-max compression is a trivial
+    # XLA epilogue (it needs all frames, which one block never has)
+    out_ref[0] = jnp.log(jnp.maximum(mel, 1e-10)) * np.float32(1.0 / np.log(10.0))
 
 
 @functools.partial(jax.jit, static_argnames=("n_mels", "interpret"))
@@ -106,25 +108,36 @@ def log_mel_pallas(
     cw, sw = _windowed_dft_submatrices()
     fb = mel_filters(n_mels).T  # (201, n_mels)
 
-    kernel = functools.partial(_mel_kernel, t_frames=t_frames)
+    # frame-block tiling: bounded VMEM regardless of audio length
+    block_t = min(600, t_frames)
+    while t_frames % block_t:
+        block_t //= 2
+    n_blocks = t_frames // block_t
+
+    kernel = functools.partial(_mel_kernel, block_t=block_t)
     rows = e.shape[1]
 
-    out = pl.pallas_call(
+    log_spec = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, t_frames, n_mels), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(b,),
+            grid=(b, n_blocks),
             in_specs=[
-                pl.BlockSpec((1, rows, CHUNK), lambda bi: (bi, 0, 0)),
-                pl.BlockSpec((1, rows, CHUNK), lambda bi: (bi, 0, 0)),
+                pl.BlockSpec((1, rows, CHUNK), lambda bi, ti: (bi, 0, 0)),
+                pl.BlockSpec((1, rows, CHUNK), lambda bi, ti: (bi, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # cw (5, 80, 201)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # sw
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # filterbank
             ],
-            out_specs=pl.BlockSpec((1, t_frames, n_mels), lambda bi: (bi, 0, 0)),
+            out_specs=pl.BlockSpec((1, block_t, n_mels),
+                                   lambda bi, ti: (bi, ti, 0)),
         ),
         interpret=interpret,
     )(e, o, jnp.asarray(cw), jnp.asarray(sw), jnp.asarray(fb))
 
-    return jnp.swapaxes(out, 1, 2)  # (B, n_mels, T)
+    # per-sample dynamic-range compression (lib.rs:82-99 semantics)
+    log_max = jnp.max(log_spec, axis=(1, 2), keepdims=True)
+    log_spec = jnp.maximum(log_spec, log_max - 8.0)
+    log_spec = (log_spec + 4.0) / 4.0
+    return jnp.swapaxes(log_spec, 1, 2)  # (B, n_mels, T)
