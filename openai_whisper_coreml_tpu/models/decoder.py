@@ -170,22 +170,58 @@ def decode_step(
     pos_offset,  # python int or traced scalar
     valid_from=0,  # slots [0, valid_from) are masked left-padding
 ) -> Tuple[Array, KVCache]:
-    """Incremental decode: returns (logits (B, T, vocab) fp32, updated cache)."""
+    """Incremental decode: returns (logits (B, T, vocab) fp32, updated cache).
+
+    Layers iterate via fori_loop with the FULL stacked cache as loop carry and
+    a tiny (1, B, T, n_state) dynamic_update_slice per layer. A lax.scan
+    formulation (cache as xs/ys) restacks both cache tensors every token —
+    ~2.3 GB of pure copies per decode step at large-v3 batch 8, several times
+    the useful HBM traffic. The carry formulation updates in place.
+    """
     compute_dtype = params["decoder"]["token_embedding"].dtype
     x = embed_tokens(params, cfg, tokens, pos_offset, compute_dtype, valid_from)
+    blocks = params["decoder"]["blocks"]
+    n_head = cfg.n_text_head
 
-    def body(carry, xs):
-        layer_params, ck, cv, xk, xv = xs
-        x, = carry
-        x, ck, cv = decoder_block_cached(
-            x, layer_params, xk, xv, ck, cv, cfg.n_text_head, pos_offset,
-            valid_from)
-        return (x,), (ck, cv)
+    b, t, _ = x.shape
+    c = cache.k.shape[2]
+    q_pos = pos_offset + jnp.arange(t)[:, None]  # (T, 1)
+    k_pos = jnp.arange(c)[None, :]  # (1, C)
+    mask = ((k_pos <= q_pos) & (k_pos >= valid_from))[None, None]
 
-    (x,), (new_k, new_v) = jax.lax.scan(
-        body, (x,),
-        (params["decoder"]["blocks"], cache.k, cache.v, cross_kv.k, cross_kv.v),
-    )
+    def take(tree, l):
+        return jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
+            tree)
+
+    def body(l, carry):
+        x, ck_all, cv_all = carry
+        lp = take(blocks, l)
+        xk = jax.lax.dynamic_index_in_dim(cross_kv.k, l, 0, keepdims=False)
+        xv = jax.lax.dynamic_index_in_dim(cross_kv.v, l, 0, keepdims=False)
+
+        p = lp["attn"]
+        h = layer_norm(x, lp["attn_ln"])
+        q = split_heads(linear(h, p["q"]), n_head)
+        k_new = linear(h, p["k"]).astype(ck_all.dtype)  # (B, T, n_state)
+        v_new = linear(h, p["v"]).astype(cv_all.dtype)
+        ck_all = jax.lax.dynamic_update_slice(
+            ck_all, k_new[None], (l, 0, pos_offset, 0))
+        cv_all = jax.lax.dynamic_update_slice(
+            cv_all, v_new[None], (l, 0, pos_offset, 0))
+        ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
+        attn = attention_core(q, split_heads(ck, n_head),
+                              split_heads(cv, n_head), mask=mask)
+        x = x + linear(merge_heads(attn), p["out"])
+
+        x = x + cross_attention(layer_norm(x, lp["cross_attn_ln"]),
+                                lp["cross_attn"], n_head, xk, xv)
+        x = x + mlp(layer_norm(x, lp["mlp_ln"]), lp["mlp"])
+        return x, ck_all, cv_all
+
+    x, new_k, new_v = jax.lax.fori_loop(
+        0, cfg.n_text_layer, body, (x, cache.k, cache.v))
     return final_logits(params, x), KVCache(new_k, new_v)
 
 
