@@ -43,8 +43,15 @@ def layer_norm(x: Array, p, eps: float = 1e-5) -> Array:
 
 
 def linear(x: Array, p) -> Array:
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32,
-                precision=matmul_precision(x.dtype))
+    if "w_q" in p:
+        # weights-only int8 (see quantize.py): MXU reads 1 byte/weight; the
+        # per-output-channel scale is applied after the contraction
+        y = jnp.dot(x, p["w_q"], preferred_element_type=jnp.float32)
+        y = y * p["scale"]
+    else:
+        y = jnp.dot(x, p["w"].astype(x.dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=matmul_precision(x.dtype))
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype)

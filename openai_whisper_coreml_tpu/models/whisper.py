@@ -98,12 +98,14 @@ def load_model(
     checkpoint: Optional[str] = None,
     seed: int = 0,
     flash: Optional[bool] = None,
+    quantize: Optional[str] = None,
 ) -> WhisperModel:
     """Build a WhisperModel.
 
     checkpoint: path to a converted checkpoint (see utils.checkpoint /
     tools/convert.py) — .safetensors or orbax dir. Without one, params are
     randomly initialised (tests, benchmarks, training-from-scratch).
+    quantize: "int8" for weights-only int8 serving (see quantize.py).
     """
     cfg = get_config(name)
     on_cpu = jax.default_backend() == "cpu"
@@ -119,4 +121,10 @@ def load_model(
         params = load_params(checkpoint, cfg=cfg, dtype=dtype)
     else:
         params = init_params(cfg, jax.random.PRNGKey(seed), dtype=dtype)
+    if quantize is not None:
+        if quantize != "int8":
+            raise ValueError(f"unsupported quantization {quantize!r}")
+        from ..quantize import quantize_params  # type: ignore[import]
+
+        params = quantize_params(params)
     return WhisperModel(cfg=cfg, params=params, flash=flash)

@@ -1,0 +1,80 @@
+"""Weights-only int8 quantization tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openai_whisper_coreml_tpu.config import tiny_test_config
+from openai_whisper_coreml_tpu.models import decoder as dec_mod
+from openai_whisper_coreml_tpu.models import encoder as enc_mod
+from openai_whisper_coreml_tpu.models.layers import linear
+from openai_whisper_coreml_tpu.params import init_params
+from openai_whisper_coreml_tpu.quantize import (
+    quantize_linear,
+    quantize_params,
+    quantized_fraction,
+)
+
+
+def test_quantize_linear_roundtrip(rng):
+    w = jnp.asarray(rng.standard_normal((256, 512)).astype(np.float32) * 0.05)
+    q = quantize_linear(w)
+    assert q["w_q"].dtype == jnp.int8
+    deq = q["w_q"].astype(np.float32) * np.asarray(q["scale"])
+    rel = np.abs(deq - np.asarray(w)).max() / np.abs(np.asarray(w)).max()
+    assert rel < 0.01  # <=0.5 LSB of 127 per channel
+
+
+def test_quantized_linear_matches(rng):
+    w = jnp.asarray(rng.standard_normal((256, 512)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.standard_normal(512).astype(np.float32) * 0.01)
+    x = jnp.asarray(rng.standard_normal((4, 256)).astype(np.float32))
+    y_fp = linear(x, {"w": w, "b": b})
+    qp = quantize_linear(w)
+    qp["b"] = b
+    y_q = linear(x, qp)
+    err = np.abs(np.asarray(y_fp) - np.asarray(y_q))
+    assert err.max() < 0.05 * np.abs(np.asarray(y_fp)).max() + 1e-3
+
+
+def test_quantized_model_forward(rng):
+    cfg = tiny_test_config(n_state=256, n_head=4, n_layer=2, n_audio_ctx=64,
+                           n_text_ctx=64)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_params(params)
+    # tiny test config is embedding-dominated; real sizes quantize >60% of
+    # bytes (the embedding stays float as a gather table)
+    assert quantized_fraction(qparams) > 0.05
+
+    mel = rng.standard_normal((1, cfg.n_mels, 128)).astype(np.float32)
+    tokens = rng.integers(0, cfg.n_vocab, (1, 5)).astype(np.int32)
+
+    feats = enc_mod.encode(params, cfg, mel)
+    feats_q = enc_mod.encode(qparams, cfg, mel)
+    # activations should track closely (int8 weight noise only)
+    rel = (np.abs(np.asarray(feats - feats_q)).mean()
+           / (np.abs(np.asarray(feats)).mean() + 1e-9))
+    assert rel < 0.05
+
+    logits = dec_mod.decoder_forward(params, cfg, tokens, audio_features=feats)
+    logits_q = dec_mod.decoder_forward(qparams, cfg, tokens,
+                                       audio_features=feats_q)
+    # argmax (the decode decision) should agree for most positions
+    agree = (np.argmax(np.asarray(logits), -1)
+             == np.argmax(np.asarray(logits_q), -1)).mean()
+    assert agree >= 0.6
+
+
+def test_quantized_decode_runs(rng):
+    from openai_whisper_coreml_tpu.decoding import DecodingOptions, decode
+    from openai_whisper_coreml_tpu.models.whisper import WhisperModel
+
+    cfg = tiny_test_config(n_state=256, n_head=4, n_layer=2, n_audio_ctx=64,
+                           n_text_ctx=64)
+    params = quantize_params(init_params(cfg, jax.random.PRNGKey(0)))
+    model = WhisperModel(cfg=cfg, params=params)
+    mel = rng.standard_normal((1, cfg.n_mels, 128)).astype(np.float32)
+    res = decode(model, mel, DecodingOptions(language="en", sample_len=6))
+    assert res[0].tokens
