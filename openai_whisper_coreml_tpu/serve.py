@@ -182,10 +182,10 @@ def _segments_from_result(cfg, r: DecodingResult, time_offset: float,
     tokens = np.asarray(r.tokens, dtype=np.int64)
 
     def seg(start, end, toks):
-        text_toks = [t for t in toks if t < tok.eot]
+        text_toks = [int(t) for t in toks if t < tok.eot]
         return Segment(
             id=0, seek=seek, start=start, end=end,
-            text=tok.decode(text_toks), tokens=list(toks),
+            text=tok.decode(text_toks), tokens=[int(t) for t in toks],
             temperature=r.temperature, avg_logprob=r.avg_logprob,
             compression_ratio=r.compression_ratio,
             no_speech_prob=r.no_speech_prob)

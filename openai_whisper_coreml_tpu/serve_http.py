@@ -1,0 +1,251 @@
+"""Minimal HTTP serving front-end (stdlib-only).
+
+POST /transcribe   body: WAV bytes (or float32 PCM with X-Raw-Audio: 1)
+                   query: ?task=transcribe&language=en&beam_size=5
+POST /detect       body: WAV bytes -> {"language": ..., "probs": {...}}
+GET  /healthz      -> {"ok": true, "model": ..., "backend": ...}
+
+Requests are micro-batched: a background worker drains the queue every
+`batch_window_ms` and decodes up to `batch_size` 30s windows together through
+serve.transcribe_batch (one compiled graph). This is the serving shell around
+the batch-first core — swap for a production gateway as needed.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import urllib.parse
+import wave
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+@dataclass
+class _Job:
+    audio: np.ndarray
+    options: Dict[str, Any]
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[Dict[str, Any]] = None
+    error: Optional[str] = None
+
+
+class WhisperHTTPServer:
+    def __init__(self, model, host: str = "127.0.0.1", port: int = 8090,
+                 *, batch_size: int = 8, batch_window_ms: int = 50):
+        self.model = model
+        self.batch_size = batch_size
+        self.batch_window_ms = batch_window_ms
+        self._queue: "queue.Queue[_Job]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._drain, daemon=True)
+
+        handler = self._make_handler()
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_address[1]
+
+    # -- batching worker ----------------------------------------------------
+
+    def _drain(self) -> None:
+        from .serve import ServeOptions, transcribe_batch
+
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            jobs = [first]
+            deadline = self.batch_window_ms / 1000.0
+            try:
+                while len(jobs) < self.batch_size:
+                    jobs.append(self._queue.get(timeout=deadline))
+            except queue.Empty:
+                pass
+
+            # group by identical decode options (one batch per option set)
+            by_opts: Dict[str, list] = {}
+            for j in jobs:
+                by_opts.setdefault(json.dumps(j.options, sort_keys=True),
+                                   []).append(j)
+            for opts_key, group in by_opts.items():
+                opts = json.loads(opts_key)
+                try:
+                    results = transcribe_batch(
+                        self.model, [j.audio for j in group],
+                        ServeOptions(batch_size=self.batch_size, **opts))
+                    for j, r in zip(group, results):
+                        j.result = r
+                except Exception as e:  # surface per-request, keep serving
+                    for j in group:
+                        j.error = f"{type(e).__name__}: {e}"
+                for j in group:
+                    j.done.set()
+
+    # -- request handling ---------------------------------------------------
+
+    def submit(self, audio: np.ndarray, options: Dict[str, Any],
+               timeout: float = 300.0) -> _Job:
+        job = _Job(audio=audio, options=options)
+        self._queue.put(job)
+        if not job.done.wait(timeout):
+            job.error = "timeout"
+        return job
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _json(self, code: int, obj) -> None:
+                def np_default(o):
+                    if isinstance(o, (np.integer,)):
+                        return int(o)
+                    if isinstance(o, (np.floating,)):
+                        return float(o)
+                    raise TypeError(
+                        f"not JSON serializable: {type(o).__name__}")
+
+                body = json.dumps(obj, default=np_default).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path.startswith("/healthz"):
+                    import jax
+
+                    self._json(200, {"ok": True,
+                                     "model": server.model.cfg.name,
+                                     "backend": jax.default_backend()})
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def _read_audio(self) -> np.ndarray:
+                n = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(n)
+                if self.headers.get("X-Raw-Audio") == "1":
+                    return np.frombuffer(raw, dtype=np.float32)
+                with wave.open(io.BytesIO(raw), "rb") as wf:
+                    rate = wf.getframerate()
+                    ch = wf.getnchannels()
+                    data = np.frombuffer(
+                        wf.readframes(wf.getnframes()),
+                        dtype="<i2").astype(np.float32) / 32768.0
+                if ch > 1:
+                    data = data.reshape(-1, ch).mean(axis=1)
+                if rate != 16_000:
+                    from .utils.audio_io import resample
+
+                    data = resample(data, rate, 16_000)
+                return data
+
+            def do_POST(self):
+                parsed = urllib.parse.urlparse(self.path)
+                qs = {k: v[0] for k, v in
+                      urllib.parse.parse_qs(parsed.query).items()}
+                if parsed.path not in ("/transcribe", "/detect"):
+                    self._json(404, {"error": "not found"})
+                    return
+                try:
+                    audio = self._read_audio()
+                except Exception as e:
+                    self._json(400, {"error": f"bad audio: {e}"})
+                    return
+
+                if parsed.path == "/detect":
+                    try:
+                        from .audio import pad_or_trim
+                        from .decoding import detect_language
+
+                        mel = server.model.log_mel(pad_or_trim(audio))
+                        codes, probs = detect_language(
+                            server.model, np.asarray(mel)[None])
+                        top = dict(sorted(probs[0].items(),
+                                          key=lambda kv: -kv[1])[:5])
+                        self._json(200, {"language": codes[0], "probs": top})
+                    except Exception as e:
+                        self._json(500, {"error": str(e)})
+                    return
+
+                options: Dict[str, Any] = {}
+                if "task" in qs:
+                    options["task"] = qs["task"]
+                if "language" in qs:
+                    options["language"] = qs["language"]
+                if "beam_size" in qs:
+                    options["beam_size"] = int(qs["beam_size"])
+                if "sample_len" in qs:
+                    options["sample_len"] = int(qs["sample_len"])
+                if qs.get("without_timestamps") in ("1", "true"):
+                    options["without_timestamps"] = True
+                if "no_speech_threshold" in qs:
+                    v = qs["no_speech_threshold"]
+                    options["no_speech_threshold"] = (None if v == "none"
+                                                      else float(v))
+                if "logprob_threshold" in qs:
+                    v = qs["logprob_threshold"]
+                    options["logprob_threshold"] = (None if v == "none"
+                                                    else float(v))
+                if "compression_ratio_threshold" in qs:
+                    v = qs["compression_ratio_threshold"]
+                    options["compression_ratio_threshold"] = (
+                        None if v == "none" else float(v))
+                if "temperature" in qs:
+                    options["temperature"] = tuple(
+                        float(t) for t in qs["temperature"].split(","))
+
+                job = server.submit(audio, options)
+                if job.error:
+                    self._json(500, {"error": job.error})
+                else:
+                    self._json(200, job.result)
+
+        return Handler
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self) -> None:
+        self._worker.start()
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.httpd.shutdown()
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Whisper TPU HTTP server")
+    ap.add_argument("--model", default="tiny")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8090)
+    ap.add_argument("--batch-size", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    from . import load_model
+
+    model = load_model(args.model, checkpoint=args.checkpoint)
+    server = WhisperHTTPServer(model, args.host, args.port,
+                               batch_size=args.batch_size)
+    server.start()
+    print(f"serving {args.model} on {args.host}:{server.port}")
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

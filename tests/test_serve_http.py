@@ -1,0 +1,101 @@
+"""HTTP serving tests (in-process server + urllib client)."""
+
+import io
+import json
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+import jax
+
+from openai_whisper_coreml_tpu.config import tiny_test_config
+from openai_whisper_coreml_tpu.models.whisper import WhisperModel
+from openai_whisper_coreml_tpu.params import init_params
+from openai_whisper_coreml_tpu.serve_http import WhisperHTTPServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2)
+    model = WhisperModel(cfg=cfg, params=init_params(cfg, jax.random.PRNGKey(0)))
+    srv = WhisperHTTPServer(model, port=0, batch_size=2, batch_window_ms=20)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _wav_bytes(audio, rate=16000):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes((np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _post(server, path, body, headers=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}", data=body,
+        headers=headers or {}, method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/healthz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["ok"] is True
+    assert body["model"] == "test"
+
+
+def test_transcribe_endpoint(server, rng):
+    audio = (0.2 * rng.standard_normal(16000 * 2)).astype(np.float32)
+    status, body = _post(
+        server,
+        "/transcribe?language=en&sample_len=6&no_speech_threshold=none"
+        "&logprob_threshold=none&compression_ratio_threshold=none"
+        "&temperature=0.0",
+        _wav_bytes(audio))
+    assert status == 200
+    assert "segments" in body and "text" in body
+    assert abs(body["duration"] - 2.0) < 0.01
+
+
+def test_detect_endpoint(server, rng):
+    audio = (0.2 * rng.standard_normal(16000)).astype(np.float32)
+    status, body = _post(server, "/detect", _wav_bytes(audio))
+    assert status == 200
+    assert body["language"] in body["probs"]
+
+
+def test_raw_audio_header(server, rng):
+    audio = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+    status, body = _post(
+        server,
+        "/transcribe?language=en&sample_len=4&no_speech_threshold=none"
+        "&logprob_threshold=none&compression_ratio_threshold=none"
+        "&temperature=0.0",
+        audio.tobytes(), headers={"X-Raw-Audio": "1"})
+    assert status == 200
+    assert abs(body["duration"] - 1.0) < 0.01
+
+
+def test_bad_audio_rejected(server):
+    status = None
+    try:
+        status, _ = _post(server, "/transcribe", b"this is not audio")
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
+
+
+def test_unknown_path(server):
+    try:
+        status, _ = _post(server, "/nope", b"")
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 404
