@@ -46,8 +46,10 @@ def __getattr__(name):
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
-def load_model(name: str, *, dtype=None, checkpoint=None, seed: int = 0):
+def load_model(name: str, *, dtype=None, checkpoint=None, seed: int = 0,
+               flash=None, quantize=None):
     """Build a Whisper model of the given size; see models.whisper."""
     from .models.whisper import load_model as _load
 
-    return _load(name, dtype=dtype, checkpoint=checkpoint, seed=seed)
+    return _load(name, dtype=dtype, checkpoint=checkpoint, seed=seed,
+                 flash=flash, quantize=quantize)

@@ -96,6 +96,10 @@ def main(argv=None) -> int:
                     default="float32")
     args = ap.parse_args(argv)
 
+    from openai_whisper_coreml_tpu.utils.platform import sync_platform_from_env
+
+    sync_platform_from_env()
+
     import jax.numpy as jnp
 
     from openai_whisper_coreml_tpu.config import get_config

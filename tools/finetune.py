@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Fine-tune Whisper on a local (audio, transcript) corpus.
+
+Corpus layouts: the same ones eval/harness.py discovers (flat <name>.wav +
+<name>.txt pairs, or LibriSpeech trees). Training runs the sharded train step
+from openai_whisper_coreml_tpu.train over a (data, model) mesh and
+checkpoints via safetensors (+ optional orbax full train state).
+
+Usage:
+  python tools/finetune.py /data/corpus --model tiny --steps 100 \
+      --batch-size 8 --mesh-model 1 --save-every 50 --output ckpts/ft
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def data_iterator(utts, batch_size, cfg, tokenizer, seed=0, max_len=None):
+    """Infinite shuffled batches of (mel, tokens, loss_mask)."""
+    import jax.numpy as jnp
+
+    from openai_whisper_coreml_tpu.audio import log_mel_spectrogram, pad_or_trim
+    from openai_whisper_coreml_tpu.config import N_SAMPLES
+    from openai_whisper_coreml_tpu.train import make_batch
+    from openai_whisper_coreml_tpu.utils.audio_io import load_audio
+
+    rng = np.random.default_rng(seed)
+    cache = {}
+    while True:
+        idx = rng.choice(len(utts), size=batch_size, replace=len(utts) < batch_size)
+        mels, texts = [], []
+        for i in idx:
+            u = utts[int(i)]
+            if u.utt_id not in cache:
+                audio = pad_or_trim(load_audio(u.audio_path), N_SAMPLES)
+                cache[u.utt_id] = np.asarray(
+                    log_mel_spectrogram(audio, n_mels=cfg.n_mels))
+            mels.append(cache[u.utt_id])
+            texts.append(u.reference)
+        mel = np.stack(mels)
+        mel, tokens, mask = make_batch(cfg, tokenizer, mel, texts,
+                                       max_len=max_len)
+        yield jnp.asarray(mel), jnp.asarray(tokens), jnp.asarray(mask)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("corpus")
+    ap.add_argument("--model", default="tiny")
+    ap.add_argument("--checkpoint", default=None, help="starting checkpoint")
+    ap.add_argument("--output", default="ckpts/finetuned")
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--learning-rate", type=float, default=1e-5)
+    ap.add_argument("--mesh-model", type=int, default=1,
+                    help="TP degree (data axis gets the rest)")
+    ap.add_argument("--max-len", type=int, default=None,
+                    help="token sequence cap (default: longest in batch)")
+    ap.add_argument("--save-every", type=int, default=0)
+    ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from openai_whisper_coreml_tpu.utils.platform import sync_platform_from_env
+
+    sync_platform_from_env()
+
+    import jax
+
+    from openai_whisper_coreml_tpu import load_model
+    from openai_whisper_coreml_tpu.eval.harness import discover
+    from openai_whisper_coreml_tpu.parallel import make_mesh
+    from openai_whisper_coreml_tpu.tokenizer import get_tokenizer
+    from openai_whisper_coreml_tpu.train import TrainConfig, make_train_step
+    from openai_whisper_coreml_tpu.utils.checkpoint import save_params
+
+    utts = discover(args.corpus)
+    if not utts:
+        raise SystemExit(f"no training utterances under {args.corpus}")
+    print(f"{len(utts)} utterances; devices: {jax.device_count()} "
+          f"({jax.default_backend()})")
+
+    model = load_model(args.model, checkpoint=args.checkpoint,
+                       flash=False)  # fwd+bwd uses the jnp attention path
+    cfg = model.cfg
+    tokenizer = get_tokenizer(cfg, language="en" if cfg.multilingual else None)
+
+    mesh = make_mesh(n_model=args.mesh_model)
+    init_fn, step_fn = make_train_step(
+        cfg, mesh, TrainConfig(learning_rate=args.learning_rate))
+    params, opt_state = init_fn(model.params)
+
+    it = data_iterator(utts, args.batch_size, cfg, tokenizer, seed=args.seed,
+                       max_len=args.max_len)
+    t0 = time.time()
+    for step in range(1, args.steps + 1):
+        mel, tokens, mask = next(it)
+        params, opt_state, metrics = step_fn(params, opt_state, mel, tokens,
+                                             mask)
+        if step % args.log_every == 0 or step == 1:
+            loss = float(metrics["loss"])
+            acc = float(metrics["accuracy"])
+            rate = step / (time.time() - t0)
+            print(f"step {step}: loss={loss:.4f} acc={acc:.3f} "
+                  f"({rate:.2f} steps/s)", flush=True)
+        if args.save_every and step % args.save_every == 0:
+            path = f"{args.output}-{step}.safetensors"
+            save_params(jax.device_get(params), path, model_name=cfg.name)
+            print(f"saved {path}", flush=True)
+
+    path = f"{args.output}-final.safetensors"
+    save_params(jax.device_get(params), path, model_name=cfg.name)
+    print(f"saved {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
