@@ -81,44 +81,6 @@ def precompute_cross_kv(params, cfg: WhisperConfig, audio_features: Array) -> Cr
     return CrossKV(ks, vs)
 
 
-def _cached_self_attention(x, p, n_head, cache_k, cache_v, pos_offset,
-                           valid_from):
-    """Write this step's K/V into the cache at pos_offset, attend over cache.
-
-    x: (B, T, n_state); cache_k/v: (B, C, H, D); pos_offset: traced scalar.
-    Slots [0, valid_from) are left-padding (prompt-length bucketing) and are
-    masked out of attention. Returns (out, new_cache_k, new_cache_v).
-    """
-    b, t, _ = x.shape
-    c = cache_k.shape[1]
-    q = split_heads(linear(x, p["q"]), n_head)
-    k_new = linear(x, p["k"]).astype(cache_k.dtype)  # (B, T, n_state)
-    v_new = linear(x, p["v"]).astype(cache_v.dtype)
-
-    cache_k = jax.lax.dynamic_update_slice(cache_k, k_new, (0, pos_offset, 0))
-    cache_v = jax.lax.dynamic_update_slice(cache_v, v_new, (0, pos_offset, 0))
-
-    q_pos = pos_offset + jnp.arange(t)[:, None]  # (T, 1)
-    k_pos = jnp.arange(c)[None, :]  # (1, C)
-    mask = ((k_pos <= q_pos) & (k_pos >= valid_from))[None, None]  # (1,1,T,C)
-
-    out = attention_core(q, split_heads(cache_k, n_head),
-                         split_heads(cache_v, n_head), mask=mask)
-    return linear(merge_heads(out), p["out"]), cache_k, cache_v
-
-
-def decoder_block_cached(x, layer_params, cross_k, cross_v, cache_k, cache_v,
-                         n_head, pos_offset, valid_from):
-    attn_out, cache_k, cache_v = _cached_self_attention(
-        layer_norm(x, layer_params["attn_ln"]), layer_params["attn"], n_head,
-        cache_k, cache_v, pos_offset, valid_from)
-    x = x + attn_out
-    x = x + cross_attention(layer_norm(x, layer_params["cross_attn_ln"]),
-                            layer_params["cross_attn"], n_head, cross_k, cross_v)
-    x = x + mlp(layer_norm(x, layer_params["mlp_ln"]), layer_params["mlp"])
-    return x, cache_k, cache_v
-
-
 def decoder_block_full(x, layer_params, cross_k, cross_v, n_head):
     """Teacher-forcing block: full causal self-attention (no cache)."""
     t = x.shape[1]
