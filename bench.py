@@ -71,13 +71,18 @@ def main() -> None:
             sample_len=sample_len, use_timestamps=True, prompt_len=prompt_len)
         return tokens
 
+    def fence(x):
+        # device->host readback: the only reliable execution fence on the
+        # axon relay (block_until_ready can return early in degraded mode)
+        return np.asarray(x[:1, :1])
+
     # warmup / compile
-    run(audio_dev).block_until_ready()
+    fence(run(audio_dev))
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        run(audio_dev).block_until_ready()
+        fence(run(audio_dev))
         times.append(time.perf_counter() - t0)
 
     elapsed = min(times)

@@ -76,13 +76,14 @@ def main() -> int:
     t = timed(enc, mel)
     emit("encoder", t, "audio_sec/sec", b * 30.0 / t)
 
-    # flash vs naive encoder
+    # flash vs naive encoder. NB: params must be jit ARGUMENTS — closing over
+    # them embeds 3.2GB of constants and the compile never finishes.
     try:
         from openai_whisper_coreml_tpu.models import encoder as enc_mod
 
-        flash_enc = jax.jit(lambda m: enc_mod.encode(
-            model.params, cfg, m, flash=True))
-        t = timed(flash_enc, mel)
+        flash_enc = jax.jit(functools.partial(enc_mod.encode, cfg=cfg,
+                                              flash=True))
+        t = timed(lambda m: flash_enc(model.params, mel=m), mel)
         emit("encoder_flash", t, "audio_sec/sec", b * 30.0 / t)
     except Exception as e:  # pallas may be unavailable on this backend
         print(json.dumps({"metric": "encoder_flash", "error": str(e)[:100]}))
@@ -91,8 +92,8 @@ def main() -> int:
     feats = enc(mel)
     n_steps = args.decode_steps
 
-    def decode_n(feats):
-        cross_kv = dec_mod.precompute_cross_kv(model.params, cfg, feats)
+    def decode_n(params, feats):
+        cross_kv = dec_mod.precompute_cross_kv(params, cfg, feats)
         cache = dec_mod.init_kv_cache(cfg, b, dtype=feats.dtype)
         tok0 = jnp.full((b, 1), cfg.sot_token, jnp.int32)
         logits, cache = dec_mod.decode_step(model.params, cfg, tok0,

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 from ..config import WhisperConfig
 from .layers import (
     attention_core,
-    cross_attention,
     layer_norm,
     linear,
     merge_heads,
@@ -38,12 +37,15 @@ Array = jax.Array
 
 
 class KVCache(NamedTuple):
-    """Preallocated self-attention cache: (n_layers, B, n_text_ctx, n_state).
+    """Preallocated self-attention cache: (n_layers, B, H, D, n_text_ctx).
 
-    Head dims stay MERGED in storage: a (..., H, D) layout pads D=64 to the
-    128-lane tile and doubles HBM (observed 2.4x expansion on large-v3);
-    (..., n_state) keeps the minor dim a multiple of 128. Heads are split
-    transiently at the attention site.
+    "d-major" layout: the minor dim pair is (D=64, seq), so
+      * no 128-lane padding (a (..., H, 64) seq-major layout doubled HBM —
+        2.4x expansion observed on large-v3), and
+      * attention reads K/V in STORED layout (einsum "bthd,bhds->bhts"),
+        with no per-step head-split reshape. A merged (..., n_state) layout
+        forced a (B,S,H,64) relayout copy of every K/V tensor every decode
+        step, which spilled past VMEM at batch>=16 and tripled step time.
     """
 
     k: Array
@@ -55,30 +57,66 @@ class KVCache(NamedTuple):
 
 
 class CrossKV(NamedTuple):
-    """Per-segment audio K/V: (n_layers, B, n_audio_ctx, n_state), merged
-    heads (same HBM-padding rationale as KVCache)."""
+    """Per-segment audio K/V: (n_layers, B, H, D, n_audio_ctx), d-major
+    (same rationale as KVCache)."""
 
     k: Array
     v: Array
 
 
 def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32) -> KVCache:
-    shape = (cfg.n_text_layer, batch, cfg.n_text_ctx, cfg.n_text_state)
+    shape = (cfg.n_text_layer, batch, cfg.n_text_head, cfg.text_head_dim,
+             cfg.n_text_ctx)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
+def to_dmajor(x: Array, n_head: int) -> Array:
+    """(B, S, n_state) -> (B, H, D, S)."""
+    b, s, n = x.shape
+    return x.reshape(b, s, n_head, n // n_head).transpose(0, 2, 3, 1)
+
+
 def precompute_cross_kv(params, cfg: WhisperConfig, audio_features: Array) -> CrossKV:
-    """audio_features (B, S, n_state) -> stacked per-layer cross K/V."""
+    """audio_features (B, S, n_state) -> stacked per-layer cross K/V,
+    d-major. The relayout happens once per segment, not once per token."""
     blocks = params["decoder"]["blocks"]
+    n_head = cfg.n_text_head
 
     def body(_, layer_params):
         p = layer_params["cross_attn"]
-        k = linear(audio_features, p["k"])
-        v = linear(audio_features, p["v"])
+        k = to_dmajor(linear(audio_features, p["k"]), n_head)
+        v = to_dmajor(linear(audio_features, p["v"]), n_head)
         return None, (k, v)
 
     _, (ks, vs) = jax.lax.scan(body, None, blocks)
     return CrossKV(ks, vs)
+
+
+def attention_dmajor(q: Array, k: Array, v: Array,
+                     mask: Optional[Array] = None) -> Array:
+    """Attention against d-major K/V.
+
+    q: (B, T, H, D); k, v: (B, H, D, S); mask broadcastable to (B, H, T, S).
+    Returns (B, T, H, D). Softmax in fp32; openai double-scaling numerics.
+    """
+    d = q.shape[-1]
+    scale = d ** -0.25
+    qs = (q * scale).astype(q.dtype)
+    ks = (k * scale).astype(k.dtype)
+    logits = jnp.einsum("bthd,bhds->bhts", qs, ks,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhts,bhds->bthd", weights.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def cross_attention_dmajor(x: Array, p, n_head: int, k: Array, v: Array) -> Array:
+    q = split_heads(linear(x, p["q"]), n_head)
+    out = attention_dmajor(q, k, v)
+    return linear(merge_heads(out), p["out"])
 
 
 def decoder_block_full(x, layer_params, cross_k, cross_v, n_head):
@@ -92,8 +130,9 @@ def decoder_block_full(x, layer_params, cross_k, cross_v, n_head):
     v = split_heads(linear(h, p["v"]), n_head)
     attn_out = linear(merge_heads(attention_core(q, k, v, mask=mask)), p["out"])
     x = x + attn_out
-    x = x + cross_attention(layer_norm(x, layer_params["cross_attn_ln"]),
-                            layer_params["cross_attn"], n_head, cross_k, cross_v)
+    x = x + cross_attention_dmajor(
+        layer_norm(x, layer_params["cross_attn_ln"]),
+        layer_params["cross_attn"], n_head, cross_k, cross_v)
     x = x + mlp(layer_norm(x, layer_params["mlp_ln"]), layer_params["mlp"])
     return x
 
@@ -146,10 +185,10 @@ def decode_step(
     n_head = cfg.n_text_head
 
     b, t, _ = x.shape
-    c = cache.k.shape[2]
+    c = cache.k.shape[-1]
     q_pos = pos_offset + jnp.arange(t)[:, None]  # (T, 1)
     k_pos = jnp.arange(c)[None, :]  # (1, C)
-    mask = ((k_pos <= q_pos) & (k_pos >= valid_from))[None, None]
+    mask = ((k_pos <= q_pos) & (k_pos >= valid_from))[None, None]  # (1,1,T,C)
 
     def take(tree, l):
         return jax.tree.map(
@@ -165,20 +204,20 @@ def decode_step(
         p = lp["attn"]
         h = layer_norm(x, lp["attn_ln"])
         q = split_heads(linear(h, p["q"]), n_head)
-        k_new = linear(h, p["k"]).astype(ck_all.dtype)  # (B, T, n_state)
-        v_new = linear(h, p["v"]).astype(cv_all.dtype)
+        # new K/V in d-major: (B, T, n_state) -> (B, H, D, T)
+        k_new = to_dmajor(linear(h, p["k"]), n_head).astype(ck_all.dtype)
+        v_new = to_dmajor(linear(h, p["v"]), n_head).astype(cv_all.dtype)
         ck_all = jax.lax.dynamic_update_slice(
-            ck_all, k_new[None], (l, 0, pos_offset, 0))
+            ck_all, k_new[None], (l, 0, 0, 0, pos_offset))
         cv_all = jax.lax.dynamic_update_slice(
-            cv_all, v_new[None], (l, 0, pos_offset, 0))
+            cv_all, v_new[None], (l, 0, 0, 0, pos_offset))
         ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
         cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
-        attn = attention_core(q, split_heads(ck, n_head),
-                              split_heads(cv, n_head), mask=mask)
+        attn = attention_dmajor(q, ck, cv, mask=mask)
         x = x + linear(merge_heads(attn), p["out"])
 
-        x = x + cross_attention(layer_norm(x, lp["cross_attn_ln"]),
-                                lp["cross_attn"], n_head, xk, xv)
+        x = x + cross_attention_dmajor(layer_norm(x, lp["cross_attn_ln"]),
+                                       lp["cross_attn"], n_head, xk, xv)
         x = x + mlp(layer_norm(x, lp["mlp_ln"]), lp["mlp"])
         return x, ck_all, cv_all
 

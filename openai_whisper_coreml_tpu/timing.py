@@ -70,21 +70,20 @@ def _cross_attention_weights(params, cfg: WhisperConfig, tokens, audio_features)
                        p["out"])
 
         # cross attention, keeping the probability matrix
+        # (xk/xv arrive in the decoder's d-major (B, H, D, S) layout)
         cp = layer_params["cross_attn"]
         h2 = layer_norm(x, layer_params["cross_attn_ln"])
         q2 = split_heads(linear(h2, cp["q"]), n_head)
-        k2 = split_heads(xk, n_head)
-        v2 = split_heads(xv, n_head)
         d = q2.shape[-1]
         scale = d ** -0.25
-        logits2 = jnp.einsum("bqhd,bkhd->bhqk", (q2 * scale).astype(q2.dtype),
-                             (k2 * scale).astype(k2.dtype),
+        logits2 = jnp.einsum("bqhd,bhds->bhqs", (q2 * scale).astype(q2.dtype),
+                             (xk * scale).astype(xk.dtype),
                              preferred_element_type=jnp.float32,
                              precision=matmul_precision(q2.dtype))
         w = jax.nn.softmax(logits2.astype(jnp.float32), axis=-1)  # (B,H,T,S)
-        out2 = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v2.dtype), v2,
+        out2 = jnp.einsum("bhqs,bhds->bqhd", w.astype(xv.dtype), xv,
                           preferred_element_type=jnp.float32,
-                          precision=matmul_precision(v2.dtype))
+                          precision=matmul_precision(xv.dtype))
         x = x + linear(merge_heads(out2.astype(x.dtype)), cp["out"])
 
         from .models.layers import mlp
