@@ -12,8 +12,9 @@ checkpoints emit ~50-150 tokens per window and stop early.
 vs_baseline is value / 150 — the >=150x real-time per chip target from
 BASELINE.md (the reference publishes no numbers; BASELINE.json "published": {}).
 
-Env overrides: BENCH_MODEL (default large-v3), BENCH_BATCH (default 16),
-BENCH_SAMPLE_LEN (default 224), BENCH_REPEATS (default 3).
+Env overrides: BENCH_MODEL (default large-v3), BENCH_BATCH (default 24 — the
+measured single-chip sweet spot; 32 OOMs on 16GB HBM), BENCH_SAMPLE_LEN
+(default 224), BENCH_REPEATS (default 3).
 """
 
 from __future__ import annotations
@@ -40,7 +41,7 @@ def main() -> None:
     from openai_whisper_coreml_tpu.tokenizer import get_tokenizer
 
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "24"))
     sample_len = int(os.environ.get("BENCH_SAMPLE_LEN", "224"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
