@@ -69,7 +69,9 @@ def beam_decode_core(
     init = jnp.repeat(initial_tokens, k, axis=0)  # (B*K, P)
 
     cross_kv = dec_mod.precompute_cross_kv(params, cfg, feats)
-    cache = dec_mod.init_kv_cache(cfg, bk, dtype=audio_features.dtype)
+    cache_len = min(-(-total_len // 128) * 128, cfg.n_text_ctx)
+    cache = dec_mod.init_kv_cache(cfg, bk, dtype=audio_features.dtype,
+                                  ctx=cache_len)
 
     tokens = jnp.full((bk, total_len), eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, init, (0, 0))

@@ -86,12 +86,11 @@ def main(argv: Optional[List[str]] = None) -> int:
               f"on {jax.default_backend()} in {time.time() - t0:.1f}s",
               file=sys.stderr)
 
-    if args.temperature > 0 or args.temperature_increment_on_fallback is None:
+    inc = args.temperature_increment_on_fallback
+    if args.temperature > 0 or not inc:
         temperature = [args.temperature]
     else:
-        temperature = list(np.arange(
-            args.temperature, 1.0 + 1e-6,
-            args.temperature_increment_on_fallback))
+        temperature = list(np.arange(args.temperature, 1.0 + 1e-6, inc))
 
     from .utils.profiling import device_trace
 

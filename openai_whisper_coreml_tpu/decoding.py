@@ -227,7 +227,9 @@ def greedy_decode_core(
     total_len = prompt_len + sample_len
 
     cross_kv = dec_mod.precompute_cross_kv(params, cfg, audio_features)
-    cache = dec_mod.init_kv_cache(cfg, b, dtype=audio_features.dtype)
+    cache_len = min(-(-total_len // 128) * 128, cfg.n_text_ctx)
+    cache = dec_mod.init_kv_cache(cfg, b, dtype=audio_features.dtype,
+                                  ctx=cache_len)
 
     tokens = jnp.full((b, total_len), eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, initial_tokens, (0, 0))

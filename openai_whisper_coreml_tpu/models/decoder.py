@@ -64,9 +64,13 @@ class CrossKV(NamedTuple):
     v: Array
 
 
-def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32) -> KVCache:
-    shape = (cfg.n_text_layer, batch, cfg.n_text_head, cfg.text_head_dim,
-             cfg.n_text_ctx)
+def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
+                  ctx: Optional[int] = None) -> KVCache:
+    """ctx: cache length; defaults to the full 448 text context. Decodes with
+    a known shorter horizon pass prompt+sample rounded up — every self-attend
+    reads the whole buffer, so an oversized cache is pure wasted bandwidth."""
+    ctx = cfg.n_text_ctx if ctx is None else min(ctx, cfg.n_text_ctx)
+    shape = (cfg.n_text_layer, batch, cfg.n_text_head, cfg.text_head_dim, ctx)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -173,11 +177,15 @@ def decode_step(
 ) -> Tuple[Array, KVCache]:
     """Incremental decode: returns (logits (B, T, vocab) fp32, updated cache).
 
-    Layers iterate via fori_loop with the FULL stacked cache as loop carry and
-    a tiny (1, B, T, n_state) dynamic_update_slice per layer. A lax.scan
-    formulation (cache as xs/ys) restacks both cache tensors every token —
-    ~2.3 GB of pure copies per decode step at large-v3 batch 8, several times
-    the useful HBM traffic. The carry formulation updates in place.
+    The layer loop is UNROLLED with static layer indices. Two reasons:
+      * a lax.scan formulation (cache as xs/ys) restacks both cache tensors
+        every token — ~2.3 GB of pure copies per step at large-v3 batch 8;
+      * a lax.fori_loop formulation (traced layer index, dynamic
+        update/index on the stacked cache) miscompiles to all-NaN logits on
+        the TPU backend (CPU is fine) — observed and bisected on v5e: the
+        identical math with static indices is finite.
+    Static per-layer slicing also lets XLA address each layer's weights
+    directly instead of gathering them per step.
     """
     compute_dtype = params["decoder"]["token_embedding"].dtype
     x = embed_tokens(params, cfg, tokens, pos_offset, compute_dtype, valid_from)
@@ -190,16 +198,11 @@ def decode_step(
     k_pos = jnp.arange(c)[None, :]  # (1, C)
     mask = ((k_pos <= q_pos) & (k_pos >= valid_from))[None, None]  # (1,1,T,C)
 
-    def take(tree, l):
-        return jax.tree.map(
-            lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
-            tree)
-
-    def body(l, carry):
-        x, ck_all, cv_all = carry
-        lp = take(blocks, l)
-        xk = jax.lax.dynamic_index_in_dim(cross_kv.k, l, 0, keepdims=False)
-        xv = jax.lax.dynamic_index_in_dim(cross_kv.v, l, 0, keepdims=False)
+    ck_all, cv_all = cache.k, cache.v
+    for l in range(cfg.n_text_layer):
+        lp = jax.tree.map(lambda a: a[l], blocks)
+        xk = cross_kv.k[l]
+        xv = cross_kv.v[l]
 
         p = lp["attn"]
         h = layer_norm(x, lp["attn_ln"])
@@ -211,19 +214,14 @@ def decode_step(
             ck_all, k_new[None], (l, 0, 0, 0, pos_offset))
         cv_all = jax.lax.dynamic_update_slice(
             cv_all, v_new[None], (l, 0, 0, 0, pos_offset))
-        ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
-        cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
-        attn = attention_dmajor(q, ck, cv, mask=mask)
+        attn = attention_dmajor(q, ck_all[l], cv_all[l], mask=mask)
         x = x + linear(merge_heads(attn), p["out"])
 
         x = x + cross_attention_dmajor(layer_norm(x, lp["cross_attn_ln"]),
                                        lp["cross_attn"], n_head, xk, xv)
         x = x + mlp(layer_norm(x, lp["mlp_ln"]), lp["mlp"])
-        return x, ck_all, cv_all
 
-    x, new_k, new_v = jax.lax.fori_loop(
-        0, cfg.n_text_layer, body, (x, cache.k, cache.v))
-    return final_logits(params, x), KVCache(new_k, new_v)
+    return final_logits(params, x), KVCache(ck_all, cv_all)
 
 
 def decoder_forward(
