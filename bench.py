@@ -44,8 +44,9 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "24"))
     sample_len = int(os.environ.get("BENCH_SAMPLE_LEN", "224"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    quantize = os.environ.get("BENCH_QUANTIZE") or None
 
-    model = wt.load_model(model_name)
+    model = wt.load_model(model_name, quantize=quantize)
     cfg = model.cfg
     tok = get_tokenizer(cfg, language="en")
     opts = DecodingOptions(language="en")
