@@ -356,7 +356,11 @@ def detect_language(model, mel_or_features, *, from_features: bool = False):
 # Host-side decoding task (builds prompts/masks, runs the jitted core)
 # ---------------------------------------------------------------------------
 
-_PROMPT_BUCKETS = (4, 8, 16, 32, 64, 128, 224)
+# Few, coarse buckets: each bucket is one compiled decode graph (~minutes of
+# XLA time for large models), and prefill overshoot is cheap next to the
+# sequential decode steps. 4 covers bare sot-sequences, 32 short prefixes,
+# 224 the conditioned long-form windows.
+_PROMPT_BUCKETS = (4, 32, 224)
 
 
 def _prompt_bucket(n: int, n_ctx: int) -> int:
