@@ -56,6 +56,9 @@ class DecodingOptions:
     suppress_blank: bool = True
     without_timestamps: bool = False
     max_initial_timestamp: Optional[float] = 1.0
+    # "int8": quantised cross-KV + fused Pallas dequant-in-VMEM attention
+    # for decode steps (halves the dominant HBM stream; see ops/sqa_int8.py)
+    kv_dtype: str = "bf16"
 
 
 @dataclasses.dataclass
@@ -196,7 +199,8 @@ def _apply_logit_rules(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "sample_len", "use_timestamps", "prompt_len"),
+    static_argnames=("cfg", "sample_len", "use_timestamps", "prompt_len",
+                     "kv_dtype"),
 )
 def greedy_decode_core(
     params,
@@ -214,6 +218,7 @@ def greedy_decode_core(
     sample_len: int,
     use_timestamps: bool,
     prompt_len: int,
+    kv_dtype: str = "bf16",
 ):
     """Returns (tokens (B, P+sample_len), sum_logprobs, n_sampled,
     no_speech_prob) — all device arrays.
@@ -226,7 +231,11 @@ def greedy_decode_core(
     eot = cfg.eot_token
     total_len = prompt_len + sample_len
 
-    cross_kv = dec_mod.precompute_cross_kv(params, cfg, audio_features)
+    if kv_dtype == "int8":
+        cross_kv = dec_mod.precompute_cross_kv_int8(params, cfg,
+                                                    audio_features)
+    else:
+        cross_kv = dec_mod.precompute_cross_kv(params, cfg, audio_features)
     cache_len = min(-(-total_len // 128) * 128, cfg.n_text_ctx)
     cache = dec_mod.init_kv_cache(cfg, b, dtype=audio_features.dtype,
                                   ctx=cache_len)
@@ -515,6 +524,7 @@ def decode(
             sample_len=sample_len,
             use_timestamps=not options.without_timestamps,
             prompt_len=prompt_len,
+            kv_dtype=options.kv_dtype,
         )
         if n_cand > 1:
             tokens = np.asarray(tokens).reshape(b, n_cand, -1)

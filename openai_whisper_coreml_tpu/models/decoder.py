@@ -64,6 +64,21 @@ class CrossKV(NamedTuple):
     v: Array
 
 
+class QuantCrossKV(NamedTuple):
+    """int8 cross K/V with per-(b,h,position) column scales.
+
+    Cross-KV reads dominate decode HBM traffic at the batch ceiling
+    (docs/benchmarks.md); int8 halves them. Dequantisation happens inside
+    the Pallas single-query-attention kernel's VMEM (ops/sqa_int8.py) for
+    decode steps; prefill (T>1, once per window) dequantises inline.
+    """
+
+    k8: Array  # (L, B, H, D, S) int8
+    ks: Array  # (L, B, H, 1, S) fp32
+    v8: Array
+    vs: Array
+
+
 def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
                   ctx: Optional[int] = None) -> KVCache:
     """ctx: cache length; defaults to the full 448 text context. Decodes with
@@ -94,6 +109,26 @@ def precompute_cross_kv(params, cfg: WhisperConfig, audio_features: Array) -> Cr
 
     _, (ks, vs) = jax.lax.scan(body, None, blocks)
     return CrossKV(ks, vs)
+
+
+def precompute_cross_kv_int8(params, cfg: WhisperConfig,
+                             audio_features: Array) -> QuantCrossKV:
+    """Quantised variant of precompute_cross_kv (once per segment)."""
+    from ..ops.sqa_int8 import quantize_kv_column
+
+    blocks = params["decoder"]["blocks"]
+    n_head = cfg.n_text_head
+
+    def body(_, layer_params):
+        p = layer_params["cross_attn"]
+        k8, ks = quantize_kv_column(to_dmajor(linear(audio_features, p["k"]),
+                                              n_head))
+        v8, vs = quantize_kv_column(to_dmajor(linear(audio_features, p["v"]),
+                                              n_head))
+        return None, (k8, ks, v8, vs)
+
+    _, (k8, ks, v8, vs) = jax.lax.scan(body, None, blocks)
+    return QuantCrossKV(k8, ks, v8, vs)
 
 
 def attention_dmajor(q: Array, k: Array, v: Array,
@@ -198,11 +233,34 @@ def decode_step(
     k_pos = jnp.arange(c)[None, :]  # (1, C)
     mask = ((k_pos <= q_pos) & (k_pos >= valid_from))[None, None]  # (1,1,T,C)
 
+    quant_cross = isinstance(cross_kv, QuantCrossKV)
+
+    def cross_attn(x, lp, l):
+        cp = lp["cross_attn"]
+        h2 = layer_norm(x, lp["cross_attn_ln"])
+        q2 = split_heads(linear(h2, cp["q"]), n_head)
+        if quant_cross and t == 1:
+            from ..ops.sqa_int8 import sqa_int8
+
+            s_len = cross_kv.k8.shape[-1]
+            o = sqa_int8(q2[:, 0], cross_kv.k8[l], cross_kv.ks[l],
+                         cross_kv.v8[l], cross_kv.vs[l],
+                         jnp.int32(s_len - 1), jnp.int32(0))
+            out = o[:, None]  # (B, 1, H, D)
+        elif quant_cross:
+            # prefill: dequantise inline (runs once per window)
+            xk = (cross_kv.k8[l].astype(x.dtype)
+                  * cross_kv.ks[l].astype(x.dtype))
+            xv = (cross_kv.v8[l].astype(x.dtype)
+                  * cross_kv.vs[l].astype(x.dtype))
+            out = attention_dmajor(q2, xk, xv)
+        else:
+            out = attention_dmajor(q2, cross_kv.k[l], cross_kv.v[l])
+        return linear(merge_heads(out), cp["out"])
+
     ck_all, cv_all = cache.k, cache.v
     for l in range(cfg.n_text_layer):
         lp = jax.tree.map(lambda a: a[l], blocks)
-        xk = cross_kv.k[l]
-        xv = cross_kv.v[l]
 
         p = lp["attn"]
         h = layer_norm(x, lp["attn_ln"])
@@ -217,8 +275,7 @@ def decode_step(
         attn = attention_dmajor(q, ck_all[l], cv_all[l], mask=mask)
         x = x + linear(merge_heads(attn), p["out"])
 
-        x = x + cross_attention_dmajor(layer_norm(x, lp["cross_attn_ln"]),
-                                       lp["cross_attn"], n_head, xk, xv)
+        x = x + cross_attn(x, lp, l)
         x = x + mlp(layer_norm(x, lp["mlp_ln"]), lp["mlp"])
 
     return final_logits(params, x), KVCache(ck_all, cv_all)

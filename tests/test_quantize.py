@@ -78,3 +78,24 @@ def test_quantized_decode_runs(rng):
     mel = rng.standard_normal((1, cfg.n_mels, 128)).astype(np.float32)
     res = decode(model, mel, DecodingOptions(language="en", sample_len=6))
     assert res[0].tokens
+
+
+def test_int8_cross_kv_decode_matches_bf16(rng):
+    """kv_dtype=int8 greedy decode should track the bf16 path closely
+    (argmax decisions mostly identical on a random model)."""
+    from openai_whisper_coreml_tpu.decoding import DecodingOptions, decode
+    from openai_whisper_coreml_tpu.models.whisper import WhisperModel
+
+    cfg = tiny_test_config(n_state=256, n_head=4, n_layer=2, n_audio_ctx=64,
+                           n_text_ctx=64)
+    model = WhisperModel(cfg=cfg, params=init_params(cfg, jax.random.PRNGKey(0)))
+    mel = rng.standard_normal((2, cfg.n_mels, 128)).astype(np.float32)
+    a = decode(model, mel, DecodingOptions(language="en", sample_len=8,
+                                           without_timestamps=True))
+    b = decode(model, mel, DecodingOptions(language="en", sample_len=8,
+                                           without_timestamps=True,
+                                           kv_dtype="int8"))
+    # identical lengths; tokens should agree at most positions
+    agree = np.mean([x == y for x, y in zip(a[0].tokens, b[0].tokens)])
+    assert agree >= 0.5
+    assert abs(a[0].avg_logprob - b[0].avg_logprob) < 0.5
