@@ -239,20 +239,17 @@ def decode_step(
         cp = lp["cross_attn"]
         h2 = layer_norm(x, lp["cross_attn_ln"])
         q2 = split_heads(linear(h2, cp["q"]), n_head)
-        if quant_cross and t == 1:
-            from ..ops.sqa_int8 import sqa_int8
-
-            s_len = cross_kv.k8.shape[-1]
-            o = sqa_int8(q2[:, 0], cross_kv.k8[l], cross_kv.ks[l],
-                         cross_kv.v8[l], cross_kv.vs[l],
-                         jnp.int32(s_len - 1), jnp.int32(0))
-            out = o[:, None]  # (B, 1, H, D)
-        elif quant_cross:
-            # prefill: dequantise inline (runs once per window)
-            xk = (cross_kv.k8[l].astype(x.dtype)
-                  * cross_kv.ks[l].astype(x.dtype))
-            xv = (cross_kv.v8[l].astype(x.dtype)
-                  * cross_kv.vs[l].astype(x.dtype))
+        if quant_cross:
+            # inline dequant (XLA). The fused dequant-in-VMEM kernel
+            # (ops/sqa_int8.py) hits a Mosaic int8-relayout limitation when
+            # compiled inside the full decode graph and its per-head variant
+            # measured slower end to end; int8 cross-KV therefore currently
+            # trades a little step time for halved cross-KV HBM *storage*
+            # (see docs/benchmarks.md).
+            xk = (cross_kv.k8[l].astype(jnp.float32)
+                  * cross_kv.ks[l]).astype(x.dtype)
+            xv = (cross_kv.v8[l].astype(jnp.float32)
+                  * cross_kv.vs[l]).astype(x.dtype)
             out = attention_dmajor(q2, xk, xv)
         else:
             out = attention_dmajor(q2, cross_kv.k[l], cross_kv.v[l])

@@ -40,36 +40,63 @@ def quantize_kv_column(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def pack_kv(q8: jax.Array, scale: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(B, H, D, S) int8 + (B, H, 1, S) scales -> kernel layout
+    ((B, H*D, S), (B, H, S)). Mosaic cannot relayout int8 minor dims
+    in-kernel, so the head-merge reshape happens here (free in HBM)."""
+    b, h, d, s = q8.shape
+    return q8.reshape(b, h * d, s), scale[:, :, 0, :]
+
+
 def _sqa_kernel(pos_ref, valid_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
                 o_ref, *, n_head: int, sm_scale: float):
+    """All heads in ONE MXU matmul pair via block-diagonal head packing.
+
+    A per-head loop of (1,D)@(D,S) matvecs is fixed-overhead-bound (measured
+    slower than XLA's einsum despite half the bytes). Instead build a
+    block-diagonal query Q_bd (H, H*D) — Q_bd[g, h*D+d] = q[h,d] iff g==h —
+    so logits for every head come from one (H, H*D)@(H*D, S) matmul. The
+    19/20 zero blocks waste FLOPs, not bandwidth, and decode is
+    bandwidth-bound. Same trick in reverse extracts the output diagonal.
+    """
     pos = pos_ref[0]
     valid = valid_ref[0]
+    h_n = n_head
+    d = q_ref.shape[-1]
     s_len = k_ref.shape[-1]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, s_len), 1)
-    mask = (col_ids <= pos) & (col_ids >= valid)  # (1, S)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (h_n, s_len), 1)
+    mask = (col_ids <= pos) & (col_ids >= valid)  # (H, S)
 
-    for h in range(n_head):
-        q = q_ref[0, h][None, :].astype(jnp.float32)  # (1, D)
-        k = k_ref[0, h].astype(jnp.float32)  # (D, S) dequant-in-VMEM
-        logits = jax.lax.dot(q, k, preferred_element_type=jnp.float32)
-        logits = logits * ks_ref[0, h] * sm_scale  # fold column scales
-        logits = jnp.where(mask, logits, MASK_VALUE)
-        w = jax.nn.softmax(logits, axis=-1)  # (1, S) fp32
-        wv = (w * vs_ref[0, h]).astype(jnp.float32)  # fold V scales
-        v = v_ref[0, h].astype(jnp.float32)  # (D, S)
-        out = jax.lax.dot_general(
-            v, wv, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (D, 1)
-        o_ref[0, h] = out[:, 0].astype(o_ref.dtype)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (h_n, h_n), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (h_n, h_n), 1))
+
+    q = q_ref[0].astype(jnp.float32)  # (H, D)
+    q_bd = jnp.where(eye[:, :, None], q[None, :, :], 0.0)  # (H, H, D)
+    q_bd = q_bd.reshape(h_n, h_n * d)
+
+    k = k_ref[0].astype(jnp.float32)  # (H*D, S) — dequant in VMEM
+    logits = jax.lax.dot(q_bd, k, preferred_element_type=jnp.float32)
+    logits = logits * ks_ref[0] * sm_scale  # (H, S) column scales
+    logits = jnp.where(mask, logits, MASK_VALUE)
+    w = jax.nn.softmax(logits, axis=-1)  # (H, S) fp32
+    wv = w * vs_ref[0]  # fold V scales
+
+    v = v_ref[0].astype(jnp.float32)  # (H*D, S)
+    out_full = jax.lax.dot_general(
+        wv, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (H, H*D)
+    out = (out_full.reshape(h_n, h_n, d)
+           * eye[:, :, None].astype(jnp.float32)).sum(axis=1)  # (H, D)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def sqa_int8(
     q: jax.Array,  # (B, H, D) — single query per row
-    k8: jax.Array,  # (B, H, D, S) int8
-    k_scale: jax.Array,  # (B, H, 1, S) fp32
-    v8: jax.Array,  # (B, H, D, S) int8
-    v_scale: jax.Array,  # (B, H, 1, S) fp32
+    k8: jax.Array,  # (B, H, D, S) int8 OR packed (B, H*D, S)
+    k_scale: jax.Array,  # (B, H, 1, S) fp32 OR packed (B, H, S)
+    v8: jax.Array,  # same as k8
+    v_scale: jax.Array,  # same as k_scale
     pos: jax.Array,  # scalar int32: attend positions <= pos
     valid_from: jax.Array,  # scalar int32: attend positions >= valid_from
     *,
@@ -80,6 +107,9 @@ def sqa_int8(
         interpret = jax.default_backend() == "cpu"
     b, h, d = q.shape
     s = k8.shape[-1]
+    if k8.ndim == 4:  # unpacked: merge heads outside the kernel
+        k8, k_scale = pack_kv(k8, k_scale)
+        v8, v_scale = pack_kv(v8, v_scale)
     kernel = functools.partial(_sqa_kernel, n_head=h, sm_scale=d ** -0.5)
     return pl.pallas_call(
         kernel,
@@ -89,10 +119,10 @@ def sqa_int8(
             grid=(b,),
             in_specs=[
                 pl.BlockSpec((1, h, d), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, h, d, s), lambda i, *_: (i, 0, 0, 0)),
-                pl.BlockSpec((1, h, 1, s), lambda i, *_: (i, 0, 0, 0)),
-                pl.BlockSpec((1, h, d, s), lambda i, *_: (i, 0, 0, 0)),
-                pl.BlockSpec((1, h, 1, s), lambda i, *_: (i, 0, 0, 0)),
+                pl.BlockSpec((1, h * d, s), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, h, s), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, h * d, s), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, h, s), lambda i, *_: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, h, d), lambda i, *_: (i, 0, 0)),
         ),
