@@ -46,6 +46,7 @@ def main() -> None:
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     quantize = os.environ.get("BENCH_QUANTIZE") or None
     kv_dtype = os.environ.get("BENCH_KV_DTYPE", "bf16")
+    cache_dtype = os.environ.get("BENCH_CACHE_DTYPE", "bf16")
 
     model = wt.load_model(model_name, quantize=quantize)
     cfg = model.cfg
@@ -72,7 +73,7 @@ def main() -> None:
             model.params, cfg, feats, initial_dev, suppress, blank,
             jnp.float32(0.0), key, jnp.int32(50), jnp.int32(1), jnp.int32(2),
             sample_len=sample_len, use_timestamps=True, prompt_len=prompt_len,
-            kv_dtype=kv_dtype)
+            kv_dtype=kv_dtype, cache_dtype=cache_dtype)
         return tokens
 
     def fence(x):

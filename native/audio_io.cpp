@@ -97,7 +97,12 @@ bool decode_samples(const WavInfo& w, std::vector<float>* out) {
         std::memcpy(&s, p, 4);
         v = static_cast<float>(s) / 2147483648.0f;
       } else if (w.bits == 24) {
-        int32_t s = (p[0] << 8) | (p[1] << 16) | (p[2] << 24);
+        // assemble in unsigned space: (int)p[2] << 24 would shift into the
+        // sign bit (UB) whenever the top byte >= 0x80
+        uint32_t u = (static_cast<uint32_t>(p[0]) << 8) |
+                     (static_cast<uint32_t>(p[1]) << 16) |
+                     (static_cast<uint32_t>(p[2]) << 24);
+        int32_t s = static_cast<int32_t>(u);
         v = static_cast<float>(s >> 8) / 8388608.0f;
       } else if (w.bits == 8) {
         v = (static_cast<float>(p[0]) - 128.0f) / 128.0f;

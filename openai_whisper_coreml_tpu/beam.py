@@ -35,7 +35,7 @@ NEG_INF = jnp.float32(-1e30)
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "sample_len", "use_timestamps", "prompt_len",
-                     "beam_size", "max_candidates"),
+                     "beam_size", "max_candidates", "kv_dtype", "cache_dtype"),
 )
 def beam_decode_core(
     params,
@@ -53,6 +53,8 @@ def beam_decode_core(
     prompt_len: int,
     beam_size: int,
     max_candidates: int,
+    kv_dtype: str = "bf16",
+    cache_dtype: str = "bf16",
 ):
     """Returns (best_tokens (B, P+sample_len), best_sum_logprob (B,),
     best_len (B,), no_speech_prob (B,))."""
@@ -68,10 +70,16 @@ def beam_decode_core(
     feats = jnp.repeat(audio_features, k, axis=0)  # (B*K, S, n)
     init = jnp.repeat(initial_tokens, k, axis=0)  # (B*K, P)
 
-    cross_kv = dec_mod.precompute_cross_kv(params, cfg, feats)
+    if kv_dtype == "int8":
+        cross_kv = dec_mod.precompute_cross_kv_int8(params, cfg, feats)
+    else:
+        cross_kv = dec_mod.precompute_cross_kv(params, cfg, feats)
     cache_len = min(-(-total_len // 128) * 128, cfg.n_text_ctx)
-    cache = dec_mod.init_kv_cache(cfg, bk, dtype=audio_features.dtype,
-                                  ctx=cache_len)
+    if cache_dtype == "int8":
+        cache = dec_mod.init_kv_cache_int8(cfg, bk, ctx=cache_len)
+    else:
+        cache = dec_mod.init_kv_cache(cfg, bk, dtype=audio_features.dtype,
+                                      ctx=cache_len)
 
     tokens = jnp.full((bk, total_len), eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, init, (0, 0))
@@ -146,7 +154,7 @@ def beam_decode_core(
             ts_max.reshape(b, k), new_src, axis=1).reshape(bk)
         ts_max = jnp.where(newt >= cfg.timestamp_begin, newt, ts_max_g)
 
-        cache = dec_mod.KVCache(cache.k[:, flat_src], cache.v[:, flat_src])
+        cache = dec_mod.gather_cache(cache, flat_src)
 
         next_logits, cache = dec_mod.decode_step(
             params, cfg, newt[:, None], cross_kv, cache, pos,
@@ -170,7 +178,9 @@ def beam_decode_core(
         prefill_logits[:, -1].astype(jnp.float32),
         jnp.zeros((bk,), jnp.float32),
         jnp.zeros((bk,), jnp.int32),
-        jnp.full((bk,), cfg.timestamp_begin, jnp.int32),
+        # ts_max sentinel: ts_begin - 1 == "no timestamp sampled yet"
+        # (decoding._apply_logit_rules rule c relies on it)
+        jnp.full((bk,), cfg.timestamp_begin - 1, jnp.int32),
         jnp.full((b, max_candidates), NEG_INF, jnp.float32),
         jnp.full((b, max_candidates, total_len), eot, jnp.int32),
         jnp.zeros((b, max_candidates), jnp.int32),

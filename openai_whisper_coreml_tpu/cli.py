@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=1,
                    help="windows decoded per device batch (serving path)")
     p.add_argument("--dtype", choices=("bfloat16", "float32"), default=None)
+    p.add_argument("--tensor-parallel", type=int, default=1, metavar="N",
+                   help="shard attention heads / MLP over N chips (builds a "
+                        "(devices/N, N) data x model mesh; params, encoder, "
+                        "and the KV-cache decode loop all run under it)")
     p.add_argument("--verbose", "-v", action="store_true")
     return p
 
@@ -79,8 +83,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
              None: None}[args.dtype]
 
+    mesh = None
+    if args.tensor_parallel > 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(n_model=args.tensor_parallel)
+
     t0 = time.time()
-    model = load_model(args.model, dtype=dtype, checkpoint=args.checkpoint)
+    model = load_model(args.model, dtype=dtype, checkpoint=args.checkpoint,
+                       mesh=mesh)
     if args.verbose:
         print(f"loaded {args.model} ({model.num_params / 1e6:.0f}M params) "
               f"on {jax.default_backend()} in {time.time() - t0:.1f}s",

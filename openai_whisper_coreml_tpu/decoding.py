@@ -56,9 +56,13 @@ class DecodingOptions:
     suppress_blank: bool = True
     without_timestamps: bool = False
     max_initial_timestamp: Optional[float] = 1.0
-    # "int8": quantised cross-KV + fused Pallas dequant-in-VMEM attention
-    # for decode steps (halves the dominant HBM stream; see ops/sqa_int8.py)
+    # "int8": quantised cross-KV, dequantised inline on read (XLA fuses the
+    # convert+scale into the attention reads; halves the dominant HBM stream)
     kv_dtype: str = "bf16"
+    # "int8": quantised SELF-attention KV cache, same inline-dequant scheme
+    # (orthogonal to kv_dtype; self-KV is the smaller stream — see
+    # docs/benchmarks.md "int8 options")
+    cache_dtype: str = "bf16"
 
 
 @dataclasses.dataclass
@@ -171,8 +175,15 @@ def _apply_logit_rules(
     rule_a = last_is_ts & penult_is_ts & (vocab_ids >= ts_begin)
     # b) lone timestamp -> must pair: suppress text (ids < eot); eot allowed
     rule_b = last_is_ts & ~penult_is_ts & (vocab_ids < eot)
-    # c) timestamps are non-decreasing: suppress [ts_begin, ts_last)
-    ts_last = jnp.where(last_is_ts[:, 0], ts_max + 1, ts_max)[:, None]
+    # c) timestamps are non-decreasing: suppress [ts_begin, ts_last).
+    # openai semantics: after a LONE timestamp the pairing one may be EQUAL
+    # (ts_last = last sampled timestamp); otherwise the next timestamp must be
+    # STRICTLY greater (ts_last = last + 1, "to prevent infinite looping" —
+    # zero-length segments would stall the seek loop). ts_max is initialised
+    # to ts_begin - 1, so before any timestamp is sampled this suppresses
+    # nothing (matching openai's `if timestamps.numel() > 0` guard).
+    lone_ts = last_is_ts[:, 0] & ~penult_is_ts[:, 0]
+    ts_last = jnp.where(lone_ts, ts_max, ts_max + 1)[:, None]
     rule_c = (vocab_ids >= ts_begin) & (vocab_ids < ts_last)
     logits = jnp.where(rule_a | rule_b | rule_c, NEG_INF, logits)
 
@@ -200,7 +211,7 @@ def _apply_logit_rules(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "sample_len", "use_timestamps", "prompt_len",
-                     "kv_dtype"),
+                     "kv_dtype", "cache_dtype"),
 )
 def greedy_decode_core(
     params,
@@ -219,6 +230,7 @@ def greedy_decode_core(
     use_timestamps: bool,
     prompt_len: int,
     kv_dtype: str = "bf16",
+    cache_dtype: str = "bf16",
 ):
     """Returns (tokens (B, P+sample_len), sum_logprobs, n_sampled,
     no_speech_prob) — all device arrays.
@@ -237,8 +249,11 @@ def greedy_decode_core(
     else:
         cross_kv = dec_mod.precompute_cross_kv(params, cfg, audio_features)
     cache_len = min(-(-total_len // 128) * 128, cfg.n_text_ctx)
-    cache = dec_mod.init_kv_cache(cfg, b, dtype=audio_features.dtype,
-                                  ctx=cache_len)
+    if cache_dtype == "int8":
+        cache = dec_mod.init_kv_cache_int8(cfg, b, ctx=cache_len)
+    else:
+        cache = dec_mod.init_kv_cache(cfg, b, dtype=audio_features.dtype,
+                                      ctx=cache_len)
 
     tokens = jnp.full((b, total_len), eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, initial_tokens, (0, 0))
@@ -303,12 +318,36 @@ def greedy_decode_core(
         jnp.zeros((b,), jnp.bool_),
         jnp.zeros((b,), jnp.float32),
         jnp.zeros((b,), jnp.int32),
-        jnp.full((b,), cfg.timestamp_begin, jnp.int32),
+        # ts_max sentinel: ts_begin - 1 == "no timestamp sampled yet"
+        jnp.full((b,), cfg.timestamp_begin - 1, jnp.int32),
         key,
     )
     (pos, tokens, cache, _, finished, sum_lp, n_sampled, ts_max, _) = (
         jax.lax.while_loop(cond, step, init))
     return tokens, sum_lp, n_sampled, no_speech_prob
+
+
+# ---------------------------------------------------------------------------
+# Mesh helpers (DP x TP serving: decode under the model's mesh)
+# ---------------------------------------------------------------------------
+
+def _model_mesh_ctx(model):
+    """model.mesh_context() when available, else a no-op (mock models)."""
+    import contextlib
+
+    ctx = getattr(model, "mesh_context", None)
+    return ctx() if ctx is not None else contextlib.nullcontext()
+
+
+def _pad_batch_to_mesh(x: Array, mesh) -> Array:
+    """Pad the batch (repeat the last row) to a multiple of the data axis so
+    data-sharded placement and the in-graph cache constraints divide evenly."""
+    from .parallel.mesh import AXIS_DATA
+
+    pad = (-x.shape[0]) % mesh.shape[AXIS_DATA]
+    if pad:
+        x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -340,18 +379,25 @@ def detect_language(model, mel_or_features, *, from_features: bool = False):
     """Language-ID: returns (codes: List[str], probs: List[Dict[str,float]]).
 
     Batched equivalent of the reference's decode()
-    (/root/reference/Whisper/Whisper/Whisper.swift:33-40).
+    (/root/reference/Whisper/Whisper/Whisper.swift:33-40). Runs under the
+    model's mesh (DP x TP) when one is attached.
     """
     cfg = model.cfg
     if not cfg.multilingual:
         raise ValueError("language detection requires a multilingual model")
     x = jnp.asarray(mel_or_features)
-    if from_features:
-        feats = x if x.ndim == 3 else x[None]
-    else:
-        mel = x if x.ndim == 3 else x[None]
-        feats = model._encode_jit(model.params, mel=mel)
-    idx, probs = _detect_language_core(model.params, cfg, feats)
+    x = x if x.ndim == 3 else x[None]
+    b_in = x.shape[0]
+    mesh = getattr(model, "mesh", None)
+    if mesh is not None:
+        x = model.shard_batch(_pad_batch_to_mesh(x, mesh))
+    with _model_mesh_ctx(model):
+        if from_features:
+            feats = x
+        else:
+            feats = model._encode_jit(model.params, mel=x)
+        idx, probs = _detect_language_core(model.params, cfg, feats)
+    idx, probs = idx[:b_in], probs[:b_in]
     idx = np.asarray(idx)
     probs = np.asarray(probs)
     codes = [LANGUAGES[i] for i in idx]
@@ -398,7 +444,37 @@ def decode(
     tokenizer: Optional[Tokenizer] = None,
     seed: int = 0,
 ) -> List[DecodingResult]:
-    """Decode a batch of 30 s segments; returns one DecodingResult each."""
+    """Decode a batch of 30 s segments; returns one DecodingResult each.
+
+    With a mesh attached to the model this runs the full KV-cache decode loop
+    under DP x TP GSPMD: the batch is padded to the data axis, inputs are
+    placed data-sharded, and the cache/cross-KV constraints in models.decoder
+    keep heads on the model axis.
+    """
+    mesh = getattr(model, "mesh", None)
+    if mesh is None:
+        return _decode_impl(model, mel_or_features, options,
+                            from_features=from_features, tokenizer=tokenizer,
+                            seed=seed)
+    x = jnp.asarray(mel_or_features)
+    x = x if x.ndim == 3 else x[None]
+    b_in = x.shape[0]
+    x = model.shard_batch(_pad_batch_to_mesh(x, mesh))
+    with _model_mesh_ctx(model):
+        results = _decode_impl(model, x, options, from_features=from_features,
+                               tokenizer=tokenizer, seed=seed)
+    return results[:b_in]
+
+
+def _decode_impl(
+    model,
+    mel_or_features: Array,
+    options: DecodingOptions,
+    *,
+    from_features: bool,
+    tokenizer: Optional[Tokenizer],
+    seed: int,
+) -> List[DecodingResult]:
     cfg = model.cfg
     x = jnp.asarray(mel_or_features)
     if from_features:
@@ -491,6 +567,8 @@ def decode(
             prompt_len=prompt_len,
             beam_size=k,
             max_candidates=max_candidates,
+            kv_dtype=options.kv_dtype,
+            cache_dtype=options.cache_dtype,
         )
         ranked = rank_sequences(all_scores, all_lens, options.length_penalty)
         best = jnp.argmax(ranked, axis=1)
@@ -525,6 +603,7 @@ def decode(
             use_timestamps=not options.without_timestamps,
             prompt_len=prompt_len,
             kv_dtype=options.kv_dtype,
+            cache_dtype=options.cache_dtype,
         )
         if n_cand > 1:
             tokens = np.asarray(tokens).reshape(b, n_cand, -1)

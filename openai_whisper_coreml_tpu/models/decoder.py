@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import WhisperConfig
+from ..parallel.sharding import KV_PSPEC, KV_SCALE_PSPEC, constrain
 from .layers import (
     attention_core,
     layer_norm,
@@ -79,6 +80,46 @@ class QuantCrossKV(NamedTuple):
     vs: Array
 
 
+class QuantKVCache(NamedTuple):
+    """int8 self-attention cache with per-(b, h, position) column scales.
+
+    Same d-major geometry as KVCache; values live in HBM as int8 (halving
+    the self-KV read stream every decode step) and are dequantised inline on
+    read — XLA fuses the convert+scale into the attention reads, the same
+    mechanism measured for int8 cross-KV (docs/benchmarks.md "int8 options").
+    """
+
+    k8: Array  # (L, B, H, D, C) int8
+    ks: Array  # (L, B, H, 1, C) fp32
+    v8: Array
+    vs: Array
+
+    @property
+    def batch(self) -> int:
+        return self.k8.shape[1]
+
+
+def init_kv_cache_int8(cfg: WhisperConfig, batch: int,
+                       ctx: Optional[int] = None) -> QuantKVCache:
+    """int8 variant of init_kv_cache (see cache_dtype in DecodingOptions)."""
+    ctx = cfg.n_text_ctx if ctx is None else min(ctx, cfg.n_text_ctx)
+    shape = (cfg.n_text_layer, batch, cfg.n_text_head, cfg.text_head_dim, ctx)
+    sshape = shape[:3] + (1, ctx)
+    return QuantKVCache(
+        constrain(jnp.zeros(shape, jnp.int8), KV_PSPEC),
+        constrain(jnp.zeros(sshape, jnp.float32), KV_SCALE_PSPEC),
+        constrain(jnp.zeros(shape, jnp.int8), KV_PSPEC),
+        constrain(jnp.zeros(sshape, jnp.float32), KV_SCALE_PSPEC))
+
+
+def gather_cache(cache, idx: Array):
+    """Reorder the cache's batch rows (beam-search source gather)."""
+    if isinstance(cache, QuantKVCache):
+        return QuantKVCache(cache.k8[:, idx], cache.ks[:, idx],
+                            cache.v8[:, idx], cache.vs[:, idx])
+    return KVCache(cache.k[:, idx], cache.v[:, idx])
+
+
 def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
                   ctx: Optional[int] = None) -> KVCache:
     """ctx: cache length; defaults to the full 448 text context. Decodes with
@@ -86,7 +127,9 @@ def init_kv_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
     reads the whole buffer, so an oversized cache is pure wasted bandwidth."""
     ctx = cfg.n_text_ctx if ctx is None else min(ctx, cfg.n_text_ctx)
     shape = (cfg.n_text_layer, batch, cfg.n_text_head, cfg.text_head_dim, ctx)
-    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+    # batch on "data", heads on "model" under an active mesh (no-op otherwise)
+    return KVCache(constrain(jnp.zeros(shape, dtype), KV_PSPEC),
+                   constrain(jnp.zeros(shape, dtype), KV_PSPEC))
 
 
 def to_dmajor(x: Array, n_head: int) -> Array:
@@ -108,7 +151,7 @@ def precompute_cross_kv(params, cfg: WhisperConfig, audio_features: Array) -> Cr
         return None, (k, v)
 
     _, (ks, vs) = jax.lax.scan(body, None, blocks)
-    return CrossKV(ks, vs)
+    return CrossKV(constrain(ks, KV_PSPEC), constrain(vs, KV_PSPEC))
 
 
 def precompute_cross_kv_int8(params, cfg: WhisperConfig,
@@ -128,7 +171,8 @@ def precompute_cross_kv_int8(params, cfg: WhisperConfig,
         return None, (k8, ks, v8, vs)
 
     _, (k8, ks, v8, vs) = jax.lax.scan(body, None, blocks)
-    return QuantCrossKV(k8, ks, v8, vs)
+    return QuantCrossKV(constrain(k8, KV_PSPEC), constrain(ks, KV_SCALE_PSPEC),
+                        constrain(v8, KV_PSPEC), constrain(vs, KV_SCALE_PSPEC))
 
 
 def attention_dmajor(q: Array, k: Array, v: Array,
@@ -228,7 +272,7 @@ def decode_step(
     n_head = cfg.n_text_head
 
     b, t, _ = x.shape
-    c = cache.k.shape[-1]
+    c = cache[0].shape[-1]  # KVCache.k / QuantKVCache.k8: (..., ctx)
     q_pos = pos_offset + jnp.arange(t)[:, None]  # (T, 1)
     k_pos = jnp.arange(c)[None, :]  # (1, C)
     mask = ((k_pos <= q_pos) & (k_pos >= valid_from))[None, None]  # (1,1,T,C)
@@ -255,7 +299,14 @@ def decode_step(
             out = attention_dmajor(q2, cross_kv.k[l], cross_kv.v[l])
         return linear(merge_heads(out), cp["out"])
 
-    ck_all, cv_all = cache.k, cache.v
+    quant_self = isinstance(cache, QuantKVCache)
+    if quant_self:
+        from ..ops.sqa_int8 import quantize_kv_column
+
+        k8_all, ks_all, v8_all, vs_all = cache
+    else:
+        ck_all, cv_all = cache.k, cache.v
+
     for l in range(cfg.n_text_layer):
         lp = jax.tree.map(lambda a: a[l], blocks)
 
@@ -263,19 +314,41 @@ def decode_step(
         h = layer_norm(x, lp["attn_ln"])
         q = split_heads(linear(h, p["q"]), n_head)
         # new K/V in d-major: (B, T, n_state) -> (B, H, D, T)
-        k_new = to_dmajor(linear(h, p["k"]), n_head).astype(ck_all.dtype)
-        v_new = to_dmajor(linear(h, p["v"]), n_head).astype(cv_all.dtype)
-        ck_all = jax.lax.dynamic_update_slice(
-            ck_all, k_new[None], (l, 0, 0, 0, pos_offset))
-        cv_all = jax.lax.dynamic_update_slice(
-            cv_all, v_new[None], (l, 0, 0, 0, pos_offset))
-        attn = attention_dmajor(q, ck_all[l], cv_all[l], mask=mask)
+        k_new = to_dmajor(linear(h, p["k"]), n_head)
+        v_new = to_dmajor(linear(h, p["v"]), n_head)
+        if quant_self:
+            kq, ksc = quantize_kv_column(k_new)
+            vq, vsc = quantize_kv_column(v_new)
+            k8_all = jax.lax.dynamic_update_slice(
+                k8_all, kq[None], (l, 0, 0, 0, pos_offset))
+            ks_all = jax.lax.dynamic_update_slice(
+                ks_all, ksc[None], (l, 0, 0, 0, pos_offset))
+            v8_all = jax.lax.dynamic_update_slice(
+                v8_all, vq[None], (l, 0, 0, 0, pos_offset))
+            vs_all = jax.lax.dynamic_update_slice(
+                vs_all, vsc[None], (l, 0, 0, 0, pos_offset))
+            # inline dequant: XLA fuses the convert+scale into the reads
+            k_l = (k8_all[l].astype(jnp.float32) * ks_all[l]).astype(x.dtype)
+            v_l = (v8_all[l].astype(jnp.float32) * vs_all[l]).astype(x.dtype)
+        else:
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, k_new.astype(ck_all.dtype)[None],
+                (l, 0, 0, 0, pos_offset))
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, v_new.astype(cv_all.dtype)[None],
+                (l, 0, 0, 0, pos_offset))
+            k_l, v_l = ck_all[l], cv_all[l]
+        attn = attention_dmajor(q, k_l, v_l, mask=mask)
         x = x + linear(merge_heads(attn), p["out"])
 
         x = x + cross_attn(x, lp, l)
         x = x + mlp(layer_norm(x, lp["mlp_ln"]), lp["mlp"])
 
-    return final_logits(params, x), KVCache(ck_all, cv_all)
+    if quant_self:
+        new_cache = QuantKVCache(k8_all, ks_all, v8_all, vs_all)
+    else:
+        new_cache = KVCache(ck_all, cv_all)
+    return final_logits(params, x), new_cache
 
 
 def decoder_forward(

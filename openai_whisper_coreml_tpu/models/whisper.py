@@ -8,6 +8,7 @@ functions over it (compilation is XLA's job, at first call, cached).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 from typing import Optional
@@ -15,6 +16,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import audio as audio_mod
 from ..config import WhisperConfig, get_config
@@ -28,6 +30,28 @@ class WhisperModel:
     cfg: WhisperConfig
     params: Params
     flash: bool = False  # use Pallas flash-attention kernels where applicable
+    # (data, model) mesh for DP x TP serving; params are sharded onto it by
+    # load_model and every jitted entry runs under its context so the
+    # decode-state sharding constraints (parallel/sharding.py) take effect
+    mesh: Optional[Mesh] = None
+
+    def mesh_context(self):
+        """jax.set_mesh(self.mesh), or a no-op for single-chip models."""
+        if self.mesh is None:
+            return contextlib.nullcontext()
+        return jax.set_mesh(self.mesh)
+
+    def shard_batch(self, x: jax.Array) -> jax.Array:
+        """Place a batch-major array data-sharded on the mesh (no-op without
+        a mesh or when the batch does not divide the data axis)."""
+        if self.mesh is None:
+            return x
+        from ..parallel.mesh import AXIS_DATA
+
+        if x.shape[0] % self.mesh.shape[AXIS_DATA] != 0:
+            return x
+        spec = P(AXIS_DATA, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
 
     # -- forward passes -----------------------------------------------------
 
@@ -50,13 +74,15 @@ class WhisperModel:
         squeeze = mel.ndim == 2
         if squeeze:
             mel = mel[None]
-        feats = self._encode_jit(self.params, mel=mel)
+        with self.mesh_context():
+            feats = self._encode_jit(self.params, mel=self.shard_batch(mel))
         return feats[0] if squeeze else feats
 
     def logits(self, tokens: jax.Array, audio_features: jax.Array) -> jax.Array:
         """Teacher-forcing logits (B, T, vocab), fp32."""
-        return self._logits_jit(self.params, tokens=jnp.asarray(tokens),
-                                audio_features=audio_features)
+        with self.mesh_context():
+            return self._logits_jit(self.params, tokens=jnp.asarray(tokens),
+                                    audio_features=audio_features)
 
     # -- capability parity with the reference -------------------------------
 
@@ -99,6 +125,7 @@ def load_model(
     seed: int = 0,
     flash: Optional[bool] = None,
     quantize: Optional[str] = None,
+    mesh: Optional[Mesh] = None,
 ) -> WhisperModel:
     """Build a WhisperModel.
 
@@ -106,6 +133,8 @@ def load_model(
     tools/convert.py) — .safetensors or orbax dir. Without one, params are
     randomly initialised (tests, benchmarks, training-from-scratch).
     quantize: "int8" for weights-only int8 serving (see quantize.py).
+    mesh: a (data, model) jax.sharding.Mesh (parallel.make_mesh) — params are
+    TP-sharded onto it and every forward/decode entry runs under it.
     """
     cfg = get_config(name)
     on_cpu = jax.default_backend() == "cpu"
@@ -113,18 +142,33 @@ def load_model(
         dtype = jnp.float32 if on_cpu else jnp.bfloat16
     if flash is None:
         # Pallas flash attention beats XLA attention ~1.6x at encoder
-        # geometry on v5e; interpret mode on CPU is only for tests
-        flash = not on_cpu
+        # geometry on v5e; interpret mode on CPU is only for tests. Under a
+        # mesh the jnp attention path is used instead: a pallas_call is an
+        # opaque custom call to GSPMD (it cannot be partitioned without
+        # shard_map), while the jnp path shards cleanly.
+        flash = not on_cpu and mesh is None
     if checkpoint is not None:
         from ..utils.checkpoint import load_params
 
         params = load_params(checkpoint, cfg=cfg, dtype=dtype)
     else:
         params = init_params(cfg, jax.random.PRNGKey(seed), dtype=dtype)
+    if mesh is not None:
+        from ..parallel.mesh import AXIS_MODEL
+        from ..parallel.sharding import shard_params
+
+        n_model = mesh.shape[AXIS_MODEL]
+        if cfg.n_text_head % n_model or cfg.n_audio_head % n_model:
+            raise ValueError(
+                f"model axis ({n_model}) must divide attention heads "
+                f"({cfg.n_audio_head} audio / {cfg.n_text_head} text)")
+        params = shard_params(params, cfg, mesh)
     if quantize is not None:
         if quantize != "int8":
             raise ValueError(f"unsupported quantization {quantize!r}")
         from ..quantize import quantize_params  # type: ignore[import]
 
+        # after shard_params: quantization follows the weight shardings
+        # (computation-follows-data), so w_q/scale land sharded too
         params = quantize_params(params)
-    return WhisperModel(cfg=cfg, params=params, flash=flash)
+    return WhisperModel(cfg=cfg, params=params, flash=flash, mesh=mesh)

@@ -12,9 +12,13 @@ dequantises there, so HBM traffic truly halves:
   * d-major (B, H, D, S) blocks, one grid cell per batch row, static loop
     over heads; masking by [valid_from, pos] bounds from scalar prefetch.
 
-Status: validated for parity (interpret + on-chip) and benchmarked
-standalone; not yet wired into decode_step (integration = cache pytrees gain
-scale planes; planned once step-level win is confirmed end to end).
+Status: validated for parity (interpret + on-chip). The production int8
+cross-KV path (`DecodingOptions(kv_dtype="int8")`) does NOT use this kernel:
+inline XLA dequant in decode_step measured faster end to end (XLA fuses the
+convert+scale into the attention reads — docs/benchmarks.md "int8 options").
+This kernel remains the reference formulation for fused dequant-in-VMEM
+attention; its per-cell cost is dominated by fixed overheads at single-query
+shapes.
 """
 
 from __future__ import annotations

@@ -23,9 +23,31 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import WhisperConfig
-from .mesh import AXIS_MODEL
+from .mesh import AXIS_DATA, AXIS_MODEL
 
 Params = Dict[str, Any]
+
+# ---------------------------------------------------------------------------
+# Activation / decode-state PartitionSpecs
+#
+# The KV cache and cross-KV are stored d-major (L, B, H, D, S): batch on the
+# "data" axis, heads on the "model" axis (matching the column-parallel k/v
+# projections, so cache writes need no resharding); D and S stay local — the
+# softmax reduction over S and the (D,S) tiles never cross chips.
+# ---------------------------------------------------------------------------
+
+KV_PSPEC = P(None, AXIS_DATA, AXIS_MODEL, None, None)  # (L, B, H, D, S)
+KV_SCALE_PSPEC = P(None, AXIS_DATA, AXIS_MODEL, None, None)  # (L, B, H, 1, S)
+FEATURES_PSPEC = P(AXIS_DATA, None, None)  # (B, S, n_state)
+BATCH_PSPEC = P(AXIS_DATA)  # (B, ...) host inputs / logits
+
+
+def constrain(x, spec: P):
+    """with_sharding_constraint iff a mesh context is active (jax.set_mesh);
+    a no-op otherwise, so unsharded single-chip paths are untouched."""
+    if jax.sharding.get_abstract_mesh().empty:
+        return x
+    return jax.lax.with_sharding_constraint(x, spec)
 
 
 def _attn_specs(stacked: bool) -> Params:

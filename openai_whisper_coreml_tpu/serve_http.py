@@ -13,12 +13,10 @@ the batch-first core — swap for a production gateway as needed.
 
 from __future__ import annotations
 
-import io
 import json
 import queue
 import threading
 import urllib.parse
-import wave
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
@@ -134,19 +132,11 @@ class WhisperHTTPServer:
                 raw = self.rfile.read(n)
                 if self.headers.get("X-Raw-Audio") == "1":
                     return np.frombuffer(raw, dtype=np.float32)
-                with wave.open(io.BytesIO(raw), "rb") as wf:
-                    rate = wf.getframerate()
-                    ch = wf.getnchannels()
-                    data = np.frombuffer(
-                        wf.readframes(wf.getnframes()),
-                        dtype="<i2").astype(np.float32) / 32768.0
-                if ch > 1:
-                    data = data.reshape(-1, ch).mean(axis=1)
-                if rate != 16_000:
-                    from .utils.audio_io import resample
+                # full width dispatch (8/16/24/32-bit PCM) + mixdown +
+                # resample; unsupported formats raise -> 400 in do_POST
+                from .utils.audio_io import decode_wav_bytes
 
-                    data = resample(data, rate, 16_000)
-                return data
+                return decode_wav_bytes(raw)
 
             def do_POST(self):
                 parsed = urllib.parse.urlparse(self.path)
@@ -231,11 +221,19 @@ def main(argv=None) -> int:
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8090)
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--tensor-parallel", type=int, default=1,
+                    help="TP degree: builds a (devices/N, N) mesh and serves "
+                         "the sharded decode path")
     args = ap.parse_args(argv)
 
     from . import load_model
 
-    model = load_model(args.model, checkpoint=args.checkpoint)
+    mesh = None
+    if args.tensor_parallel > 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(n_model=args.tensor_parallel)
+    model = load_model(args.model, checkpoint=args.checkpoint, mesh=mesh)
     server = WhisperHTTPServer(model, args.host, args.port,
                                batch_size=args.batch_size)
     server.start()

@@ -160,9 +160,19 @@ class StreamingTranscriber:
         return events
 
     def finish(self) -> List[StreamEvent]:
-        """Flush: decode once more and emit everything unconfirmed."""
+        """Flush: decode once more and emit everything unconfirmed.
+
+        Emitted text must never retract: the final hypothesis only extends
+        the output if it agrees with the already-emitted confirmed prefix;
+        on divergence the confirmed text stands and nothing new is emitted.
+        """
         hyp = self._decode_window() if len(self._buffer) else []
-        new = hyp[len(self._confirmed) :]
-        self._confirmed = hyp
+        lcp = len(self._common_prefix([hyp, self._confirmed])) \
+            if self._confirmed else 0
+        if self._confirmed and lcp < len(self._confirmed):
+            new: List[int] = []
+        else:
+            new = hyp[len(self._confirmed) :]
+            self._confirmed = hyp
         ev = StreamEvent(self._tok().decode(new), new, is_final=True)
         return [ev] if new else [StreamEvent("", [], is_final=True)]

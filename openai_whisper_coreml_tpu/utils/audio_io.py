@@ -60,9 +60,10 @@ def _find_native_lib() -> Optional[ctypes.CDLL]:
     return None
 
 
-def _load_wav_python(path: str) -> tuple[np.ndarray, int]:
-    """Decode a PCM WAV file to float32 in [-1, 1], mono-averaged."""
-    with wave.open(path, "rb") as wf:
+def _load_wav_python(path_or_file) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV (path or binary file-like) to float32 in [-1, 1],
+    mono-averaged. Handles 8/16/24/32-bit integer PCM."""
+    with wave.open(path_or_file, "rb") as wf:
         n_channels = wf.getnchannels()
         width = wf.getsampwidth()
         rate = wf.getframerate()
@@ -73,6 +74,10 @@ def _load_wav_python(path: str) -> tuple[np.ndarray, int]:
         data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 4:
         data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.uint32)
+        s = (b[:, 0] << 8) | (b[:, 1] << 16) | (b[:, 2] << 24)
+        data = (s.astype(np.int32) >> 8).astype(np.float32) / 8388608.0
     elif width == 1:
         data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     else:
@@ -81,6 +86,15 @@ def _load_wav_python(path: str) -> tuple[np.ndarray, int]:
     if n_channels > 1:
         data = data.reshape(-1, n_channels).mean(axis=1)
     return data, rate
+
+
+def decode_wav_bytes(raw: bytes, sample_rate: int = 16_000) -> np.ndarray:
+    """Decode in-memory WAV bytes to float32 mono at `sample_rate` (the HTTP
+    upload path; same width dispatch as the file loader)."""
+    import io
+
+    data, rate = _load_wav_python(io.BytesIO(raw))
+    return resample(data, rate, sample_rate)
 
 
 def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:

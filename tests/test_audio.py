@@ -108,3 +108,35 @@ def test_wav_resample_on_load(tmp_path, rng):
     # resampled sine keeps its frequency: check via FFT peak
     peak = np.argmax(np.abs(np.fft.rfft(y[:16000])))
     assert abs(peak - 440) <= 2
+
+
+def test_wav_24bit_decode(tmp_path, rng):
+    """24-bit PCM decodes correctly through the pure-Python width dispatch
+    and the in-memory HTTP path (decode_wav_bytes)."""
+    import wave
+
+    from openai_whisper_coreml_tpu.utils.audio_io import (
+        _load_wav_python,
+        decode_wav_bytes,
+    )
+
+    x = (rng.uniform(-0.9, 0.9, 400)).astype(np.float64)
+    pcm = np.round(x * 8388607.0).astype(np.int32)
+    b = np.zeros((len(pcm), 3), np.uint8)
+    u = pcm.astype(np.uint32) & 0xFFFFFF
+    b[:, 0] = u & 0xFF
+    b[:, 1] = (u >> 8) & 0xFF
+    b[:, 2] = (u >> 16) & 0xFF
+    path = tmp_path / "s24.wav"
+    with wave.open(str(path), "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(16000)
+        wf.writeframes(b.tobytes())
+
+    data, rate = _load_wav_python(str(path))
+    assert rate == 16000
+    np.testing.assert_allclose(data, x, atol=2e-7)
+
+    via_bytes = decode_wav_bytes(path.read_bytes())
+    np.testing.assert_allclose(via_bytes, x, atol=2e-7)

@@ -159,3 +159,44 @@ def test_best_of_sampling(model, mel):
         without_timestamps=True), seed=1)
     for a, b in zip(r1, r0):
         assert a.avg_logprob >= b.avg_logprob - 1e-5
+
+
+def test_timestamp_rule_c_openai_semantics():
+    """Rule c must match openai ApplyTimestampRules exactly: after a LONE
+    timestamp the pairing timestamp may be EQUAL; after text (with some
+    timestamp already sampled) the next timestamp must be STRICTLY greater;
+    before any timestamp is sampled nothing in the timestamp range is
+    suppressed (beyond rules a/b/d)."""
+    from openai_whisper_coreml_tpu.config import tiny_test_config
+    from openai_whisper_coreml_tpu.decoding import NEG_INF, _apply_logit_rules
+
+    cfg = tiny_test_config(n_text_ctx=96)
+    tb = cfg.timestamp_begin
+    v = cfg.n_vocab
+    prompt_len = 4
+    no_sup = jnp.zeros(v, bool)
+    suppressed = float(NEG_INF) / 2  # anything below this counts as -inf
+
+    def rules(sampled, ts_max):
+        toks = [0] * prompt_len + list(sampled)
+        pos = len(toks)
+        toks = toks + [0] * (16 - len(toks))
+        out = _apply_logit_rules(
+            jnp.zeros((1, v), jnp.float32), jnp.asarray([toks], jnp.int32),
+            jnp.int32(pos), cfg, prompt_len, no_sup, no_sup, True,
+            jnp.asarray([ts_max], jnp.int32), jnp.int32(-1))
+        return np.asarray(out)[0]
+
+    # lone timestamp just sampled -> pairing timestamp may be EQUAL
+    out = rules([tb + 5, 7, 8, tb + 5], ts_max=tb + 5)
+    assert out[tb + 5] > suppressed, "equal pairing timestamp must be allowed"
+    assert out[tb + 4] < suppressed, "earlier timestamp must be suppressed"
+
+    # pair completed, then text -> next timestamp strictly greater
+    out = rules([tb + 5, tb + 5, 7, 8], ts_max=tb + 5)
+    assert out[tb + 5] < suppressed, "equal timestamp forbidden after text"
+    assert out[tb + 6] > suppressed
+
+    # no timestamp sampled yet (sentinel ts_max = tb - 1): <|0.00|> allowed
+    out = rules([7, 8], ts_max=tb - 1)
+    assert out[tb] > suppressed

@@ -95,3 +95,86 @@ def test_train_step_runs_sharded(cfg):
     assert np.isfinite(losses).all()
     # optimizing on a fixed batch must reduce the loss
     assert losses[-1] < losses[0]
+
+
+# ---------------------------------------------------------------------------
+# Sharded DECODE path (the production serving graph, not just forward)
+# ---------------------------------------------------------------------------
+
+def _make_models(cfg, n_data, n_model):
+    """(unsharded, mesh-sharded) WhisperModel pair with identical params."""
+    from openai_whisper_coreml_tpu.models.whisper import WhisperModel
+    from openai_whisper_coreml_tpu.parallel.sharding import shard_params
+
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ref = WhisperModel(cfg=cfg, params=params)
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    sharded = WhisperModel(cfg=cfg, params=shard_params(params, cfg, mesh),
+                           mesh=mesh)
+    return ref, sharded
+
+
+@pytest.mark.parametrize("n_data,n_model", [(2, 4), (4, 2)])
+def test_sharded_greedy_decode_token_exact(cfg, n_data, n_model):
+    """The full KV-cache greedy decode loop under a DP x TP mesh must emit
+    the exact token sequences of unsharded execution."""
+    from openai_whisper_coreml_tpu.decoding import DecodingOptions, decode
+
+    ref, sharded = _make_models(cfg, n_data, n_model)
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((4, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    opts = DecodingOptions(language="en", sample_len=12)
+
+    res_ref = decode(ref, mel, opts)
+    res_sh = decode(sharded, mel, opts)
+    for a, b in zip(res_ref, res_sh):
+        assert a.tokens == b.tokens
+        np.testing.assert_allclose(a.avg_logprob, b.avg_logprob, atol=1e-3)
+        np.testing.assert_allclose(a.no_speech_prob, b.no_speech_prob,
+                                   atol=1e-3)
+
+
+def test_sharded_beam_decode_token_exact(cfg):
+    """Beam search (cache gather/reorder per step) under the mesh must match
+    unsharded beams token for token."""
+    from openai_whisper_coreml_tpu.decoding import DecodingOptions, decode
+
+    ref, sharded = _make_models(cfg, 2, 4)
+    rng = np.random.default_rng(4)
+    mel = rng.standard_normal((2, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    opts = DecodingOptions(language="en", sample_len=8, beam_size=2)
+
+    res_ref = decode(ref, mel, opts)
+    res_sh = decode(sharded, mel, opts)
+    for a, b in zip(res_ref, res_sh):
+        assert a.tokens == b.tokens
+
+
+def test_sharded_decode_pads_odd_batch(cfg):
+    """Batches that do not divide the data axis are padded and trimmed."""
+    from openai_whisper_coreml_tpu.decoding import DecodingOptions, decode
+
+    ref, sharded = _make_models(cfg, 4, 2)
+    rng = np.random.default_rng(5)
+    mel = rng.standard_normal((3, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    opts = DecodingOptions(language="en", sample_len=6)
+    res_ref = decode(ref, mel, opts)
+    res_sh = decode(sharded, mel, opts)
+    assert len(res_sh) == 3
+    for a, b in zip(res_ref, res_sh):
+        assert a.tokens == b.tokens
+
+
+def test_sharded_language_detection(cfg):
+    """detect_language (the reference's capability) under the mesh."""
+    from openai_whisper_coreml_tpu.decoding import detect_language
+
+    ref, sharded = _make_models(cfg, 2, 4)
+    rng = np.random.default_rng(6)
+    mel = rng.standard_normal((2, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    codes_ref, probs_ref = detect_language(ref, mel)
+    codes_sh, probs_sh = detect_language(sharded, mel)
+    assert codes_ref == codes_sh
+    for pr, ps in zip(probs_ref, probs_sh):
+        top_r = max(pr, key=pr.get)
+        np.testing.assert_allclose(pr[top_r], ps[top_r], atol=1e-3)

@@ -53,3 +53,23 @@ def test_streaming_trims_long_buffer(model):
         st.feed((0.1 * rng.standard_normal(10 * 16000)).astype(np.float32))
     assert len(st._buffer) <= 30 * 16000
     st.finish()
+
+
+def test_finish_never_contradicts_confirmed(model, monkeypatch):
+    """finish() must not re-emit or contradict confirmed text when the final
+    hypothesis diverges from the already-emitted prefix."""
+    st = StreamingTranscriber(model, language="en", agreement=1)
+    st._buffer = np.zeros(16000, np.float32)
+    st._confirmed = [10, 11, 12]
+    monkeypatch.setattr(st, "_decode_window", lambda: [10, 99, 98, 97])
+    finals = st.finish()
+    assert finals[-1].is_final
+    assert finals[-1].tokens == []  # diverged: nothing new emitted
+
+    # agreeing hypothesis extends normally
+    st2 = StreamingTranscriber(model, language="en", agreement=1)
+    st2._buffer = np.zeros(16000, np.float32)
+    st2._confirmed = [10, 11]
+    monkeypatch.setattr(st2, "_decode_window", lambda: [10, 11, 12, 13])
+    finals = st2.finish()
+    assert finals[-1].tokens == [12, 13]
