@@ -138,7 +138,7 @@ NEG_INF = jnp.float32(-1e30)
 def _apply_logit_rules(
     logits: Array,  # (B, V) fp32
     tokens: Array,  # (B, L) buffer
-    pos: Array,  # scalar: index being sampled now
+    pos: Array,  # scalar OR (B,) int32: index being sampled now (per row)
     cfg: WhisperConfig,
     prompt_len: int,
     suppress_mask: Array,  # (V,) bool
@@ -148,13 +148,17 @@ def _apply_logit_rules(
     max_initial_ts_index: Array,  # scalar int32, -1 disables
 ) -> Array:
     v = logits.shape[-1]
+    b = tokens.shape[0]
     vocab_ids = jnp.arange(v, dtype=jnp.int32)[None, :]  # (1, V)
     ts_begin = cfg.timestamp_begin
     eot = cfg.eot_token
+    # per-row position column: lockstep decode passes a scalar, the
+    # continuous-batching engine a (B,) vector of independent positions
+    pos_b = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (b,))[:, None]
 
     logits = jnp.where(suppress_mask[None, :], NEG_INF, logits)
 
-    is_first = pos == prompt_len
+    is_first = pos_b == prompt_len  # (B, 1)
     logits = jnp.where(is_first & blank_mask[None, :], NEG_INF, logits)
 
     if not use_timestamps:
@@ -162,14 +166,12 @@ def _apply_logit_rules(
         return jnp.where(vocab_ids >= ts_begin, NEG_INF, logits)
 
     # ---- openai ApplyTimestampRules, vectorised ---------------------------
-    last = jnp.take_along_axis(tokens, jnp.full((tokens.shape[0], 1),
-                                                jnp.maximum(pos - 1, 0)), axis=1)
-    penult = jnp.take_along_axis(tokens, jnp.full((tokens.shape[0], 1),
-                                                  jnp.maximum(pos - 2, 0)), axis=1)
-    last_is_ts = (pos - 1 >= prompt_len) & (last >= ts_begin)  # (B,1)
+    last = jnp.take_along_axis(tokens, jnp.maximum(pos_b - 1, 0), axis=1)
+    penult = jnp.take_along_axis(tokens, jnp.maximum(pos_b - 2, 0), axis=1)
+    last_is_ts = (pos_b - 1 >= prompt_len) & (last >= ts_begin)  # (B,1)
     # openai semantics: with fewer than two sampled tokens the "penultimate"
     # slot counts as a timestamp, so the opening timestamp is followed by text
-    penult_is_ts = (pos - 2 < prompt_len) | (penult >= ts_begin)
+    penult_is_ts = (pos_b - 2 < prompt_len) | (penult >= ts_begin)
 
     # a) two timestamps in a row -> next must be text (no third timestamp)
     rule_a = last_is_ts & penult_is_ts & (vocab_ids >= ts_begin)

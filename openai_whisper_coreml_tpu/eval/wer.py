@@ -3,42 +3,31 @@
 The reference has no evaluation at all (SURVEY.md §4: zero tests, zero
 benchmarks). WER parity on LibriSpeech test-clean is this framework's
 accuracy gate (BASELINE.md), so the metric lives in-repo: Levenshtein
-alignment over words plus a simplified English normaliser matching the
-intent of openai's EnglishTextNormalizer (lowercase, punctuation/annotation
-stripping, whitespace collapse, common contraction standardisation).
+alignment over words plus the openai-faithful EnglishTextNormalizer
+(eval/normalizers.py: contraction/abbreviation expansion, number
+standardisation, British->American spellings) so measured WER is comparable
+to published Whisper numbers.
 """
 
 from __future__ import annotations
 
-import re
+import functools
 from dataclasses import dataclass
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
-_ANNOTATION = re.compile(r"[<\[][^>\]]*[>\]]")  # [noise], <unk>, ...
-_PUNCT = re.compile(r"[^\w\s']", re.UNICODE)
-_SPACES = re.compile(r"\s+")
-
-_CONTRACTIONS = {
-    "won't": "will not", "can't": "can not", "shan't": "shall not",
-    "'cause": "because",
-}
-_SUFFIXES = (
-    ("n't", " not"), ("'re", " are"), ("'ve", " have"), ("'ll", " will"),
-    ("'d", " would"), ("'m", " am"),
-)
+from .normalizers import BasicTextNormalizer, EnglishTextNormalizer
 
 
-def normalize_text(text: str) -> str:
-    """Normalise a transcript for WER comparison."""
-    text = text.lower()
-    text = _ANNOTATION.sub(" ", text)
-    for full, repl in _CONTRACTIONS.items():
-        text = text.replace(full, repl)
-    for suffix, repl in _SUFFIXES:
-        text = re.sub(rf"(\w){re.escape(suffix)}\b", rf"\1{repl}", text)
-    text = _PUNCT.sub(" ", text)
-    text = text.replace("'", "")
-    return _SPACES.sub(" ", text).strip()
+@functools.lru_cache(maxsize=2)
+def _normalizer(language: Optional[str]):
+    if language in (None, "en"):
+        return EnglishTextNormalizer()
+    return BasicTextNormalizer()
+
+
+def normalize_text(text: str, language: Optional[str] = "en") -> str:
+    """Normalise a transcript for WER comparison (openai semantics)."""
+    return _normalizer(language)(text)
 
 
 @dataclass
@@ -63,28 +52,56 @@ class WERResult:
 
 def word_errors(ref_words: Sequence[str], hyp_words: Sequence[str]
                 ) -> Tuple[int, int, int, int]:
-    """(substitutions, deletions, insertions, hits) via Levenshtein DP."""
+    """(substitutions, deletions, insertions, hits) via Levenshtein DP.
+
+    Vectorised anti-diagonal sweep (cells on one anti-diagonal only depend
+    on the two previous diagonals) + an O(n+m) backtrace for the error
+    breakdown — the O(n*m) Python inner loop was the eval bottleneck at
+    LibriSpeech scale (2,620 utterance pairs)."""
+    import numpy as np
+
     n, m = len(ref_words), len(hyp_words)
-    # dp[j] = (cost, subs, dels, ins) for prefix alignment
-    INF = 1 << 30
-    prev = [(j, 0, 0, j) for j in range(m + 1)]
-    for i in range(1, n + 1):
-        cur = [(i, 0, i, 0)] + [(INF, 0, 0, 0)] * m
-        for j in range(1, m + 1):
-            if ref_words[i - 1] == hyp_words[j - 1]:
-                cand = prev[j - 1]
-                cur[j] = cand
+    if n == 0:
+        return 0, 0, m, 0
+    if m == 0:
+        return 0, n, 0, 0
+
+    ids: Dict[str, int] = {}
+    r = np.fromiter((ids.setdefault(w, len(ids)) for w in ref_words),
+                    np.int32, n)
+    h = np.fromiter((ids.setdefault(w, len(ids)) for w in hyp_words),
+                    np.int32, m)
+    sub_cost = (r[:, None] != h[None, :]).astype(np.int32)  # (n, m)
+
+    d = np.zeros((n + 1, m + 1), np.int32)
+    d[0, :] = np.arange(m + 1)
+    d[:, 0] = np.arange(n + 1)
+    for k in range(2, n + m + 1):
+        i = np.arange(max(1, k - m), min(n, k - 1) + 1)
+        if i.size == 0:
+            continue
+        j = k - i
+        diag = d[i - 1, j - 1] + sub_cost[i - 1, j - 1]
+        step = np.minimum(d[i - 1, j], d[i, j - 1]) + 1
+        d[i, j] = np.minimum(diag, step)
+
+    i, j = n, m
+    subs = dels = ins = hits = 0
+    while i > 0 or j > 0:
+        if (i > 0 and j > 0
+                and d[i, j] == d[i - 1, j - 1] + sub_cost[i - 1, j - 1]):
+            if sub_cost[i - 1, j - 1]:
+                subs += 1
             else:
-                c_sub = (prev[j - 1][0] + 1, prev[j - 1][1] + 1,
-                         prev[j - 1][2], prev[j - 1][3])
-                c_del = (prev[j][0] + 1, prev[j][1], prev[j][2] + 1,
-                         prev[j][3])
-                c_ins = (cur[j - 1][0] + 1, cur[j - 1][1], cur[j - 1][2],
-                         cur[j - 1][3] + 1)
-                cur[j] = min(c_sub, c_del, c_ins)
-        prev = cur
-    cost, subs, dels, ins = prev[m]
-    hits = n - subs - dels
+                hits += 1
+            i -= 1
+            j -= 1
+        elif i > 0 and d[i, j] == d[i - 1, j] + 1:
+            dels += 1
+            i -= 1
+        else:
+            ins += 1
+            j -= 1
     return subs, dels, ins, hits
 
 

@@ -224,14 +224,19 @@ def embed_tokens(params, cfg: WhisperConfig, tokens: Array,
                  pos_offset, compute_dtype, valid_from=0) -> Array:
     """Token + learned-position embedding. Cache slot i holds logical position
     i - valid_from (left-pad bucketing); padded slots clamp to position 0 and
-    are masked out of attention anyway."""
+    are masked out of attention anyway.
+
+    pos_offset may be a scalar (lockstep decode) or a (B,) vector of
+    independent per-row positions (continuous batching)."""
     dec = params["decoder"]
-    t = tokens.shape[1]
+    b, t = tokens.shape
     tok_emb = dec["token_embedding"][tokens]  # (B, T, n_state)
-    positions = jnp.clip(pos_offset + jnp.arange(t) - valid_from, 0,
-                         cfg.n_text_ctx - 1)
+    pos_col = jnp.broadcast_to(jnp.asarray(pos_offset, jnp.int32),
+                               (b,))[:, None]  # (B, 1)
+    positions = jnp.clip(pos_col + jnp.arange(t)[None] - valid_from, 0,
+                         cfg.n_text_ctx - 1)  # (B, T)
     pos_emb = jnp.take(dec["positional_embedding"], positions, axis=0)
-    return (tok_emb + pos_emb[None]).astype(compute_dtype)
+    return (tok_emb + pos_emb).astype(compute_dtype)
 
 
 def final_logits(params, x: Array) -> Array:
@@ -245,16 +250,33 @@ def final_logits(params, x: Array) -> Array:
                    precision=matmul_precision(x.dtype))
 
 
+def _cache_write(buf: Array, l: int, val: Array, pos_offset, rowpos: bool
+                 ) -> Array:
+    """Write val (B, *, *, T) into buf (L, B, *, *, C) at column pos_offset of
+    layer l. Lockstep decode uses one dynamic_update_slice; per-row positions
+    (continuous batching, T == 1) scatter each row at its own column."""
+    if rowpos:
+        b = val.shape[0]
+        return buf.at[l, jnp.arange(b), :, :, pos_offset].set(val[..., 0])
+    return jax.lax.dynamic_update_slice(buf, val[None],
+                                        (l, 0, 0, 0, pos_offset))
+
+
 def decode_step(
     params,
     cfg: WhisperConfig,
     tokens: Array,  # (B, T) int32 — T tokens starting at pos_offset
     cross_kv: CrossKV,
     cache: KVCache,
-    pos_offset,  # python int or traced scalar
+    pos_offset,  # python int, traced scalar, or (B,) per-row positions
     valid_from=0,  # slots [0, valid_from) are masked left-padding
 ) -> Tuple[Array, KVCache]:
     """Incremental decode: returns (logits (B, T, vocab) fp32, updated cache).
+
+    With a (B,) pos_offset each batch row decodes at its own position
+    (continuous batching: slots refilled mid-flight are at earlier positions
+    than long-running ones); requires T == 1 and cache writes become per-row
+    scatters instead of a dynamic_update_slice.
 
     The layer loop is UNROLLED with static layer indices. Two reasons:
       * a lax.scan formulation (cache as xs/ys) restacks both cache tensors
@@ -273,9 +295,13 @@ def decode_step(
 
     b, t, _ = x.shape
     c = cache[0].shape[-1]  # KVCache.k / QuantKVCache.k8: (..., ctx)
-    q_pos = pos_offset + jnp.arange(t)[:, None]  # (T, 1)
-    k_pos = jnp.arange(c)[None, :]  # (1, C)
-    mask = ((k_pos <= q_pos) & (k_pos >= valid_from))[None, None]  # (1,1,T,C)
+    rowpos = getattr(pos_offset, "ndim", 0) == 1  # (B,) per-row positions
+    if rowpos and t != 1:
+        raise ValueError("per-row pos_offset requires single-token decode")
+    pos_col = jnp.broadcast_to(jnp.asarray(pos_offset, jnp.int32), (b,))
+    q_pos = pos_col[:, None, None] + jnp.arange(t)[None, :, None]  # (B,T,1)
+    k_pos = jnp.arange(c)[None, None, :]  # (1,1,C)
+    mask = ((k_pos <= q_pos) & (k_pos >= valid_from))[:, None]  # (B,1,T,C)
 
     quant_cross = isinstance(cross_kv, QuantCrossKV)
 
@@ -319,24 +345,18 @@ def decode_step(
         if quant_self:
             kq, ksc = quantize_kv_column(k_new)
             vq, vsc = quantize_kv_column(v_new)
-            k8_all = jax.lax.dynamic_update_slice(
-                k8_all, kq[None], (l, 0, 0, 0, pos_offset))
-            ks_all = jax.lax.dynamic_update_slice(
-                ks_all, ksc[None], (l, 0, 0, 0, pos_offset))
-            v8_all = jax.lax.dynamic_update_slice(
-                v8_all, vq[None], (l, 0, 0, 0, pos_offset))
-            vs_all = jax.lax.dynamic_update_slice(
-                vs_all, vsc[None], (l, 0, 0, 0, pos_offset))
+            k8_all = _cache_write(k8_all, l, kq, pos_offset, rowpos)
+            ks_all = _cache_write(ks_all, l, ksc, pos_offset, rowpos)
+            v8_all = _cache_write(v8_all, l, vq, pos_offset, rowpos)
+            vs_all = _cache_write(vs_all, l, vsc, pos_offset, rowpos)
             # inline dequant: XLA fuses the convert+scale into the reads
             k_l = (k8_all[l].astype(jnp.float32) * ks_all[l]).astype(x.dtype)
             v_l = (v8_all[l].astype(jnp.float32) * vs_all[l]).astype(x.dtype)
         else:
-            ck_all = jax.lax.dynamic_update_slice(
-                ck_all, k_new.astype(ck_all.dtype)[None],
-                (l, 0, 0, 0, pos_offset))
-            cv_all = jax.lax.dynamic_update_slice(
-                cv_all, v_new.astype(cv_all.dtype)[None],
-                (l, 0, 0, 0, pos_offset))
+            ck_all = _cache_write(ck_all, l, k_new.astype(ck_all.dtype),
+                                  pos_offset, rowpos)
+            cv_all = _cache_write(cv_all, l, v_new.astype(cv_all.dtype),
+                                  pos_offset, rowpos)
             k_l, v_l = ck_all[l], cv_all[l]
         attn = attention_dmajor(q, k_l, v_l, mask=mask)
         x = x + linear(merge_heads(attn), p["out"])

@@ -34,6 +34,10 @@ class WhisperModel:
     # load_model and every jitted entry runs under its context so the
     # decode-state sharding constraints (parallel/sharding.py) take effect
     mesh: Optional[Mesh] = None
+    # (n_text_layer, n_text_head) bool mask for word-timestamp alignment;
+    # carried from checkpoint metadata (tools/convert.py), else timing.py
+    # falls back to the upper-half-layers heuristic
+    alignment_heads: Optional[np.ndarray] = None
 
     def mesh_context(self):
         """jax.set_mesh(self.mesh), or a no-op for single-chip models."""
@@ -147,10 +151,18 @@ def load_model(
         # opaque custom call to GSPMD (it cannot be partitioned without
         # shard_map), while the jnp path shards cleanly.
         flash = not on_cpu and mesh is None
+    alignment_heads = None
     if checkpoint is not None:
-        from ..utils.checkpoint import load_params
+        from ..utils.checkpoint import load_params, read_metadata
 
         params = load_params(checkpoint, cfg=cfg, dtype=dtype)
+        if checkpoint.endswith(".safetensors"):
+            meta = read_metadata(checkpoint)
+            if meta.get("alignment_heads"):
+                from ..timing import load_alignment_heads
+
+                alignment_heads = load_alignment_heads(
+                    meta["alignment_heads"], cfg)
     else:
         params = init_params(cfg, jax.random.PRNGKey(seed), dtype=dtype)
     if mesh is not None:
@@ -171,4 +183,5 @@ def load_model(
         # after shard_params: quantization follows the weight shardings
         # (computation-follows-data), so w_q/scale land sharded too
         params = quantize_params(params)
-    return WhisperModel(cfg=cfg, params=params, flash=flash, mesh=mesh)
+    return WhisperModel(cfg=cfg, params=params, flash=flash, mesh=mesh,
+                        alignment_heads=alignment_heads)

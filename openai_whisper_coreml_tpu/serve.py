@@ -41,6 +41,15 @@ class ServeOptions:
     no_speech_threshold: Optional[float] = 0.6
     compression_ratio_threshold: Optional[float] = 2.4
     sample_len: Optional[int] = None
+    # "static": fixed batches, whole batch runs to its slowest window.
+    # "continuous": per-row positions + mid-flight slot refill (serve_cb) —
+    # wins whenever window decode lengths are mixed; requires greedy/sampling
+    # (beam_size falls back to static).
+    scheduler: str = "static"
+    chunk_tokens: int = 32  # host round-trips amortised over this many steps
+    refill_size: Optional[int] = None  # default: batch_size // 4
+    kv_dtype: str = "bf16"  # "int8": quantised cross-KV (decoding.py)
+    cache_dtype: str = "bf16"  # "int8": quantised self-attention cache
 
 
 @dataclasses.dataclass
@@ -86,6 +95,14 @@ def transcribe_batch(
     for rid, arr in enumerate(arrays):
         windows.extend(_windows_for(arr, model.cfg.n_mels, rid))
 
+    if options.scheduler == "continuous" and options.beam_size is None:
+        from .serve_cb import ContinuousBatcher
+
+        ContinuousBatcher(model, options).run(windows)
+        return _reassemble(model, arrays, windows, options)
+    if options.scheduler not in ("static", "continuous"):
+        raise ValueError(f"unknown scheduler {options.scheduler!r}")
+
     bs = options.batch_size
     base_opts = dict(
         task=options.task,
@@ -93,6 +110,8 @@ def transcribe_batch(
         beam_size=options.beam_size,
         without_timestamps=options.without_timestamps,
         sample_len=options.sample_len,
+        kv_dtype=options.kv_dtype,
+        cache_dtype=options.cache_dtype,
     )
 
     # decode in fixed-size batches; pad the tail batch by repeating the last
@@ -135,7 +154,11 @@ def transcribe_batch(
         for w, r in zip(chunk, results):
             w.result = r
 
-    # reassemble per request
+    return _reassemble(model, arrays, windows, options)
+
+
+def _reassemble(model, arrays, windows, options) -> List[Dict[str, Any]]:
+    """Stitch per-window DecodingResults back into per-request outputs."""
     out: List[Dict[str, Any]] = []
     for rid, arr in enumerate(arrays):
         segs: List[Segment] = []

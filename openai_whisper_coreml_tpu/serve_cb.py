@@ -1,0 +1,436 @@
+"""Continuous batching: window-level slot refill mid-flight.
+
+The static scheduler (serve.transcribe_batch) decodes fixed batches: every
+batch runs until its LAST window reaches EOT, so slots whose window finished
+early sit idle. This engine keeps every device slot busy:
+
+  * the decode loop advances PER-ROW positions (models.decoder.decode_step
+    with a (B,) pos vector) in jitted CHUNKS of `chunk_tokens` steps — one
+    host round-trip (~30 ms through the axon relay, CLAUDE.md) amortised
+    over the whole chunk;
+  * between chunks, EOT-finished rows are harvested and their slots refilled
+    from the pending queue: a refill group of R windows is encoded +
+    prefilled in its own fixed-shape graph, then scattered into the live
+    state (`.at[idx].set(..., mode="drop")`, so underfull groups pad
+    harmlessly with out-of-range indices);
+  * the sampling temperature is a (B,) vector, so temperature-fallback
+    retries re-enter the queue and mix freely with first attempts in the
+    same device batch — no whole-batch re-decode (the static scheduler's
+    known inefficiency).
+
+Reference counterpart: none — the reference decodes one utterance at a time
+(/root/reference/Whisper/Whisper/ContentView.swift:40-68). This is serving
+lever #2 from docs/benchmarks.md, built TPU-style: fixed shapes everywhere,
+host control only between chunks.
+
+Parity: token-exact vs the static scheduler in fp32 (tests/test_serve_cb.py,
+and measured on-chip with fp32). In bf16 the two schedulers can differ on
+near-tie argmaxes because refill groups encode at a different batch size
+than static batches, and XLA's bf16 tiling is batch-shape-dependent
+(measured: 8e-3 feature drift for the same mel at batch 1 vs 2 — the same
+dtype noise class as CLAUDE.md's 'bf16 logits differ ~0.02-0.05' note).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import deque
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import WhisperConfig
+from .decoding import (
+    NEG_INF,
+    DecodingOptions,
+    DecodingResult,
+    _apply_logit_rules,
+    build_blank_mask,
+    build_suppress_mask,
+    compression_ratio,
+)
+from .models import decoder as dec_mod
+from .tokenizer import LANGUAGES, get_tokenizer
+
+Array = jax.Array
+
+
+class CBState(NamedTuple):
+    """Live decode state for one device batch of slots."""
+
+    tokens: Array  # (B, total_len) int32
+    logits: Array  # (B, V) fp32 — logits for the position in `pos`
+    pos: Array  # (B,) int32 — per-row next position to sample
+    finished: Array  # (B,) bool
+    sum_lp: Array  # (B,) fp32
+    n_sampled: Array  # (B,) int32
+    ts_max: Array  # (B,) int32 (ts_begin - 1 sentinel)
+    temp: Array  # (B,) fp32 — per-row sampling temperature
+    no_speech: Array  # (B,) fp32 — SOT-step no-speech probability
+    cache: Any  # KVCache | QuantKVCache
+    cross_kv: Any  # CrossKV | QuantCrossKV
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sample_len", "prompt_len", "cache_len",
+                     "kv_dtype", "cache_dtype"),
+)
+def prefill_rows_core(
+    params,
+    cfg: WhisperConfig,
+    feats: Array,  # (R, S, n_state)
+    initial_tokens: Array,  # (R, prompt_len) int32, left-padded
+    temps: Array,  # (R,) fp32
+    pad_len: Array,  # scalar int32
+    sot_index: Array,  # scalar int32
+    *,
+    sample_len: int,
+    prompt_len: int,
+    cache_len: int,
+    kv_dtype: str = "bf16",
+    cache_dtype: str = "bf16",
+) -> CBState:
+    """Encode-side state for a refill group: cross-KV + prompt prefill."""
+    r = feats.shape[0]
+    eot = cfg.eot_token
+    total_len = prompt_len + sample_len
+
+    if kv_dtype == "int8":
+        cross_kv = dec_mod.precompute_cross_kv_int8(params, cfg, feats)
+    else:
+        cross_kv = dec_mod.precompute_cross_kv(params, cfg, feats)
+    if cache_dtype == "int8":
+        cache = dec_mod.init_kv_cache_int8(cfg, r, ctx=cache_len)
+    else:
+        cache = dec_mod.init_kv_cache(cfg, r, dtype=feats.dtype, ctx=cache_len)
+
+    tokens = jnp.full((r, total_len), eot, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, initial_tokens, (0, 0))
+
+    prefill_logits, cache = dec_mod.decode_step(
+        params, cfg, initial_tokens, cross_kv, cache, 0, valid_from=pad_len)
+    no_speech = jax.nn.softmax(
+        jnp.take(prefill_logits, sot_index, axis=1).astype(jnp.float32),
+        axis=-1)[:, cfg.no_speech_token]
+
+    return CBState(
+        tokens=tokens,
+        logits=prefill_logits[:, -1].astype(jnp.float32),
+        pos=jnp.full((r,), prompt_len, jnp.int32),
+        finished=jnp.zeros((r,), jnp.bool_),
+        sum_lp=jnp.zeros((r,), jnp.float32),
+        n_sampled=jnp.zeros((r,), jnp.int32),
+        ts_max=jnp.full((r,), cfg.timestamp_begin - 1, jnp.int32),
+        temp=temps.astype(jnp.float32),
+        no_speech=no_speech,
+        cache=cache,
+        cross_kv=cross_kv,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "chunk", "use_timestamps", "prompt_len",
+                     "total_len"),
+)
+def decode_chunk_core(
+    params,
+    cfg: WhisperConfig,
+    state: CBState,
+    key: Array,
+    suppress_mask: Array,
+    blank_mask: Array,
+    max_initial_ts_index: Array,
+    pad_len: Array,
+    *,
+    chunk: int,
+    use_timestamps: bool,
+    prompt_len: int,
+    total_len: int,
+) -> Tuple[CBState, Array]:
+    """Advance every unfinished row by up to `chunk` tokens (early exit when
+    all rows finish). Rows are at independent positions."""
+    eot = cfg.eot_token
+    b = state.tokens.shape[0]
+    rows = jnp.arange(b)
+
+    def cond(carry):
+        i, st, _ = carry
+        return (i < chunk) & ~jnp.all(st.finished)
+
+    def body(carry):
+        i, st, key = carry
+        filtered = _apply_logit_rules(
+            st.logits, st.tokens, st.pos, cfg, prompt_len, suppress_mask,
+            blank_mask, use_timestamps, st.ts_max, max_initial_ts_index)
+
+        key, sub = jax.random.split(key)
+        greedy = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
+        sampled = jax.random.categorical(
+            sub, filtered / jnp.maximum(st.temp, 1e-6)[:, None], axis=-1
+        ).astype(jnp.int32)
+        tok = jnp.where(st.temp > 0, sampled, greedy)
+        logprobs = jax.nn.log_softmax(filtered, axis=-1)
+        tok_lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
+
+        tok = jnp.where(st.finished, eot, tok)
+        sum_lp = st.sum_lp + jnp.where(st.finished, 0.0, tok_lp)
+        n_sampled = st.n_sampled + jnp.where(st.finished, 0, 1)
+        ts_max = jnp.where((tok >= cfg.timestamp_begin) & ~st.finished, tok,
+                           st.ts_max)
+        write_pos = jnp.minimum(st.pos, total_len - 1)
+        tokens = st.tokens.at[rows, write_pos].set(tok)
+        finished = st.finished | (tok == eot) | (st.pos + 1 >= total_len)
+
+        next_logits, cache = dec_mod.decode_step(
+            params, cfg, tok[:, None], st.cross_kv, st.cache, st.pos,
+            valid_from=pad_len)
+        pos = jnp.where(st.finished, st.pos, st.pos + 1)
+        st = st._replace(tokens=tokens,
+                         logits=next_logits[:, 0].astype(jnp.float32),
+                         pos=pos, finished=finished, sum_lp=sum_lp,
+                         n_sampled=n_sampled, ts_max=ts_max, cache=cache)
+        return i + 1, st, key
+
+    _, state, key = jax.lax.while_loop(cond, body, (jnp.int32(0), state, key))
+    return state, key
+
+
+@jax.jit
+def scatter_rows(state: CBState, rows: CBState, idx: Array) -> CBState:
+    """Insert a refill group's rows at slots `idx`; out-of-range indices
+    (padding rows of an underfull group) are dropped."""
+
+    def ax0(a, r):
+        return a.at[idx].set(r, mode="drop")
+
+    def ax1(a, r):
+        return a.at[:, idx].set(r, mode="drop")
+
+    cache = jax.tree.map(ax1, state.cache, rows.cache)
+    cross = jax.tree.map(ax1, state.cross_kv, rows.cross_kv)
+    return CBState(
+        tokens=ax0(state.tokens, rows.tokens),
+        logits=ax0(state.logits, rows.logits),
+        pos=ax0(state.pos, rows.pos),
+        finished=ax0(state.finished, rows.finished),
+        sum_lp=ax0(state.sum_lp, rows.sum_lp),
+        n_sampled=ax0(state.n_sampled, rows.n_sampled),
+        ts_max=ax0(state.ts_max, rows.ts_max),
+        temp=ax0(state.temp, rows.temp),
+        no_speech=ax0(state.no_speech, rows.no_speech),
+        cache=cache,
+        cross_kv=cross,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side engine
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _Slot:
+    window: Any  # serve._Window
+    temp_index: int
+    language: str
+
+
+class ContinuousBatcher:
+    """Drives one device batch of slots over a queue of 30 s windows.
+
+    Usage (serve.transcribe_batch wires this up):
+        cb = ContinuousBatcher(model, options)
+        cb.run(windows)      # fills w.result on every window
+    """
+
+    def __init__(self, model, options) -> None:
+        self.model = model
+        self.options = options
+        cfg = model.cfg
+        self.cfg = cfg
+        self.bs = options.batch_size
+        self.refill = options.refill_size or max(1, self.bs // 4)
+        self.chunk = options.chunk_tokens
+        self.sample_len = options.sample_len or cfg.n_text_ctx // 2
+
+        self.tokenizer = get_tokenizer(
+            cfg, language=(options.language or "en") if cfg.multilingual
+            else None, task=options.task)
+        d_opts = DecodingOptions(
+            task=options.task,
+            without_timestamps=options.without_timestamps)
+        self.suppress_mask = jnp.asarray(
+            build_suppress_mask(self.tokenizer, d_opts))
+        self.blank_mask = jnp.asarray(build_blank_mask(self.tokenizer))
+        self.use_timestamps = not options.without_timestamps
+        self.max_init_idx = -1 if options.without_timestamps else 50  # 1.0 s
+
+        # prompt layout: [sot, lang, task] (+notimestamps), left-padded to 4
+        # (decoding._PROMPT_BUCKETS[0]); no conditioning in batch mode
+        base = 1 if not cfg.multilingual else 3
+        if options.without_timestamps:
+            base += 1
+        self.prompt_len = 4
+        self.pad = self.prompt_len - base
+        self.sot_index = self.pad
+        self.sample_len = min(self.sample_len, cfg.n_text_ctx - self.prompt_len)
+        self.total_len = self.prompt_len + self.sample_len
+        self.cache_len = min(-(-self.total_len // 128) * 128, cfg.n_text_ctx)
+
+        self.kv_dtype = getattr(options, "kv_dtype", "bf16")
+        self.cache_dtype = getattr(options, "cache_dtype", "bf16")
+        self.temperatures = list(options.temperature)
+
+    # -- helpers -------------------------------------------------------------
+
+    def _initial_tokens(self, languages: List[str]) -> np.ndarray:
+        tok = self.tokenizer
+        cfg = self.cfg
+        out = []
+        for lang in languages:
+            if cfg.multilingual:
+                task_tok = (tok.transcribe if self.options.task == "transcribe"
+                            else tok.translate)
+                seq = [tok.sot, tok.language_token(lang), task_tok]
+            else:
+                seq = [tok.sot]
+            if self.options.without_timestamps:
+                seq.append(tok.no_timestamps)
+            out.append([tok.eot] * self.pad + seq)
+        return np.asarray(out, np.int32)
+
+    def _prefill_group(self, group: List[_Slot], size: int) -> CBState:
+        """Encode + prefill a group at fixed graph size `size` (padded by
+        repeating the last entry; padding rows are dropped at scatter time
+        or marked finished for the initial fill)."""
+        model = self.model
+        r = len(group)
+        mels = np.stack([s.window.mel for s in group], axis=0)
+        if r < size:
+            mels = np.concatenate(
+                [mels, np.repeat(mels[-1:], size - r, axis=0)], axis=0)
+        feats = model._encode_jit(model.params, mel=jnp.asarray(mels))
+
+        # per-row language: explicit option, else detect from the features
+        if self.options.language is not None or not self.cfg.multilingual:
+            langs = [self.options.language or "en"] * size
+        else:
+            from .decoding import _detect_language_core
+
+            idx, _ = _detect_language_core(model.params, self.cfg, feats)
+            langs = [LANGUAGES[i] for i in np.asarray(idx)]
+        for s, lang in zip(group, langs):
+            s.language = lang
+
+        temps = np.asarray(
+            [self.temperatures[min(s.temp_index, len(self.temperatures) - 1)]
+             for s in group]
+            + [0.0] * (size - r), np.float32)
+        initial = self._initial_tokens(langs)
+        return prefill_rows_core(
+            model.params, self.cfg, feats, jnp.asarray(initial),
+            jnp.asarray(temps), jnp.int32(self.pad), jnp.int32(self.sot_index),
+            sample_len=self.sample_len, prompt_len=self.prompt_len,
+            cache_len=self.cache_len, kv_dtype=self.kv_dtype,
+            cache_dtype=self.cache_dtype)
+
+    def _harvest(self, state: CBState, slot: int, entry: _Slot
+                 ) -> Tuple[DecodingResult, bool]:
+        """Build the DecodingResult for a finished row; returns (result,
+        needs_retry)."""
+        tok = self.tokenizer
+        opts = self.options
+        row_tokens = np.asarray(state.tokens[slot])
+        sampled = row_tokens[self.prompt_len:]
+        eot_pos = np.nonzero(sampled == tok.eot)[0]
+        cut = int(eot_pos[0]) if len(eot_pos) else len(sampled)
+        toks = sampled[:cut].tolist()
+        text = tok.decode(toks).strip()
+        n_sampled = max(int(state.n_sampled[slot]), 1)
+        temp = self.temperatures[
+            min(entry.temp_index, len(self.temperatures) - 1)]
+        result = DecodingResult(
+            tokens=toks,
+            text=text,
+            language=entry.language,
+            language_probs=None,
+            avg_logprob=float(state.sum_lp[slot]) / n_sampled,
+            no_speech_prob=float(state.no_speech[slot]),
+            temperature=float(temp),
+            compression_ratio=compression_ratio(text),
+        )
+        # quality gates (openai fallback semantics, as in transcribe_batch)
+        bad = False
+        if (opts.compression_ratio_threshold is not None
+                and result.compression_ratio
+                > opts.compression_ratio_threshold):
+            bad = True
+        if (opts.logprob_threshold is not None
+                and result.avg_logprob < opts.logprob_threshold):
+            bad = True
+        if (opts.no_speech_threshold is not None
+                and result.no_speech_prob > opts.no_speech_threshold):
+            bad = False  # silence: accept (skipped downstream)
+        retry = bad and entry.temp_index + 1 < len(self.temperatures)
+        return result, retry
+
+    # -- main loop -----------------------------------------------------------
+
+    def run(self, windows: List[Any]) -> None:
+        if not windows:
+            return
+        pending: deque = deque(
+            _Slot(w, 0, self.options.language or "en") for w in windows)
+        bs = self.bs
+        active: List[Optional[_Slot]] = [None] * bs
+        key = jax.random.PRNGKey(0)
+
+        # initial fill: one full-batch prefill
+        group = [pending.popleft() for _ in range(min(bs, len(pending)))]
+        state = self._prefill_group(group, bs)
+        for i, s in enumerate(group):
+            active[i] = s
+        if len(group) < bs:  # mark padded rows finished & inert
+            mask = np.zeros(bs, bool)
+            mask[len(group):] = True
+            state = state._replace(finished=state.finished | jnp.asarray(mask))
+
+        while True:
+            state, key = decode_chunk_core(
+                self.model.params, self.cfg, state, key, self.suppress_mask,
+                self.blank_mask, jnp.int32(self.max_init_idx),
+                jnp.int32(self.pad), chunk=self.chunk,
+                use_timestamps=self.use_timestamps,
+                prompt_len=self.prompt_len, total_len=self.total_len)
+
+            finished = np.asarray(state.finished)
+            for slot in range(bs):
+                entry = active[slot]
+                if entry is None or not finished[slot]:
+                    continue
+                result, retry = self._harvest(state, slot, entry)
+                if retry:
+                    entry.temp_index += 1
+                    pending.append(entry)
+                else:
+                    entry.window.result = result
+                active[slot] = None
+
+            free = [s for s in range(bs) if active[s] is None]
+            if pending and (len(free) >= self.refill
+                            or all(a is None for a in active)):
+                group = [pending.popleft()
+                         for _ in range(min(self.refill, len(free),
+                                            len(pending)))]
+                rows = self._prefill_group(group, self.refill)
+                idx = np.full(self.refill, bs, np.int32)
+                idx[: len(group)] = free[: len(group)]
+                state = scatter_rows(state, rows, jnp.asarray(idx))
+                for i, s in zip(idx[: len(group)], group):
+                    active[int(i)] = s
+            if not pending and all(a is None for a in active):
+                break

@@ -42,10 +42,53 @@ class WordTiming:
 
 
 def default_alignment_heads(cfg: WhisperConfig) -> np.ndarray:
-    """(n_text_layer, n_text_head) bool — upper half of the decoder layers."""
+    """(n_text_layer, n_text_head) bool — upper half of the decoder layers
+    (openai's documented fallback when a model ships no alignment-head
+    mask)."""
     mask = np.zeros((cfg.n_text_layer, cfg.n_text_head), dtype=bool)
     mask[cfg.n_text_layer // 2 :] = True
     return mask
+
+
+def load_alignment_heads(spec, cfg: WhisperConfig) -> np.ndarray:
+    """Parse any public alignment-heads representation into an (L, H) mask.
+
+    Accepts:
+      * a boolean array / nested list of shape (n_text_layer, n_text_head);
+      * a list of [layer, head] pairs (HuggingFace generation_config.json
+        "alignment_heads" format — tools/convert.py carries these into the
+        checkpoint metadata);
+      * a JSON string of either of the above;
+      * an openai-style compressed blob: base85-encoded zlib/gzip of the
+        boolean mask bytes (the `_ALIGNMENT_HEADS` values in openai/whisper).
+    """
+    import base64
+    import gzip
+    import json
+    import zlib
+
+    if isinstance(spec, (bytes, str)):
+        s = spec.strip() if isinstance(spec, str) else spec
+        text = s if isinstance(s, str) else s.decode("latin-1")
+        if text.startswith(("[", "{")):
+            return load_alignment_heads(json.loads(text), cfg)
+        raw = base64.b85decode(text)
+        try:
+            data = gzip.decompress(raw)
+        except OSError:
+            data = zlib.decompress(raw)
+        mask = np.frombuffer(data, dtype=bool).copy()
+        return mask.reshape(cfg.n_text_layer, cfg.n_text_head)
+
+    arr = np.asarray(spec)
+    if arr.ndim == 2 and arr.shape == (cfg.n_text_layer, cfg.n_text_head):
+        return arr.astype(bool)
+    if arr.ndim == 2 and arr.shape[1] == 2:  # [layer, head] pairs
+        mask = np.zeros((cfg.n_text_layer, cfg.n_text_head), dtype=bool)
+        for layer, head in arr:
+            mask[int(layer), int(head)] = True
+        return mask
+    raise ValueError(f"unrecognised alignment-heads spec shape {arr.shape}")
 
 
 def _cross_attention_weights(params, cfg: WhisperConfig, tokens, audio_features):
@@ -115,27 +158,29 @@ def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Monotonic alignment path minimising total cost.
 
     cost: (n_tokens, n_frames). Returns (token_indices, frame_indices).
+
+    Vectorised anti-diagonal sweep: every cell on diagonal i+j==k depends
+    only on diagonals k-1 and k-2, so the O(n*m) table fills in n+m NumPy
+    vector steps instead of n*m Python iterations (a 448x1500 window is
+    ~670k cells — the former eval bottleneck). Tie-breaking matches the
+    scalar reference exactly (diagonal, then token-advance).
     """
     n, m = cost.shape
-    INF = np.inf
-    acc = np.full((n + 1, m + 1), INF)
+    acc = np.full((n + 1, m + 1), np.inf)
     acc[0, 0] = 0.0
     trace = np.zeros((n + 1, m + 1), dtype=np.int8)
-    for i in range(1, n + 1):
-        row_cost = cost[i - 1]
-        for j in range(1, m + 1):
-            c0 = acc[i - 1, j - 1]  # match (diag)
-            c1 = acc[i - 1, j]  # token advance
-            c2 = acc[i, j - 1]  # frame advance
-            if c0 <= c1 and c0 <= c2:
-                acc[i, j] = c0 + row_cost[j - 1]
-                trace[i, j] = 0
-            elif c1 <= c2:
-                acc[i, j] = c1 + row_cost[j - 1]
-                trace[i, j] = 1
-            else:
-                acc[i, j] = c2 + row_cost[j - 1]
-                trace[i, j] = 2
+    for k in range(2, n + m + 1):
+        i = np.arange(max(1, k - m), min(n, k - 1) + 1)
+        if i.size == 0:
+            continue
+        j = k - i
+        c0 = acc[i - 1, j - 1]  # match (diag)
+        c1 = acc[i - 1, j]  # token advance
+        c2 = acc[i, j - 1]  # frame advance
+        best = np.where((c0 <= c1) & (c0 <= c2), 0,
+                        np.where(c1 <= c2, 1, 2)).astype(np.int8)
+        acc[i, j] = np.choose(best, (c0, c1, c2)) + cost[i - 1, j - 1]
+        trace[i, j] = best
     i, j = n, m
     ti, fi = [], []
     while i > 0 and j > 0:
@@ -212,7 +257,13 @@ def find_word_alignment(
 
     w = np.asarray(weights[:, 0])  # (L, H, T, S)
     if alignment_heads is None:
+        # checkpoint-carried heads (tools/convert.py stores the HF
+        # generation_config pairs in the safetensors metadata) beat the
+        # upper-half-layers heuristic
+        alignment_heads = getattr(model, "alignment_heads", None)
+    if alignment_heads is None:
         alignment_heads = default_alignment_heads(cfg)
+    alignment_heads = np.asarray(alignment_heads, dtype=bool)
     sel = w[alignment_heads]  # (n_sel, T, S)
 
     n_audio = max(1, num_frames // 2)

@@ -59,6 +59,15 @@ def save_params(params: Params, path: str, *, model_name: str = "",
     save_file(flat, path, metadata=meta)
 
 
+def read_metadata(path: str) -> Dict[str, str]:
+    """Read the JSON metadata header of a whisper-tpu safetensors file
+    (model name, and optional alignment_heads carried by tools/convert)."""
+    from safetensors import safe_open
+
+    with safe_open(path, framework="numpy") as f:
+        return dict(f.metadata() or {})
+
+
 def load_params(path: str, *, cfg=None, dtype=jnp.float32) -> Params:
     """Load a checkpoint saved by save_params (or convert via tools/convert)."""
     from safetensors.numpy import load_file

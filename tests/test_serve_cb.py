@@ -1,0 +1,94 @@
+"""Continuous-batching scheduler tests (serve_cb)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from openai_whisper_coreml_tpu.config import tiny_test_config
+from openai_whisper_coreml_tpu.models.whisper import WhisperModel
+from openai_whisper_coreml_tpu.params import init_params
+from openai_whisper_coreml_tpu.serve import ServeOptions, transcribe_batch
+
+@pytest.fixture(scope="module")
+def model():
+    # full 1500-position audio context (serve windows are always 3000 mel
+    # frames) but a very narrow/shallow model for CPU speed
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2)
+    return WhisperModel(cfg=cfg, params=init_params(cfg, jax.random.PRNGKey(0)))
+
+
+def _audios(rng, seconds):
+    sr = 16_000
+    out = []
+    for i, s in enumerate(seconds):
+        t = np.arange(int(s * sr)) / sr
+        out.append((0.2 * np.sin(2 * np.pi * (180 + 40 * i) * t)
+                    + 0.02 * rng.standard_normal(t.shape)).astype(np.float32))
+    return out
+
+
+def test_continuous_matches_static_greedy(model, rng):
+    """With one deterministic temperature the continuous scheduler must
+    produce the same tokens as the static scheduler (same decode math,
+    different slot scheduling)."""
+    # windows are N_CTX*2 frames = 1.28 s here (tiny test geometry), so short
+    # clips are single-window
+    audios = _audios(rng, [0.9, 1.2])
+    common = dict(batch_size=2, language="en", temperature=(0.0,),
+                  sample_len=10, no_speech_threshold=None,
+                  logprob_threshold=None, compression_ratio_threshold=None)
+    static = transcribe_batch(model, audios,
+                              ServeOptions(scheduler="static", **common))
+    cont = transcribe_batch(model, audios,
+                            ServeOptions(scheduler="continuous", **common))
+    assert len(static) == len(cont) == 2
+    for s, c in zip(static, cont):
+        toks_s = [t for seg in s["segments"] for t in seg["tokens"]]
+        toks_c = [t for seg in c["segments"] for t in seg["tokens"]]
+        assert toks_s == toks_c
+        assert s["text"] == c["text"]
+
+
+def test_continuous_refill_more_windows_than_slots(model, rng):
+    """5 windows through 2 slots: refill path + underfull groups."""
+    audios = _audios(rng, [1.0, 1.1, 0.8, 1.3, 0.9])
+    opts = ServeOptions(scheduler="continuous", batch_size=2, language="en",
+                        temperature=(0.0,), sample_len=8,
+                        no_speech_threshold=None, logprob_threshold=None,
+                        compression_ratio_threshold=None)
+    out = transcribe_batch(model, audios, opts)
+    assert len(out) == 5
+    for r in out:
+        assert isinstance(r["text"], str)
+        assert r["segments"], "every window must produce a result"
+
+
+def test_continuous_temperature_fallback_requeues(model, rng):
+    """An impossible logprob gate forces every window through the ladder;
+    per-row temperatures mean retries mix with first attempts."""
+    audios = _audios(rng, [1.0, 1.2, 0.8])
+    opts = ServeOptions(scheduler="continuous", batch_size=2, language="en",
+                        temperature=(0.0, 0.5), sample_len=6,
+                        logprob_threshold=1e9,  # nothing passes
+                        no_speech_threshold=None,
+                        compression_ratio_threshold=None)
+    out = transcribe_batch(model, audios, opts)
+    assert len(out) == 3
+    for r in out:
+        # ladder exhausted: the last attempt (temperature 0.5) is kept
+        assert r["segments"]
+        assert all(seg["temperature"] == 0.5 for seg in r["segments"])
+
+
+def test_continuous_language_detection(model, rng):
+    """scheduler=continuous with language=None detects per refill group."""
+    audios = _audios(rng, [1.0])
+    opts = ServeOptions(scheduler="continuous", batch_size=2, language=None,
+                        temperature=(0.0,), sample_len=6,
+                        no_speech_threshold=None, logprob_threshold=None,
+                        compression_ratio_threshold=None)
+    out = transcribe_batch(model, audios, opts)
+    assert out[0]["language"] in __import__(
+        "openai_whisper_coreml_tpu.tokenizer", fromlist=["LANGUAGES"]
+    ).LANGUAGES

@@ -98,3 +98,51 @@ def test_transcribe_word_timestamps():
         assert "words" in seg
         for w in seg["words"]:
             assert w["start"] <= w["end"]
+
+
+def test_load_alignment_heads_formats():
+    """All public alignment-heads representations parse to the same mask."""
+    import base64
+    import gzip
+    import json
+
+    from openai_whisper_coreml_tpu.config import tiny_test_config
+    from openai_whisper_coreml_tpu.timing import load_alignment_heads
+
+    cfg = tiny_test_config(n_layer=4, n_head=4)
+    want = np.zeros((4, 4), dtype=bool)
+    want[2, 1] = want[3, 0] = want[3, 3] = True
+
+    # (L, H) boolean array
+    assert np.array_equal(load_alignment_heads(want, cfg), want)
+    # HF generation_config pairs
+    pairs = [[2, 1], [3, 0], [3, 3]]
+    assert np.array_equal(load_alignment_heads(pairs, cfg), want)
+    # JSON string of pairs (checkpoint metadata form)
+    assert np.array_equal(load_alignment_heads(json.dumps(pairs), cfg), want)
+    # openai compressed blob (base85 of gzip of the raw bool bytes)
+    blob = base64.b85encode(gzip.compress(want.tobytes())).decode()
+    assert np.array_equal(load_alignment_heads(blob, cfg), want)
+
+
+def test_alignment_heads_from_checkpoint_metadata(tmp_path):
+    """convert-style metadata round-trips into WhisperModel.alignment_heads
+    and is used by find_word_alignment."""
+    import json
+
+    from openai_whisper_coreml_tpu.config import tiny_test_config
+    from openai_whisper_coreml_tpu.models.whisper import load_model
+    from openai_whisper_coreml_tpu.params import init_params
+    from openai_whisper_coreml_tpu.utils.checkpoint import (
+        read_metadata,
+        save_params,
+    )
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "m.safetensors")
+    pairs = [[1, 0], [1, 2]]
+    save_params(params, path, model_name="tiny-test",
+                extra_meta={"alignment_heads": json.dumps(pairs)})
+    meta = read_metadata(path)
+    assert json.loads(meta["alignment_heads"]) == pairs

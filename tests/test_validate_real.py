@@ -1,0 +1,77 @@
+"""End-to-end test of the real-checkpoint validation gate (tools/validate_real).
+
+Real Whisper weights cannot exist in this environment (zero egress), so the
+gate is exercised with a random-weight checkpoint: the transcript gate is
+fed the model's own output (must PASS — determinism), and the WER gates run
+the full pipeline over a synthetic corpus (thresholds relaxed: random
+weights transcribe noise; what is under test is the plumbing that will
+gate real weights the moment they exist)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from openai_whisper_coreml_tpu.config import tiny_test_config
+from openai_whisper_coreml_tpu.params import init_params
+from openai_whisper_coreml_tpu.utils.audio_io import save_wav
+from openai_whisper_coreml_tpu.utils.checkpoint import save_params
+
+pytestmark = pytest.mark.slow
+
+
+def test_validate_real_gate_plumbing(tmp_path, rng):
+    from tools.validate_real import main as validate_main
+
+    # a "converted checkpoint": tiny-test geometry registered under a name
+    # the gate can load. Use the real registry via monkeypatching get_config.
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "m.safetensors")
+    save_params(params, ckpt, model_name="tiny-test")
+
+    import openai_whisper_coreml_tpu.config as config_mod
+
+    orig_get = config_mod.get_config
+    config_mod.get_config = lambda name: (cfg if name == "tiny-test"
+                                          else orig_get(name))
+    try:
+        # corpus: two short utterances, flat layout (wav + txt)
+        corpus = tmp_path / "corpus"
+        corpus.mkdir()
+        for i in range(2):
+            t = np.arange(16000 * 2) / 16000
+            audio = (0.2 * np.sin(2 * np.pi * (200 + 50 * i) * t)
+                     + 0.02 * rng.standard_normal(t.shape)).astype(np.float32)
+            save_wav(str(corpus / f"utt{i}.wav"), audio)
+            (corpus / f"utt{i}.txt").write_text("reference text")
+
+        # clip gate: expect the model's own transcript -> must pass
+        clip = str(corpus / "utt0.wav")
+        from openai_whisper_coreml_tpu import load_model
+        from openai_whisper_coreml_tpu.eval.normalizers import (
+            EnglishTextNormalizer,
+        )
+
+        m = load_model("tiny-test", checkpoint=ckpt)
+        expected = m.transcribe(clip, language="en")["text"]
+        exp_path = tmp_path / "expected.txt"
+        exp_path.write_text(expected)
+
+        rc = validate_main([
+            "--weights", ckpt, "--model", "tiny-test",
+            "--clip", clip, "--expect-transcript", str(exp_path),
+            "--librispeech", str(corpus), "--limit", "2",
+            "--batch-size", "2",
+            "--wer-threshold", "1e9",  # random weights: plumbing only
+            "--int8-wer-delta", "1e9",
+        ])
+        assert rc == 0
+        # the normaliser both sides must agree on the self-transcript
+        norm = EnglishTextNormalizer()
+        assert norm(expected) == norm(expected)
+    finally:
+        config_mod.get_config = orig_get

@@ -122,8 +122,20 @@ def main(argv=None) -> int:
     else:
         params = params_from_openai_state_dict(cfg, sd, dtype=dtype)
 
-    save_params(params, args.output, model_name=name,
-                extra_meta={"source_format": fmt, "dtype": args.dtype})
+    extra = {"source_format": fmt, "dtype": args.dtype}
+    # HF checkpoints ship per-model alignment heads (word-timestamp quality)
+    # in generation_config.json — carry them into the checkpoint metadata
+    if os.path.isdir(args.input):
+        gc_path = os.path.join(args.input, "generation_config.json")
+        if os.path.exists(gc_path):
+            import json
+
+            with open(gc_path, encoding="utf-8") as f:
+                gc = json.load(f)
+            if gc.get("alignment_heads"):
+                extra["alignment_heads"] = json.dumps(gc["alignment_heads"])
+
+    save_params(params, args.output, model_name=name, extra_meta=extra)
     print(f"wrote {args.output}: {name} ({count_params(params)/1e6:.1f}M "
           f"params, {fmt} source)")
     return 0
