@@ -47,9 +47,9 @@ def __getattr__(name):
 
 
 def load_model(name: str, *, dtype=None, checkpoint=None, seed: int = 0,
-               flash=None, quantize=None):
+               flash=None, quantize=None, mesh=None):
     """Build a Whisper model of the given size; see models.whisper."""
     from .models.whisper import load_model as _load
 
     return _load(name, dtype=dtype, checkpoint=checkpoint, seed=seed,
-                 flash=flash, quantize=quantize)
+                 flash=flash, quantize=quantize, mesh=mesh)

@@ -57,6 +57,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=1,
                    help="windows decoded per device batch (serving path)")
     p.add_argument("--dtype", choices=("bfloat16", "float32"), default=None)
+    p.add_argument("--quantize", choices=("int8",), default=None,
+                   help="weights-only int8 serving (+9%% RTFx measured at "
+                        "large-v3 B24 — docs/benchmarks.md)")
+    p.add_argument("--kv-dtype", choices=("bf16", "int8"), default="bf16",
+                   help="cross-attention K/V precision; int8 halves the "
+                        "dominant decode HBM stream (+17%% RTFx measured)")
+    p.add_argument("--cache-dtype", choices=("bf16", "int8"), default="bf16",
+                   help="self-attention KV-cache precision (int8 measured "
+                        "SLOWER end to end at large-v3 — kept for "
+                        "memory-constrained configs)")
     p.add_argument("--tensor-parallel", type=int, default=1, metavar="N",
                    help="shard attention heads / MLP over N chips (builds a "
                         "(devices/N, N) data x model mesh; params, encoder, "
@@ -91,7 +101,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     t0 = time.time()
     model = load_model(args.model, dtype=dtype, checkpoint=args.checkpoint,
-                       mesh=mesh)
+                       mesh=mesh, quantize=args.quantize)
     if args.verbose:
         print(f"loaded {args.model} ({model.num_params / 1e6:.0f}M params) "
               f"on {jax.default_backend()} in {time.time() - t0:.1f}s",
@@ -156,6 +166,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 beam_size=args.beam_size,
                 patience=args.patience,
                 length_penalty=args.length_penalty,
+                kv_dtype=args.kv_dtype,
+                cache_dtype=args.cache_dtype,
             )
         elapsed = time.time() - t0
         out = write_result(result, path, args.output_dir, args.output_format)

@@ -71,12 +71,14 @@ def _sqa_kernel(pos_ref, valid_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (h_n, s_len), 1)
     mask = (col_ids <= pos) & (col_ids >= valid)  # (H, S)
 
+    # f32 identity mask: Mosaic only supports minor-dim insertion
+    # (eye[:, :, None]) on 32-bit types, so cast BEFORE expanding
     eye = (jax.lax.broadcasted_iota(jnp.int32, (h_n, h_n), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (h_n, h_n), 1))
+           == jax.lax.broadcasted_iota(jnp.int32, (h_n, h_n), 1)
+           ).astype(jnp.float32)
 
     q = q_ref[0].astype(jnp.float32)  # (H, D)
-    q_bd = jnp.where(eye[:, :, None], q[None, :, :], 0.0)  # (H, H, D)
-    q_bd = q_bd.reshape(h_n, h_n * d)
+    q_bd = (eye[:, :, None] * q[None, :, :]).reshape(h_n, h_n * d)
 
     k = k_ref[0].astype(jnp.float32)  # (H*D, S) — dequant in VMEM
     logits = jax.lax.dot(q_bd, k, preferred_element_type=jnp.float32)
@@ -89,8 +91,7 @@ def _sqa_kernel(pos_ref, valid_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
     out_full = jax.lax.dot_general(
         wv, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (H, H*D)
-    out = (out_full.reshape(h_n, h_n, d)
-           * eye[:, :, None].astype(jnp.float32)).sum(axis=1)  # (H, D)
+    out = (out_full.reshape(h_n, h_n, d) * eye[:, :, None]).sum(axis=1)
     o_ref[0] = out.astype(o_ref.dtype)
 
 

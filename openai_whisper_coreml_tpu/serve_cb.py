@@ -338,19 +338,19 @@ class ContinuousBatcher:
             cache_len=self.cache_len, kv_dtype=self.kv_dtype,
             cache_dtype=self.cache_dtype)
 
-    def _harvest(self, state: CBState, slot: int, entry: _Slot
+    def _harvest(self, host: Dict[str, np.ndarray], slot: int, entry: _Slot
                  ) -> Tuple[DecodingResult, bool]:
-        """Build the DecodingResult for a finished row; returns (result,
-        needs_retry)."""
+        """Build the DecodingResult for a finished row from the once-per-chunk
+        host snapshot (per-row device reads would cost ~30 ms each through
+        the axon relay); returns (result, needs_retry)."""
         tok = self.tokenizer
         opts = self.options
-        row_tokens = np.asarray(state.tokens[slot])
-        sampled = row_tokens[self.prompt_len:]
+        sampled = host["tokens"][slot, self.prompt_len:]
         eot_pos = np.nonzero(sampled == tok.eot)[0]
         cut = int(eot_pos[0]) if len(eot_pos) else len(sampled)
         toks = sampled[:cut].tolist()
         text = tok.decode(toks).strip()
-        n_sampled = max(int(state.n_sampled[slot]), 1)
+        n_sampled = max(int(host["n_sampled"][slot]), 1)
         temp = self.temperatures[
             min(entry.temp_index, len(self.temperatures) - 1)]
         result = DecodingResult(
@@ -358,8 +358,8 @@ class ContinuousBatcher:
             text=text,
             language=entry.language,
             language_probs=None,
-            avg_logprob=float(state.sum_lp[slot]) / n_sampled,
-            no_speech_prob=float(state.no_speech[slot]),
+            avg_logprob=float(host["sum_lp"][slot]) / n_sampled,
+            no_speech_prob=float(host["no_speech"][slot]),
             temperature=float(temp),
             compression_ratio=compression_ratio(text),
         )
@@ -408,11 +408,19 @@ class ContinuousBatcher:
                 prompt_len=self.prompt_len, total_len=self.total_len)
 
             finished = np.asarray(state.finished)
+            host = None
+            if any(finished[s] for s in range(bs) if active[s] is not None):
+                host = {  # one snapshot per chunk, shared by every harvest
+                    "tokens": np.asarray(state.tokens),
+                    "n_sampled": np.asarray(state.n_sampled),
+                    "sum_lp": np.asarray(state.sum_lp),
+                    "no_speech": np.asarray(state.no_speech),
+                }
             for slot in range(bs):
                 entry = active[slot]
                 if entry is None or not finished[slot]:
                     continue
-                result, retry = self._harvest(state, slot, entry)
+                result, retry = self._harvest(host, slot, entry)
                 if retry:
                     entry.temp_index += 1
                     pending.append(entry)

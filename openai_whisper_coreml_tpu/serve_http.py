@@ -35,8 +35,12 @@ class _Job:
 
 class WhisperHTTPServer:
     def __init__(self, model, host: str = "127.0.0.1", port: int = 8090,
-                 *, batch_size: int = 8, batch_window_ms: int = 50):
+                 *, batch_size: int = 8, batch_window_ms: int = 50,
+                 default_options: Optional[Dict[str, Any]] = None):
+        """default_options: server-level ServeOptions fields (scheduler,
+        kv_dtype, ...) applied under every request's own query options."""
         self.model = model
+        self.default_options = dict(default_options or {})
         self.batch_size = batch_size
         self.batch_window_ms = batch_window_ms
         self._queue: "queue.Queue[_Job]" = queue.Queue()
@@ -71,7 +75,7 @@ class WhisperHTTPServer:
                 by_opts.setdefault(json.dumps(j.options, sort_keys=True),
                                    []).append(j)
             for opts_key, group in by_opts.items():
-                opts = json.loads(opts_key)
+                opts = {**self.default_options, **json.loads(opts_key)}
                 try:
                     results = transcribe_batch(
                         self.model, [j.audio for j in group],
@@ -224,6 +228,15 @@ def main(argv=None) -> int:
     ap.add_argument("--tensor-parallel", type=int, default=1,
                     help="TP degree: builds a (devices/N, N) mesh and serves "
                          "the sharded decode path")
+    ap.add_argument("--quantize", choices=("int8",), default=None,
+                    help="weights-only int8 serving")
+    ap.add_argument("--kv-dtype", choices=("bf16", "int8"), default="bf16",
+                    help="cross-attention K/V precision (int8: +17%% RTFx "
+                         "measured at large-v3 — docs/benchmarks.md)")
+    ap.add_argument("--scheduler", choices=("static", "continuous"),
+                    default="static",
+                    help="continuous: per-row positions + mid-flight slot "
+                         "refill (serve_cb) — wins on mixed-length traffic")
     args = ap.parse_args(argv)
 
     from . import load_model
@@ -233,9 +246,12 @@ def main(argv=None) -> int:
         from .parallel import make_mesh
 
         mesh = make_mesh(n_model=args.tensor_parallel)
-    model = load_model(args.model, checkpoint=args.checkpoint, mesh=mesh)
+    model = load_model(args.model, checkpoint=args.checkpoint, mesh=mesh,
+                       quantize=args.quantize)
     server = WhisperHTTPServer(model, args.host, args.port,
-                               batch_size=args.batch_size)
+                               batch_size=args.batch_size,
+                               default_options={"kv_dtype": args.kv_dtype,
+                                                "scheduler": args.scheduler})
     server.start()
     print(f"serving {args.model} on {args.host}:{server.port}")
     try:

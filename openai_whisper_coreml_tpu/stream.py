@@ -25,6 +25,12 @@ from .audio import pad_or_trim
 from .config import N_SAMPLES, SAMPLE_RATE
 from .decoding import DecodingOptions, decode
 
+# Per-tick decode-length buckets. Each (prompt_bucket, sample_len) pair is
+# one compiled decode graph; coarse buckets keep the compile count tiny while
+# letting short buffers decode a short horizon (tick latency scales ~linearly
+# with sample_len — docs/benchmarks.md "Streaming latency").
+_SAMPLE_BUCKETS = (32, 64, 128, 224)
+
 
 @dataclasses.dataclass
 class StreamEvent:
@@ -57,13 +63,20 @@ class StreamingTranscriber:
         sample_len: Optional[int] = None,
         temperature: float = 0.0,
         beam_size: Optional[int] = None,
+        max_tokens_per_second: Optional[float] = 8.0,
     ) -> None:
+        """max_tokens_per_second bounds each tick's decode horizon by the
+        audio actually buffered (dense English speech is ~3-4 BPE tokens/s;
+        8/s is a 2x margin). A 2 s buffer then decodes <=32 tokens instead of
+        the full 224-token horizon — the dominant per-tick latency term at
+        batch 1. None disables the cap (always decode the full horizon)."""
         if agreement < 1:
             raise ValueError("agreement must be >= 1")
         self.model = model
         self.language = language
         self.agreement = agreement
         self.decode_interval = decode_interval
+        self.max_tokens_per_second = max_tokens_per_second
         self.opts = dict(
             language=language,
             temperature=temperature,
@@ -89,11 +102,25 @@ class StreamingTranscriber:
                 language=self.language if self.model.cfg.multilingual else None)
         return self._tokenizer
 
+    def _tick_sample_len(self) -> Optional[int]:
+        """Decode horizon for this tick: user sample_len capped by buffered
+        audio duration, rounded up to a compile bucket."""
+        base = self.opts["sample_len"]
+        if not self.max_tokens_per_second:
+            return base
+        secs = len(self._buffer) / SAMPLE_RATE
+        need = int(np.ceil(secs * self.max_tokens_per_second)) + 8
+        cap = next((b for b in _SAMPLE_BUCKETS if need <= b), None)
+        if cap is None:
+            return base
+        return min(base, cap) if base else cap
+
     def _decode_window(self) -> List[int]:
         mel = self.model.log_mel(pad_or_trim(self._buffer))
+        opts = dict(self.opts, sample_len=self._tick_sample_len())
         res = decode(
             self.model, np.asarray(mel)[None],
-            DecodingOptions(prompt=self._prompt or None, **self.opts))[0]
+            DecodingOptions(prompt=self._prompt or None, **opts))[0]
         return res.tokens
 
     @staticmethod

@@ -73,3 +73,26 @@ def test_finish_never_contradicts_confirmed(model, monkeypatch):
     monkeypatch.setattr(st2, "_decode_window", lambda: [10, 11, 12, 13])
     finals = st2.finish()
     assert finals[-1].tokens == [12, 13]
+
+
+def test_tick_sample_len_scales_with_buffer(model):
+    st = StreamingTranscriber(model, language="en", max_tokens_per_second=8.0)
+    st._buffer = np.zeros(2 * 16000, np.float32)  # 2s -> need 24 -> bucket 32
+    assert st._tick_sample_len() == 32
+    st._buffer = np.zeros(10 * 16000, np.float32)  # 10s -> 88 -> bucket 128
+    assert st._tick_sample_len() == 128
+    st._buffer = np.zeros(30 * 16000, np.float32)  # 30s -> 248 -> no cap
+    assert st._tick_sample_len() is None
+
+    # explicit sample_len is an upper bound, never raised by the cap
+    st2 = StreamingTranscriber(model, language="en", sample_len=6)
+    st2._buffer = np.zeros(2 * 16000, np.float32)
+    assert st2._tick_sample_len() == 6
+    st2._buffer = np.zeros(30 * 16000, np.float32)
+    assert st2._tick_sample_len() == 6
+
+    # cap disabled -> always the configured horizon
+    st3 = StreamingTranscriber(model, language="en",
+                               max_tokens_per_second=None)
+    st3._buffer = np.zeros(2 * 16000, np.float32)
+    assert st3._tick_sample_len() is None
