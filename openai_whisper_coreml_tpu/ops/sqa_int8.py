@@ -12,13 +12,17 @@ dequantises there, so HBM traffic truly halves:
   * d-major (B, H, D, S) blocks, one grid cell per batch row, static loop
     over heads; masking by [valid_from, pos] bounds from scalar prefetch.
 
-Status: validated for parity (interpret + on-chip). The production int8
-cross-KV path (`DecodingOptions(kv_dtype="int8")`) does NOT use this kernel:
-inline XLA dequant in decode_step measured faster end to end (XLA fuses the
-convert+scale into the attention reads — docs/benchmarks.md "int8 options").
-This kernel remains the reference formulation for fused dequant-in-VMEM
-attention; its per-cell cost is dominated by fixed overheads at single-query
-shapes.
+Status: parity-validated (interpret + on-chip) and compiled on real v5e
+after two Mosaic workarounds (no bool minor-dim insertion; no lane-dim shape
+casts — see _sqa_kernel docstring). Round-2 verdict (benchmarks/sqa_probe.py,
+32 chained layers, B24 S1500, per decode step): bf16 einsum 9.12 ms,
+inline-XLA-dequant int8 einsum 5.72 ms, THIS kernel 7.71 ms. The v2
+block-diagonal rewrite fixed v1's 36 ms per-head-matvec latency, but the
+H-times-redundant MXU work and the loss of XLA's cross-op scheduling still
+lose to inline dequant, whose convert+scale fuses into the attention reads.
+The production int8 cross-KV path (`DecodingOptions(kv_dtype="int8")`)
+therefore stays on inline dequant; this kernel remains the reference
+formulation for fused dequant-in-VMEM attention.
 """
 
 from __future__ import annotations
@@ -53,7 +57,7 @@ def pack_kv(q8: jax.Array, scale: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def _sqa_kernel(pos_ref, valid_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
-                o_ref, *, n_head: int, sm_scale: float):
+                o_ref, *, n_head: int, head_dim: int, sm_scale: float):
     """All heads in ONE MXU matmul pair via block-diagonal head packing.
 
     A per-head loop of (1,D)@(D,S) matvecs is fixed-overhead-bound (measured
@@ -61,24 +65,29 @@ def _sqa_kernel(pos_ref, valid_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
     block-diagonal query Q_bd (H, H*D) — Q_bd[g, h*D+d] = q[h,d] iff g==h —
     so logits for every head come from one (H, H*D)@(H*D, S) matmul. The
     19/20 zero blocks waste FLOPs, not bandwidth, and decode is
-    bandwidth-bound. Same trick in reverse extracts the output diagonal.
+    bandwidth-bound. The same mask in reverse extracts the output diagonal.
+
+    Mosaic constraints shape the formulation: no in-kernel reshapes that
+    merge/split the lane dim (a (H,H,D)->(H,H*D) shape cast fails to infer a
+    layout) and no minor-dim insertion on non-32-bit types — so q arrives
+    PRE-FLATTENED as (1, H*D), the block structure comes from an iota mask
+    (row == col//D), and the output diagonal is extracted with a masked
+    axis-0 reduction back to (1, H*D).
     """
     pos = pos_ref[0]
     valid = valid_ref[0]
-    h_n = n_head
-    d = q_ref.shape[-1]
+    h_n, d = n_head, head_dim
     s_len = k_ref.shape[-1]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (h_n, s_len), 1)
     mask = (col_ids <= pos) & (col_ids >= valid)  # (H, S)
 
-    # f32 identity mask: Mosaic only supports minor-dim insertion
-    # (eye[:, :, None]) on 32-bit types, so cast BEFORE expanding
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (h_n, h_n), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (h_n, h_n), 1)
-           ).astype(jnp.float32)
+    # block-diagonal selector (H, H*D): 1 where the column's head == row
+    bd = (jax.lax.broadcasted_iota(jnp.int32, (h_n, h_n * d), 1) // d
+          == jax.lax.broadcasted_iota(jnp.int32, (h_n, h_n * d), 0)
+          ).astype(jnp.float32)
 
-    q = q_ref[0].astype(jnp.float32)  # (H, D)
-    q_bd = (eye[:, :, None] * q[None, :, :]).reshape(h_n, h_n * d)
+    q = q_ref[0].astype(jnp.float32)  # (1, H*D), flattened outside
+    q_bd = bd * q  # (H, H*D)
 
     k = k_ref[0].astype(jnp.float32)  # (H*D, S) — dequant in VMEM
     logits = jax.lax.dot(q_bd, k, preferred_element_type=jnp.float32)
@@ -91,7 +100,7 @@ def _sqa_kernel(pos_ref, valid_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
     out_full = jax.lax.dot_general(
         wv, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (H, H*D)
-    out = (out_full.reshape(h_n, h_n, d) * eye[:, :, None]).sum(axis=1)
+    out = jnp.sum(out_full * bd, axis=0, keepdims=True)  # (1, H*D) diagonal
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -115,26 +124,30 @@ def sqa_int8(
     if k8.ndim == 4:  # unpacked: merge heads outside the kernel
         k8, k_scale = pack_kv(k8, k_scale)
         v8, v_scale = pack_kv(v8, v_scale)
-    kernel = functools.partial(_sqa_kernel, n_head=h, sm_scale=d ** -0.5)
-    return pl.pallas_call(
+    kernel = functools.partial(_sqa_kernel, n_head=h, head_dim=d,
+                               sm_scale=d ** -0.5)
+    # q flattened to (B, 1, H*D) OUTSIDE the kernel (free in XLA; Mosaic
+    # cannot shape-cast the lane dim in-kernel)
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, 1, h * d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b,),
             in_specs=[
-                pl.BlockSpec((1, h, d), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, 1, h * d), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((1, h * d, s), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((1, h, s), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((1, h * d, s), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((1, h, s), lambda i, *_: (i, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, h, d), lambda i, *_: (i, 0, 0)),
+            out_specs=pl.BlockSpec((1, 1, h * d), lambda i, *_: (i, 0, 0)),
         ),
         interpret=interpret,
     )(jnp.atleast_1d(pos).astype(jnp.int32),
       jnp.atleast_1d(valid_from).astype(jnp.int32),
-      q, k8, k_scale, v8, v_scale)
+      q.reshape(b, 1, h * d), k8, k_scale, v8, v_scale)
+    return out.reshape(b, h, d)
 
 
 def sqa_reference(q, k, v, pos, valid_from):

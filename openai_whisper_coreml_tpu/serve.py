@@ -19,6 +19,7 @@ Design notes (TPU-shaped):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, List, Optional, Sequence, Union
 
 import numpy as np
@@ -60,17 +61,49 @@ class _Window:
     result: Optional[DecodingResult] = None
 
 
-def _windows_for(audio: np.ndarray, n_mels: int, request_id: int) -> List[_Window]:
+def _windows_for(audio: np.ndarray, n_mels: int, request_id: int,
+                 mel: Optional[np.ndarray] = None) -> List[_Window]:
     n = len(audio)
-    n_ceil = ((n + HOP_LENGTH - 1) // HOP_LENGTH) * HOP_LENGTH
-    padded = np.zeros(n_ceil + N_FRAMES * HOP_LENGTH, dtype=np.float32)
-    padded[:n] = audio
-    mel = np.asarray(log_mel_spectrogram(padded, n_mels=n_mels))
-    content_frames = mel.shape[-1] - N_FRAMES
+    if mel is None:
+        n_ceil = ((n + HOP_LENGTH - 1) // HOP_LENGTH) * HOP_LENGTH
+        padded = np.zeros(n_ceil + N_FRAMES * HOP_LENGTH, dtype=np.float32)
+        padded[:n] = audio
+        mel = np.asarray(log_mel_spectrogram(padded, n_mels=n_mels))
+    content_frames = -(-n // HOP_LENGTH)  # == mel width minus the 30 s pad
     out = []
     for seek in range(0, max(content_frames, 1), N_FRAMES):
         out.append(_Window(request_id, seek, mel[:, seek : seek + N_FRAMES]))
     return out
+
+
+def _batched_mels(arrays: List[np.ndarray], n_mels: int
+                  ) -> List[np.ndarray]:
+    """Mel spectrograms for many requests in batched device calls.
+
+    Per-request batch-1 mel calls cost ~30 ms dispatch each through the axon
+    relay (CLAUDE.md) — for a 96-request batch that is pure overhead at the
+    same order as the decode itself (measured: the serving benchmark spent
+    more time in the frontend than in the decoder before this). Group
+    same-padded-length requests and run ONE device call per group.
+    """
+    pad_lens, padded = [], []
+    for a in arrays:
+        n_ceil = ((len(a) + HOP_LENGTH - 1) // HOP_LENGTH) * HOP_LENGTH
+        total = n_ceil + N_FRAMES * HOP_LENGTH
+        p = np.zeros(total, dtype=np.float32)
+        p[: len(a)] = a
+        pad_lens.append(total)
+        padded.append(p)
+    mels: List[Optional[np.ndarray]] = [None] * len(arrays)
+    by_len: Dict[int, List[int]] = {}
+    for i, t in enumerate(pad_lens):
+        by_len.setdefault(t, []).append(i)
+    for t, idxs in by_len.items():
+        stack = np.stack([padded[i] for i in idxs], axis=0)
+        out = np.asarray(log_mel_spectrogram(stack, n_mels=n_mels))
+        for j, i in enumerate(idxs):
+            mels[i] = out[j]
+    return mels  # type: ignore[return-value]
 
 
 def transcribe_batch(
@@ -90,10 +123,19 @@ def transcribe_batch(
             a = load_audio(a)
         arrays.append(np.asarray(a, np.float32))
 
-    # fan out to windows
+    # fan out to windows (mel frontend batched across requests)
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    mels = _batched_mels(arrays, model.cfg.n_mels)
+    _mel_s = _time.perf_counter() - _t0
+    if os.environ.get("WHISPER_TPU_SERVE_TIMING"):
+        print(f"[serve] mel frontend: {_mel_s:.2f}s for {len(arrays)} "
+              f"requests", flush=True)
     windows: List[_Window] = []
     for rid, arr in enumerate(arrays):
-        windows.extend(_windows_for(arr, model.cfg.n_mels, rid))
+        windows.extend(_windows_for(arr, model.cfg.n_mels, rid,
+                                    mel=mels[rid]))
 
     if options.scheduler == "continuous" and options.beam_size is None:
         from .serve_cb import ContinuousBatcher

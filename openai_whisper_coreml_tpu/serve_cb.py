@@ -74,15 +74,36 @@ class CBState(NamedTuple):
     cross_kv: Any  # CrossKV | QuantCrossKV
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "kv_dtype"))
+def encode_cross_core(params, cfg: WhisperConfig, feats: Array,
+                      *, kv_dtype: str = "bf16"):
+    """Audio features -> per-layer (quantised) cross-KV.
+
+    Kept separate from prefill so the encoder always runs at FULL batch:
+    refilling 3 slots with a 3-row encode costs almost as much device time
+    as a 24-row encode (the MXU is row-starved either way), which measured
+    as the term that erased continuous batching's scheduling win. The pool
+    in ContinuousBatcher amortises this call over batch_size windows."""
+    if kv_dtype == "int8":
+        return dec_mod.precompute_cross_kv_int8(params, cfg, feats)
+    return dec_mod.precompute_cross_kv(params, cfg, feats)
+
+
+@jax.jit
+def gather_cross_rows(cross, idx: Array):
+    """Select batch rows (axis 1) of a pooled cross-KV for a refill group."""
+    return jax.tree.map(lambda a: a[:, idx], cross)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "sample_len", "prompt_len", "cache_len",
-                     "kv_dtype", "cache_dtype"),
+                     "cache_dtype", "compute_dtype"),
 )
-def prefill_rows_core(
+def prefill_from_cross_core(
     params,
     cfg: WhisperConfig,
-    feats: Array,  # (R, S, n_state)
+    cross_kv,  # CrossKV | QuantCrossKV, batch R
     initial_tokens: Array,  # (R, prompt_len) int32, left-padded
     temps: Array,  # (R,) fp32
     pad_len: Array,  # scalar int32
@@ -91,22 +112,19 @@ def prefill_rows_core(
     sample_len: int,
     prompt_len: int,
     cache_len: int,
-    kv_dtype: str = "bf16",
     cache_dtype: str = "bf16",
+    compute_dtype=jnp.bfloat16,
 ) -> CBState:
-    """Encode-side state for a refill group: cross-KV + prompt prefill."""
-    r = feats.shape[0]
+    """Prompt prefill against already-encoded cross-KV (no encoder work)."""
+    r = initial_tokens.shape[0]
     eot = cfg.eot_token
     total_len = prompt_len + sample_len
 
-    if kv_dtype == "int8":
-        cross_kv = dec_mod.precompute_cross_kv_int8(params, cfg, feats)
-    else:
-        cross_kv = dec_mod.precompute_cross_kv(params, cfg, feats)
     if cache_dtype == "int8":
         cache = dec_mod.init_kv_cache_int8(cfg, r, ctx=cache_len)
     else:
-        cache = dec_mod.init_kv_cache(cfg, r, dtype=feats.dtype, ctx=cache_len)
+        cache = dec_mod.init_kv_cache(cfg, r, dtype=compute_dtype,
+                                      ctx=cache_len)
 
     tokens = jnp.full((r, total_len), eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, initial_tokens, (0, 0))
@@ -136,6 +154,9 @@ def prefill_rows_core(
     jax.jit,
     static_argnames=("cfg", "chunk", "use_timestamps", "prompt_len",
                      "total_len"),
+    # the multi-GB cache/cross-KV state is consumed and rebuilt every chunk:
+    # donation lets XLA update it in place instead of copying it per call
+    donate_argnames=("state",),
 )
 def decode_chunk_core(
     params,
@@ -200,7 +221,7 @@ def decode_chunk_core(
     return state, key
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnames=("state",))
 def scatter_rows(state: CBState, rows: CBState, idx: Array) -> CBState:
     """Insert a refill group's rows at slots `idx`; out-of-range indices
     (padding rows of an underfull group) are dropped."""
@@ -303,21 +324,29 @@ class ContinuousBatcher:
             out.append([tok.eot] * self.pad + seq)
         return np.asarray(out, np.int32)
 
-    def _prefill_group(self, group: List[_Slot], size: int) -> CBState:
-        """Encode + prefill a group at fixed graph size `size` (padded by
-        repeating the last entry; padding rows are dropped at scatter time
-        or marked finished for the initial fill)."""
+    def _encode_pool(self, pending: deque) -> None:
+        """Encode up to batch_size pending windows at the FULL batch graph
+        into the device-resident pool (cross-KV + language per window).
+
+        Refill groups then draw rows from the pool without touching the
+        encoder: a small-group encode costs nearly as much device time as a
+        full-batch one (row-starved MXU), and per-refill encodes measured
+        as the term that erased the scheduler's win (docs/benchmarks.md
+        "Serving schedulers"). Pool HBM: one extra batch of cross-KV
+        (~3 GB at large-v3 B24 int8)."""
         model = self.model
-        r = len(group)
+        group = [pending.popleft()
+                 for _ in range(min(self.bs, len(pending)))]
         mels = np.stack([s.window.mel for s in group], axis=0)
-        if r < size:
+        if len(group) < self.bs:
             mels = np.concatenate(
-                [mels, np.repeat(mels[-1:], size - r, axis=0)], axis=0)
+                [mels, np.repeat(mels[-1:], self.bs - len(group), axis=0)],
+                axis=0)
         feats = model._encode_jit(model.params, mel=jnp.asarray(mels))
 
         # per-row language: explicit option, else detect from the features
         if self.options.language is not None or not self.cfg.multilingual:
-            langs = [self.options.language or "en"] * size
+            langs = [self.options.language or "en"] * self.bs
         else:
             from .decoding import _detect_language_core
 
@@ -326,17 +355,40 @@ class ContinuousBatcher:
         for s, lang in zip(group, langs):
             s.language = lang
 
+        self._pool_cross = encode_cross_core(model.params, self.cfg, feats,
+                                             kv_dtype=self.kv_dtype)
+        self._pool_slots = group
+        self._pool_next = 0
+
+    def _pool_remaining(self) -> int:
+        return len(self._pool_slots) - self._pool_next
+
+    def _draw_from_pool(self, size: int, count: int
+                        ) -> Tuple[CBState, List[_Slot]]:
+        """Prefill `count` pooled windows at fixed graph size `size` (padding
+        rows repeat the first index; they are dropped at scatter time or
+        marked finished by the caller for the initial fill)."""
+        take = self._pool_slots[self._pool_next : self._pool_next + count]
+        idx = np.zeros(size, np.int32)
+        idx[: len(take)] = np.arange(self._pool_next,
+                                     self._pool_next + len(take))
+        self._pool_next += len(take)
+        cross_rows = gather_cross_rows(self._pool_cross, jnp.asarray(idx))
+
         temps = np.asarray(
             [self.temperatures[min(s.temp_index, len(self.temperatures) - 1)]
-             for s in group]
-            + [0.0] * (size - r), np.float32)
+             for s in take] + [0.0] * (size - len(take)), np.float32)
+        langs = [s.language for s in take]
+        langs += [langs[-1] if langs else "en"] * (size - len(take))
         initial = self._initial_tokens(langs)
-        return prefill_rows_core(
-            model.params, self.cfg, feats, jnp.asarray(initial),
-            jnp.asarray(temps), jnp.int32(self.pad), jnp.int32(self.sot_index),
-            sample_len=self.sample_len, prompt_len=self.prompt_len,
-            cache_len=self.cache_len, kv_dtype=self.kv_dtype,
-            cache_dtype=self.cache_dtype)
+        rows = prefill_from_cross_core(
+            self.model.params, self.cfg, cross_rows, jnp.asarray(initial),
+            jnp.asarray(temps), jnp.int32(self.pad),
+            jnp.int32(self.sot_index), sample_len=self.sample_len,
+            prompt_len=self.prompt_len, cache_len=self.cache_len,
+            cache_dtype=self.cache_dtype,
+            compute_dtype=self.model.params["decoder"]["token_embedding"].dtype)
+        return rows, take
 
     def _harvest(self, host: Dict[str, np.ndarray], slot: int, entry: _Slot
                  ) -> Tuple[DecodingResult, bool]:
@@ -388,10 +440,13 @@ class ContinuousBatcher:
         bs = self.bs
         active: List[Optional[_Slot]] = [None] * bs
         key = jax.random.PRNGKey(0)
+        self._pool_slots: List[_Slot] = []
+        self._pool_next = 0
+        self._pool_cross = None
 
-        # initial fill: one full-batch prefill
-        group = [pending.popleft() for _ in range(min(bs, len(pending)))]
-        state = self._prefill_group(group, bs)
+        # initial fill: encode one full batch into the pool, draw all of it
+        self._encode_pool(pending)
+        state, group = self._draw_from_pool(bs, min(bs, self._pool_remaining()))
         for i, s in enumerate(group):
             active[i] = s
         if len(group) < bs:  # mark padded rows finished & inert
@@ -429,16 +484,18 @@ class ContinuousBatcher:
                 active[slot] = None
 
             free = [s for s in range(bs) if active[s] is None]
-            if pending and (len(free) >= self.refill
-                            or all(a is None for a in active)):
-                group = [pending.popleft()
-                         for _ in range(min(self.refill, len(free),
-                                            len(pending)))]
-                rows = self._prefill_group(group, self.refill)
+            supply = self._pool_remaining() + len(pending)
+            if supply and (len(free) >= self.refill
+                           or all(a is None for a in active)):
+                if self._pool_remaining() == 0:
+                    self._encode_pool(pending)
+                count = min(self.refill, len(free), self._pool_remaining())
+                rows, group = self._draw_from_pool(self.refill, count)
                 idx = np.full(self.refill, bs, np.int32)
                 idx[: len(group)] = free[: len(group)]
                 state = scatter_rows(state, rows, jnp.asarray(idx))
                 for i, s in zip(idx[: len(group)], group):
                     active[int(i)] = s
-            if not pending and all(a is None for a in active):
+            if (not pending and self._pool_remaining() == 0
+                    and all(a is None for a in active)):
                 break

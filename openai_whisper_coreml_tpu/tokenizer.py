@@ -135,6 +135,28 @@ def load_hf_vocab(vocab_json: str, merges_txt: Optional[str] = None) -> Dict[byt
     return ranks
 
 
+def load_hf_tokenizer_json(path: str) -> Dict[bytes, int]:
+    """HF `tokenizer.json` (the single-file `tokenizers` format every HF
+    whisper repo ships) -> raw-bytes ranks. The BPE vocab lives under
+    model.vocab with the same printable-unicode byte aliasing as vocab.json;
+    specials live in added_tokens and are derived from the config instead."""
+    with open(path, encoding="utf-8") as f:
+        data = json.load(f)
+    model = data.get("model") or {}
+    if model.get("type", "BPE") != "BPE" or "vocab" not in model:
+        raise ValueError(f"{path}: not a byte-level BPE tokenizer.json")
+    uni2byte = {c: b for b, c in _bytes_to_unicode().items()}
+    ranks: Dict[bytes, int] = {}
+    for token, rank in model["vocab"].items():
+        if token.startswith("<|") and token.endswith("|>"):
+            continue  # specials are derived from the config layout
+        try:
+            ranks[bytes(uni2byte[c] for c in token)] = int(rank)
+        except KeyError:
+            continue
+    return ranks
+
+
 def byte_fallback_ranks(n_base: int) -> Dict[bytes, int]:
     """Asset-free vocab: 256 single-byte tokens + inert filler ids.
 
@@ -363,6 +385,7 @@ def find_vocab_file(cfg: WhisperConfig) -> Optional[str]:
     candidates += [
         os.path.join(here, "assets", f"{stem}.tiktoken"),
         os.path.join(here, "assets", "vocab.json"),
+        os.path.join(here, "assets", "tokenizer.json"),
     ]
     for c in candidates:
         if os.path.exists(c):
@@ -386,8 +409,17 @@ def get_tokenizer(
     path = vocab_path or find_vocab_file(cfg)
     if path is None:
         ranks = byte_fallback_ranks(cfg.n_base_tokens)
+    elif os.path.basename(path) == "tokenizer.json":
+        ranks = load_hf_tokenizer_json(path)
     elif path.endswith(".json"):
-        ranks = load_hf_vocab(path)
+        # vocab.json (flat token->id map) vs tokenizer.json passed under a
+        # different name: sniff the structure
+        with open(path, encoding="utf-8") as f:
+            head = json.load(f)
+        if isinstance(head, dict) and "model" in head and "vocab" not in head:
+            ranks = load_hf_tokenizer_json(path)
+        else:
+            ranks = load_hf_vocab(path)
     else:
         ranks = load_tiktoken_ranks(path)
     return Tokenizer(cfg=cfg, ranks=ranks, language=language, task=task)

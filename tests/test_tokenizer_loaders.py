@@ -100,3 +100,40 @@ def test_stage_timer():
     assert rep["mel"]["seconds"] >= 0.02
     assert rep["mel"]["units_per_sec"] > 0
     assert "mel" in timer.dump()
+
+
+def test_hf_tokenizer_json_loader(tmp_path):
+    """Single-file `tokenizers` format (what HF whisper repos actually ship)."""
+    from openai_whisper_coreml_tpu.tokenizer import load_hf_tokenizer_json
+
+    data = {
+        "version": "1.0",
+        "added_tokens": [{"id": 50257, "content": "<|endoftext|>"}],
+        "model": {
+            "type": "BPE",
+            "vocab": {"hello": 5, "Ġhello": 6, "a": 7,
+                      "<|endoftext|>": 50257},
+            "merges": ["h e", "he llo"],
+        },
+    }
+    p = tmp_path / "tokenizer.json"
+    p.write_text(json.dumps(data), encoding="utf-8")
+    ranks = load_hf_tokenizer_json(str(p))
+    assert ranks[b"hello"] == 5
+    assert ranks[b" hello"] == 6
+    assert ranks[b"a"] == 7
+    assert all(not t.startswith(b"<|") for t in ranks)
+
+
+def test_get_tokenizer_sniffs_tokenizer_json(tmp_path):
+    """tokenizer.json content routed correctly even under another filename,
+    and by its canonical basename."""
+    from openai_whisper_coreml_tpu.tokenizer import get_tokenizer
+
+    cfg = tiny_test_config()
+    data = {"model": {"type": "BPE", "vocab": {"hello": 5}}}
+    for name in ("tokenizer.json", "renamed.json"):
+        p = tmp_path / name
+        p.write_text(json.dumps(data), encoding="utf-8")
+        tok = get_tokenizer(cfg, vocab_path=str(p))
+        assert tok.ranks[b"hello"] == 5
