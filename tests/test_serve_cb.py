@@ -62,6 +62,18 @@ def test_continuous_refill_more_windows_than_slots(model, rng):
     for r in out:
         assert isinstance(r["text"], str)
         assert r["segments"], "every window must produce a result"
+    # token parity with the static scheduler across pool/refill boundaries
+    # (fp32 tests: the decode math is identical, only scheduling differs)
+    static = transcribe_batch(
+        model, audios, ServeOptions(scheduler="static", batch_size=2,
+                                    language="en", temperature=(0.0,),
+                                    sample_len=8, no_speech_threshold=None,
+                                    logprob_threshold=None,
+                                    compression_ratio_threshold=None))
+    for s, c in zip(static, out):
+        toks_s = [t for seg in s["segments"] for t in seg["tokens"]]
+        toks_c = [t for seg in c["segments"] for t in seg["tokens"]]
+        assert toks_s == toks_c
 
 
 def test_continuous_temperature_fallback_requeues(model, rng):

@@ -158,3 +158,23 @@ def test_unsupported_wav_width_returns_400(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _post(server, "/transcribe?language=en", b"RIFFgarbagenotawav")
     assert exc.value.code == 400
+
+
+def test_server_default_options_continuous(rng):
+    """Server-level default_options (--scheduler continuous) route requests
+    through the continuous batcher; per-request options still win."""
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2)
+    model = WhisperModel(cfg=cfg,
+                         params=init_params(cfg, jax.random.PRNGKey(0)))
+    srv = WhisperHTTPServer(model, port=0, batch_size=2, batch_window_ms=20,
+                            default_options={"scheduler": "continuous",
+                                             "sample_len": 6})
+    srv.start()
+    try:
+        audio = (0.1 * rng.standard_normal(12800)).astype(np.float32)
+        status, out = _post(srv, "/transcribe?language=en",
+                            _wav_bytes(audio))
+        assert status == 200
+        assert isinstance(out["text"], str)
+    finally:
+        srv.stop()
