@@ -98,11 +98,20 @@ def _batched_mels(arrays: List[np.ndarray], n_mels: int
     by_len: Dict[int, List[int]] = {}
     for i, t in enumerate(pad_lens):
         by_len.setdefault(t, []).append(i)
+    group_cap = 64  # bounds the device-call footprint (~2.5 GB audio f32)
     for t, idxs in by_len.items():
-        stack = np.stack([padded[i] for i in idxs], axis=0)
-        out = np.asarray(log_mel_spectrogram(stack, n_mels=n_mels))
-        for j, i in enumerate(idxs):
-            mels[i] = out[j]
+        for start in range(0, len(idxs), group_cap):
+            part = idxs[start : start + group_cap]
+            stack = np.stack([padded[i] for i in part], axis=0)
+            if len(idxs) > group_cap and len(part) < group_cap:
+                # pad the tail of a capped sequence to the cap so it reuses
+                # the same compiled graph instead of compiling a new size
+                stack = np.concatenate(
+                    [stack, np.repeat(stack[-1:], group_cap - len(part), 0)],
+                    axis=0)
+            out = np.asarray(log_mel_spectrogram(stack, n_mels=n_mels))
+            for j, i in enumerate(part):
+                mels[i] = out[j]
     return mels  # type: ignore[return-value]
 
 

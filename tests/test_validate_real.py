@@ -33,11 +33,20 @@ def test_validate_real_gate_plumbing(tmp_path, rng):
     ckpt = str(tmp_path / "m.safetensors")
     save_params(params, ckpt, model_name="tiny-test")
 
+    # patch get_config EVERYWHERE it is bound: models.whisper (and the
+    # package __init__) import it directly, so patching only the config
+    # module works or fails depending on whether another test already
+    # imported models.whisper (observed order-dependent failure under
+    # `pytest -m slow`)
+    import openai_whisper_coreml_tpu as pkg
     import openai_whisper_coreml_tpu.config as config_mod
+    import openai_whisper_coreml_tpu.models.whisper as whisper_mod
 
     orig_get = config_mod.get_config
-    config_mod.get_config = lambda name: (cfg if name == "tiny-test"
-                                          else orig_get(name))
+    patched = lambda name: (cfg if name == "tiny-test" else orig_get(name))
+    config_mod.get_config = patched
+    pkg.get_config = patched
+    whisper_mod.get_config = patched
     try:
         # corpus: two short utterances, flat layout (wav + txt)
         corpus = tmp_path / "corpus"
@@ -75,3 +84,5 @@ def test_validate_real_gate_plumbing(tmp_path, rng):
         assert norm(expected) == norm(expected)
     finally:
         config_mod.get_config = orig_get
+        pkg.get_config = orig_get
+        whisper_mod.get_config = orig_get
