@@ -11,11 +11,13 @@
 //
 // Build: make -C native        (produces libwhisper_audio.so)
 
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -218,5 +220,36 @@ long long wa_resample(const float* in, long long n, int src_rate,
 }
 
 void wa_free(float* p) { std::free(p); }
+
+// Batched data loader: decode + resample n WAVs in parallel (the eval
+// harness feeds thousands of utterances; serial Python loads serialise the
+// host while the chip idles). outs[i] receives a malloc'd mono float32
+// buffer (caller frees each via wa_free), lens[i] its length or -1 on that
+// file's failure. Returns the number of successfully loaded files.
+long long wa_load_batch(const char** paths, long long n, int target_rate,
+                        int n_threads, float** outs, long long* lens) {
+  if (n <= 0) return 0;
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 4;
+  }
+  if (n_threads > n) n_threads = static_cast<int>(n);
+
+  std::atomic<long long> next(0), ok(0);
+  auto worker = [&]() {
+    for (;;) {
+      const long long i = next.fetch_add(1);
+      if (i >= n) return;
+      outs[i] = nullptr;
+      lens[i] = wa_load_wav(paths[i], target_rate, &outs[i]);
+      if (lens[i] >= 0) ok.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(static_cast<size_t>(n_threads));
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return ok.load();
+}
 
 }  // extern "C"

@@ -20,7 +20,7 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from ..utils.audio_io import load_audio
+from ..utils.audio_io import load_audio_batch
 from .wer import WERResult, compute_wer
 
 
@@ -83,7 +83,9 @@ def evaluate(
     if limit:
         utts = utts[:limit]
 
-    audios = [load_audio(u.audio_path) for u in utts]
+    # threaded native batch loader (native/audio_io.cpp wa_load_batch);
+    # falls back to serial decode without the native lib
+    audios = load_audio_batch([u.audio_path for u in utts])
     total_audio_sec = sum(len(a) for a in audios) / 16_000
 
     t0 = time.perf_counter()

@@ -53,6 +53,16 @@ def _find_native_lib() -> Optional[ctypes.CDLL]:
                     ctypes.c_int,
                     ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
                 ]
+                if hasattr(lib, "wa_load_batch"):
+                    lib.wa_load_batch.restype = ctypes.c_longlong
+                    lib.wa_load_batch.argtypes = [
+                        ctypes.POINTER(ctypes.c_char_p),
+                        ctypes.c_longlong,
+                        ctypes.c_int,
+                        ctypes.c_int,
+                        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                        ctypes.POINTER(ctypes.c_longlong),
+                    ]
                 _native_lib = lib
                 return lib
             except OSError:
@@ -141,6 +151,40 @@ def load_audio(path: str, sample_rate: int = 16_000) -> np.ndarray:
         )
     data, rate = _load_wav_python(path)
     return resample(data, rate, sample_rate)
+
+
+def load_audio_batch(paths, sample_rate: int = 16_000,
+                     n_threads: int = 0) -> list:
+    """Load many WAVs in parallel through the native threaded loader.
+
+    The eval harness walks thousands of utterances; serial loads leave the
+    host CPU-bound while the chip idles. Falls back to serial `load_audio`
+    per file when the native lib is unavailable (or for non-WAV paths).
+    n_threads=0 uses the hardware concurrency. Per-file decode failures fall
+    back to the Python decoder (and raise there if truly malformed)."""
+    paths = list(paths)
+    lib = _find_native_lib()
+    if (lib is None or not hasattr(lib, "wa_load_batch")
+            or not all(p.lower().endswith(".wav") for p in paths)):
+        return [load_audio(p, sample_rate) for p in paths]
+
+    n = len(paths)
+    if n == 0:
+        return []
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    outs = (ctypes.POINTER(ctypes.c_float) * n)()
+    lens = (ctypes.c_longlong * n)()
+    lib.wa_load_batch(c_paths, n, int(sample_rate), int(n_threads), outs,
+                      lens)
+    result = []
+    for i in range(n):
+        if lens[i] >= 0:
+            arr = np.ctypeslib.as_array(outs[i], shape=(lens[i],)).copy()
+            lib.wa_free(outs[i])
+            result.append(arr)
+        else:
+            result.append(load_audio(paths[i], sample_rate))
+    return result
 
 
 def save_wav(path: str, audio: np.ndarray, sample_rate: int = 16_000) -> None:

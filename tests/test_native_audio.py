@@ -81,3 +81,41 @@ def test_native_stereo_mixdown(tmp_path, lib):
     y = audio_io.load_audio(p, 16000)
     assert len(y) == 8000
     assert np.abs(y).max() < 1e-4  # L/R cancel after mixdown
+
+
+def test_load_audio_batch_parallel(tmp_path, rng):
+    """Threaded native batch loader matches per-file loads exactly."""
+    from openai_whisper_coreml_tpu.utils.audio_io import (
+        load_audio, load_audio_batch, save_wav)
+
+    paths = []
+    for i in range(6):
+        audio = (0.3 * np.sin(2 * np.pi * (100 + 30 * i)
+                              * np.arange(8000 + 1000 * i) / 16000)
+                 ).astype(np.float32)
+        p = str(tmp_path / f"clip{i}.wav")
+        save_wav(p, audio)
+        paths.append(p)
+
+    batch = load_audio_batch(paths, n_threads=3)
+    assert len(batch) == 6
+    for p, arr in zip(paths, batch):
+        np.testing.assert_array_equal(arr, load_audio(p))
+
+
+def test_load_audio_batch_mixed_failure(tmp_path):
+    """A malformed file falls back per-file without poisoning the batch."""
+    from openai_whisper_coreml_tpu.utils.audio_io import (
+        load_audio_batch, save_wav)
+
+    good = str(tmp_path / "good.wav")
+    save_wav(good, np.zeros(1600, np.float32))
+    bad = str(tmp_path / "bad.wav")
+    with open(bad, "wb") as f:
+        f.write(b"not a wav at all")
+    try:
+        load_audio_batch([good, bad])
+        raised = False
+    except Exception:
+        raised = True
+    assert raised  # the malformed file must surface an error, not silence
