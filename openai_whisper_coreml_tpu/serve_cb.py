@@ -342,7 +342,8 @@ class ContinuousBatcher:
             mels = np.concatenate(
                 [mels, np.repeat(mels[-1:], self.bs - len(group), axis=0)],
                 axis=0)
-        feats = model._encode_jit(model.params, mel=jnp.asarray(mels))
+        mels_dev = model.shard_batch(jnp.asarray(mels))
+        feats = model._encode_jit(model.params, mel=mels_dev)
 
         # per-row language: explicit option, else detect from the features
         if self.options.language is not None or not self.cfg.multilingual:
@@ -435,6 +436,13 @@ class ContinuousBatcher:
     def run(self, windows: List[Any]) -> None:
         if not windows:
             return
+        # under a DP x TP mesh every jitted core (encode, prefill, chunk,
+        # scatter) compiles with the model's sharding constraints — same
+        # mechanism as the static path's mesh_context-wrapped entries
+        with self.model.mesh_context():
+            self._run(windows)
+
+    def _run(self, windows: List[Any]) -> None:
         pending: deque = deque(
             _Slot(w, 0, self.options.language or "en") for w in windows)
         bs = self.bs

@@ -178,3 +178,35 @@ def test_sharded_language_detection(cfg):
     for pr, ps in zip(probs_ref, probs_sh):
         top_r = max(pr, key=pr.get)
         np.testing.assert_allclose(pr[top_r], ps[top_r], atol=1e-3)
+
+
+def test_sharded_continuous_batching_token_exact(cfg):
+    """The continuous-batching engine under a DP x TP mesh must match the
+    unsharded STATIC scheduler token-for-token (fp32: same decode math,
+    different scheduling + sharding)."""
+    from openai_whisper_coreml_tpu.serve import ServeOptions, transcribe_batch
+
+    # serve windows are always 3000 mel frames -> needs the full 1500-pos
+    # audio context (the module cfg fixture truncates it); stay narrow for
+    # CPU speed, widths divisible by the model axis
+    cfg = tiny_test_config(n_state=128, n_head=4, n_layer=2)
+    ref, sharded = _make_models(cfg, 4, 2)
+    rng = np.random.default_rng(7)
+    sr = 16000
+    audios = [(0.2 * np.sin(2 * np.pi * (200 + 40 * i)
+                            * np.arange(int(sr * d)) / sr)
+               + 0.02 * rng.standard_normal(int(sr * d))).astype(np.float32)
+              for i, d in enumerate([0.9, 1.2, 0.8, 1.1, 0.7])]
+    common = dict(language="en", temperature=(0.0,), sample_len=8,
+                  no_speech_threshold=None, logprob_threshold=None,
+                  compression_ratio_threshold=None)
+    res_ref = transcribe_batch(ref, audios,
+                               ServeOptions(scheduler="static", batch_size=4,
+                                            **common))
+    res_sh = transcribe_batch(sharded, audios,
+                              ServeOptions(scheduler="continuous",
+                                           batch_size=4, **common))
+    for a, b in zip(res_ref, res_sh):
+        toks_a = [t for seg in a["segments"] for t in seg["tokens"]]
+        toks_b = [t for seg in b["segments"] for t in seg["tokens"]]
+        assert toks_a == toks_b
