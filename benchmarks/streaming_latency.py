@@ -53,12 +53,41 @@ def run_stream(model, seconds: float, chunk: float, interval: float,
     return lat
 
 
+def run_multistream(model, n_streams: int, seconds: float, chunk: float,
+                    interval: float):
+    """Per-tick wall latency for N concurrent streams through ONE batched
+    decode (stream.MultiStreamTranscriber.poll)."""
+    from openai_whisper_coreml_tpu.stream import MultiStreamTranscriber
+
+    mst = MultiStreamTranscriber(model, n_streams, language="en",
+                                 decode_interval=interval)
+    rng = np.random.default_rng(0)
+    sr = 16000
+    n_chunk = int(chunk * sr)
+    lat = []
+    fed = 0
+    while fed < seconds * sr:
+        for i in range(n_streams):
+            mst.feed(i, (0.1 * rng.standard_normal(n_chunk))
+                     .astype(np.float32))
+        t0 = time.perf_counter()
+        mst.poll()
+        dt = time.perf_counter() - t0
+        if dt > 1e-4:  # only ticks that actually decoded
+            lat.append(dt)
+        fed += n_chunk
+    return lat
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="base,large-v3")
     ap.add_argument("--seconds", type=float, default=45.0)
     ap.add_argument("--chunk", type=float, default=0.5)
     ap.add_argument("--interval", type=float, default=1.0)
+    ap.add_argument("--streams", type=int, default=0,
+                    help=">0: also measure N concurrent streams through the "
+                         "batched MultiStreamTranscriber tier")
     ap.add_argument("--out", default="/tmp/streaming_latency.jsonl")
     args = ap.parse_args()
 
@@ -82,6 +111,22 @@ def main() -> int:
                 "p95_ms": round(1e3 * float(np.percentile(warm, 95)), 1),
                 "max_ms": round(1e3 * float(np.max(warm)), 1),
                 "compile_spike_ms": [round(1e3 * t, 1) for t in spikes],
+            }
+            print(json.dumps(rec), flush=True)
+            out.write(json.dumps(rec) + "\n")
+            out.flush()
+        if args.streams > 0:
+            lat = run_multistream(model, args.streams, args.seconds,
+                                  args.chunk, args.interval)
+            med = float(np.median(lat))
+            warm = [t for t in lat if t < 3 * med] or lat
+            rec = {
+                "model": name.strip(), "multistream": args.streams,
+                "ticks": len(warm),
+                "p50_ms": round(1e3 * float(np.percentile(warm, 50)), 1),
+                "p95_ms": round(1e3 * float(np.percentile(warm, 95)), 1),
+                "per_stream_p50_ms": round(
+                    1e3 * float(np.percentile(warm, 50)) / args.streams, 1),
             }
             print(json.dumps(rec), flush=True)
             out.write(json.dumps(rec) + "\n")

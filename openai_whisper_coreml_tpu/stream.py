@@ -138,7 +138,12 @@ class StreamingTranscriber:
     def _confirm(self) -> List[int]:
         """Run one decode, update hypothesis history, return newly-confirmed
         tokens."""
-        hyp = self._decode_window()
+        return self._update_with_hyp(self._decode_window())
+
+    def _update_with_hyp(self, hyp: List[int]) -> List[int]:
+        """LocalAgreement update for one new hypothesis (split out so a
+        batched multi-stream driver can decode many windows in one device
+        call and inject each stream's hypothesis here)."""
         self._hyps.append(hyp)
         self._hyps = self._hyps[-self.agreement :]
         if len(self._hyps) < self.agreement:
@@ -203,3 +208,87 @@ class StreamingTranscriber:
             self._confirmed = hyp
         ev = StreamEvent(self._tok().decode(new), new, is_final=True)
         return [ev] if new else [StreamEvent("", [], is_final=True)]
+
+
+class MultiStreamTranscriber:
+    """Many live streams on one chip: one BATCHED decode per tick.
+
+    The batch-1 streaming tier pays a full device round-trip and a
+    row-starved decode per stream per tick (p50 ~1 s at large-v3 —
+    docs/benchmarks.md "Streaming latency"). This tier keeps a
+    StreamingTranscriber state machine per stream but decodes every due
+    stream's window in ONE device batch, so N concurrent streams cost ~one
+    decode instead of N. Conditioning on committed text is disabled (rows
+    cannot carry different prompts in one graph — the same tradeoff batch
+    serving documents in serve.py).
+
+    Usage:
+        mst = MultiStreamTranscriber(model, n_streams=8, language="en")
+        mst.feed(3, chunk)              # buffer audio for stream 3
+        for i, evs in mst.poll().items():   # one batched decode per call
+            ...
+        mst.finish(3)                   # flush one stream
+    """
+
+    def __init__(self, model, n_streams: int, *,
+                 language: Optional[str] = "en", agreement: int = 2,
+                 decode_interval: float = 1.0,
+                 sample_len: Optional[int] = None,
+                 max_tokens_per_second: Optional[float] = 8.0) -> None:
+        if n_streams < 1:
+            raise ValueError("n_streams must be >= 1")
+        self.model = model
+        self.language = language
+        self.streams = [
+            StreamingTranscriber(
+                model, language=language, agreement=agreement,
+                decode_interval=decode_interval, sample_len=sample_len,
+                max_tokens_per_second=max_tokens_per_second)
+            for _ in range(n_streams)
+        ]
+
+    def feed(self, idx: int, samples: np.ndarray) -> None:
+        """Buffer audio for one stream (no device work; see poll())."""
+        st = self.streams[idx]
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        st._buffer = np.concatenate([st._buffer, samples])
+        st._since_decode += len(samples)
+
+    def poll(self) -> dict:
+        """Decode every due stream in one device batch; returns
+        {stream_index: [StreamEvent, ...]} for streams with new text."""
+        from .audio import log_mel_spectrogram
+        from .decoding import decode as _decode
+
+        sr = SAMPLE_RATE
+        due = [i for i, st in enumerate(self.streams)
+               if st._since_decode >= st.decode_interval * sr
+               and len(st._buffer)]
+        if not due:
+            return {}
+        # shared decode horizon: the largest due stream's duration cap
+        # (one graph per (batch-size, horizon) pair)
+        caps = [self.streams[i]._tick_sample_len() for i in due]
+        sample_len = None if any(c is None for c in caps) else max(caps)
+
+        audio = np.stack([pad_or_trim(self.streams[i]._buffer)
+                          for i in due], axis=0)
+        mel = np.asarray(log_mel_spectrogram(
+            audio, n_mels=self.model.cfg.n_mels))
+        res = _decode(self.model, mel, DecodingOptions(
+            language=self.language, without_timestamps=True,
+            sample_len=sample_len))
+
+        events: dict = {}
+        for i, r in zip(due, res):
+            st = self.streams[i]
+            st._since_decode = 0
+            new = st._update_with_hyp(list(r.tokens))
+            if new:
+                events[i] = [StreamEvent(st._tok().decode(new), new)]
+            st._maybe_trim()
+        return events
+
+    def finish(self, idx: int) -> List[StreamEvent]:
+        """Flush one stream (batch-1 decode; final text)."""
+        return self.streams[idx].finish()

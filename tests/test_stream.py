@@ -96,3 +96,53 @@ def test_tick_sample_len_scales_with_buffer(model):
                                max_tokens_per_second=None)
     st3._buffer = np.zeros(2 * 16000, np.float32)
     assert st3._tick_sample_len() is None
+
+
+def test_multistream_batched_poll(model):
+    from openai_whisper_coreml_tpu.stream import MultiStreamTranscriber
+
+    rng = np.random.default_rng(3)
+    t = np.arange(6 * 16000) / 16000
+    audio = (0.2 * np.sin(2 * np.pi * 200 * t)
+             + 0.02 * rng.standard_normal(t.shape)).astype(np.float32)
+
+    mst = MultiStreamTranscriber(model, n_streams=2, language="en",
+                                 agreement=2, decode_interval=2.0,
+                                 sample_len=6)
+    confirmed = {0: [], 1: []}
+    for off in range(0, len(audio), 16000):
+        chunk = audio[off : off + 16000]
+        mst.feed(0, chunk)
+        mst.feed(1, chunk)  # identical audio on both streams
+        for i, evs in mst.poll().items():
+            for ev in evs:
+                confirmed[i].extend(ev.tokens)
+    # identical inputs through one batched decode => identical confirmations
+    assert confirmed[0] == confirmed[1]
+    finals0 = mst.finish(0)
+    assert finals0 and finals0[-1].is_final
+
+    # solo reference: same audio through the batch-1 tier (no trim at 6 s,
+    # so no conditioning divergence; fp32 decode is batch-shape stable)
+    st = StreamingTranscriber(model, language="en", agreement=2,
+                              decode_interval=2.0, sample_len=6)
+    solo = []
+    for off in range(0, len(audio), 16000):
+        for ev in st.feed(audio[off : off + 16000]):
+            solo.extend(ev.tokens)
+    assert solo == confirmed[0]
+
+
+def test_multistream_due_gating(model):
+    """poll() decodes only streams whose interval elapsed."""
+    from openai_whisper_coreml_tpu.stream import MultiStreamTranscriber
+
+    mst = MultiStreamTranscriber(model, n_streams=2, language="en",
+                                 decode_interval=2.0, sample_len=4)
+    mst.feed(0, np.zeros(16000, np.float32))  # 1 s: not due
+    assert mst.poll() == {}
+    mst.feed(0, np.zeros(2 * 16000, np.float32))  # 3 s total: due
+    mst.poll()  # decodes stream 0 only (stream 1 has no audio)
+    assert mst.streams[0]._since_decode == 0
+    assert mst.streams[1]._since_decode == 0 or len(
+        mst.streams[1]._buffer) == 0
