@@ -3,6 +3,8 @@
 POST /transcribe   body: WAV bytes (or float32 PCM with X-Raw-Audio: 1)
                    query: ?task=transcribe&language=en&beam_size=5
 POST /detect       body: WAV bytes -> {"language": ..., "probs": {...}}
+POST /stream       incremental: audio in (chunked transfer-encoding or a
+                   plain body), confirmed-text NDJSON lines out (chunked)
 GET  /healthz      -> {"ok": true, "model": ..., "backend": ...}
 
 Requests are micro-batched: a background worker drains the queue every
@@ -142,10 +144,69 @@ class WhisperHTTPServer:
 
                 return decode_wav_bytes(raw)
 
+            def _do_stream(self, qs) -> None:
+                """Incremental transcription over HTTP: audio in (chunked
+                transfer-encoding or plain body, raw float32 PCM @16k or
+                WAV), confirmed-text NDJSON lines out as a chunked response.
+
+                One StreamingTranscriber per request; decodes run in this
+                handler thread (JAX serialises device work with the batch
+                worker). Suits a few concurrent live streams — for many,
+                use stream.MultiStreamTranscriber behind a gateway."""
+                from .stream import StreamingTranscriber
+
+                st = StreamingTranscriber(
+                    server.model, language=qs.get("language", "en"),
+                    decode_interval=float(qs.get("decode_interval", "1.0")))
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def emit(obj) -> None:
+                    data = (json.dumps(obj) + "\n").encode()
+                    self.wfile.write(f"{len(data):x}\r\n".encode()
+                                     + data + b"\r\n")
+                    self.wfile.flush()
+
+                te = (self.headers.get("Transfer-Encoding") or "").lower()
+                try:
+                    if "chunked" in te:
+                        pending = b""
+                        while True:
+                            line = self.rfile.readline().strip()
+                            n = int(line or b"0", 16)
+                            if n == 0:
+                                self.rfile.readline()
+                                break
+                            pending += self.rfile.read(n)
+                            self.rfile.read(2)  # CRLF
+                            usable = (len(pending) // 4) * 4
+                            if usable:
+                                piece = np.frombuffer(pending[:usable],
+                                                      np.float32)
+                                pending = pending[usable:]
+                                for ev in st.feed(piece):
+                                    emit({"text": ev.text, "final": False})
+                    else:
+                        audio = self._read_audio()  # raw-PCM or WAV body
+                        sr = 16_000
+                        for off in range(0, len(audio), sr):
+                            for ev in st.feed(audio[off : off + sr]):
+                                emit({"text": ev.text, "final": False})
+                    for ev in st.finish():
+                        emit({"text": ev.text, "final": True})
+                except Exception as e:  # surface in-band; stream stays valid
+                    emit({"error": str(e), "final": True})
+                self.wfile.write(b"0\r\n\r\n")
+
             def do_POST(self):
                 parsed = urllib.parse.urlparse(self.path)
                 qs = {k: v[0] for k, v in
                       urllib.parse.parse_qs(parsed.query).items()}
+                if parsed.path == "/stream":
+                    self._do_stream(qs)
+                    return
                 if parsed.path not in ("/transcribe", "/detect"):
                     self._json(404, {"error": "not found"})
                     return

@@ -178,3 +178,21 @@ def test_server_default_options_continuous(rng):
         assert isinstance(out["text"], str)
     finally:
         srv.stop()
+
+
+def test_stream_endpoint_incremental_ndjson(server, rng):
+    """POST /stream returns chunked NDJSON with a final line; urllib
+    de-chunks transparently."""
+    t = np.arange(4 * 16000) / 16000
+    audio = (0.2 * np.sin(2 * np.pi * 220 * t)
+             + 0.02 * rng.standard_normal(t.shape)).astype(np.float32)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/stream?language=en",
+        data=_wav_bytes(audio), method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.status == 200
+        lines = [json.loads(l) for l in r.read().decode().splitlines() if l]
+    assert lines, "at least the final event must be emitted"
+    assert lines[-1]["final"] is True
+    assert all("text" in l or "error" in l for l in lines)
+    assert not any("error" in l for l in lines)
