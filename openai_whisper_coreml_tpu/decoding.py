@@ -64,6 +64,15 @@ class DecodingOptions:
     # docs/benchmarks.md "int8 options")
     cache_dtype: str = "bf16"
 
+    def __post_init__(self):
+        # the dtype switches compare against "int8" with a bf16 fallback —
+        # a typo must not silently serve the unquantised path
+        for field in ("kv_dtype", "cache_dtype"):
+            v = getattr(self, field)
+            if v not in ("bf16", "int8"):
+                raise ValueError(
+                    f"{field} must be 'bf16' or 'int8', got {v!r}")
+
 
 @dataclasses.dataclass
 class DecodingResult:

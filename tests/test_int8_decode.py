@@ -122,3 +122,13 @@ def test_all_int8_combination_runs(model, feats):
     toks, lp = _decode(model, feats, kv_dtype="int8", cache_dtype="int8")
     assert np.isfinite(lp).all()
     assert toks.shape[1] == 4 + 8
+
+
+def test_dtype_options_validated():
+    from openai_whisper_coreml_tpu.decoding import DecodingOptions
+
+    with pytest.raises(ValueError):
+        DecodingOptions(kv_dtype="int-8")
+    with pytest.raises(ValueError):
+        DecodingOptions(cache_dtype="fp8")
+    DecodingOptions(kv_dtype="int8", cache_dtype="int8")  # valid
