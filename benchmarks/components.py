@@ -12,6 +12,7 @@ Usage: python benchmarks/components.py [--model large-v3] [--batch 8]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -23,14 +24,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed(fn, *args, warmup=1, iters=3):
-    import jax
+    # fence with a device->host readback: block_until_ready can return
+    # early through the axon relay (CLAUDE.md), yielding bogus ~0s timings
+    def fence(x):
+        leaves = [l for l in __import__("jax").tree.leaves(x)
+                  if hasattr(l, "shape")]
+        for l in leaves[:1]:
+            np.asarray(l.reshape(-1)[:1])
 
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        fence(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        fence(fn(*args))
         times.append(time.perf_counter() - t0)
     return min(times)
 
@@ -94,23 +101,27 @@ def main() -> int:
 
     def decode_n(params, feats):
         cross_kv = dec_mod.precompute_cross_kv(params, cfg, feats)
-        cache = dec_mod.init_kv_cache(cfg, b, dtype=feats.dtype)
+        # right-sized cache, as production decodes do
+        cache = dec_mod.init_kv_cache(cfg, b, dtype=feats.dtype,
+                                      ctx=max(n_steps + 8, 64))
         tok0 = jnp.full((b, 1), cfg.sot_token, jnp.int32)
-        logits, cache = dec_mod.decode_step(model.params, cfg, tok0,
+        # params must stay a traced ARGUMENT inside this jit: referencing
+        # model.params here would embed multi-GB constants (see module note)
+        logits, cache = dec_mod.decode_step(params, cfg, tok0,
                                             cross_kv, cache, 0)
 
         def body(carry, i):
             logits, cache = carry
             tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             logits, cache = dec_mod.decode_step(
-                model.params, cfg, tok[:, None], cross_kv, cache, i)
+                params, cfg, tok[:, None], cross_kv, cache, i)
             return (logits, cache), tok
 
         (_logits, _cache), toks = jax.lax.scan(
             body, (logits, cache), jnp.arange(1, n_steps + 1))
         return toks
 
-    t = timed(jax.jit(decode_n), feats)
+    t = timed(jax.jit(decode_n), model.params, feats)
     emit("decode_greedy", t, "tokens/sec", b * n_steps / t)
     return 0
 
