@@ -221,6 +221,12 @@ def _reassemble(model, arrays, windows, options) -> List[Dict[str, Any]]:
             if r.language_probs:
                 for code, p in r.language_probs.items():
                     language_votes[code] = language_votes.get(code, 0.0) + p
+            elif r.language:
+                # continuous scheduler: per-window detected code without the
+                # full probability dict — still a vote (else detected
+                # languages would silently fall back to "en")
+                language_votes[r.language] = (
+                    language_votes.get(r.language, 0.0) + 1.0)
             skip = (options.no_speech_threshold is not None
                     and r.no_speech_prob > options.no_speech_threshold
                     and (options.logprob_threshold is None

@@ -204,7 +204,12 @@ def decode_chunk_core(
         ts_max = jnp.where((tok >= cfg.timestamp_begin) & ~st.finished, tok,
                            st.ts_max)
         write_pos = jnp.minimum(st.pos, total_len - 1)
-        tokens = st.tokens.at[rows, write_pos].set(tok)
+        # finished rows must not write: a row frozen at pos==total_len would
+        # clobber the real token it sampled at total_len-1 with EOT on every
+        # later iteration (its write_pos clamps back onto that slot)
+        keep = st.tokens[rows, write_pos]
+        tokens = st.tokens.at[rows, write_pos].set(
+            jnp.where(st.finished, keep, tok))
         finished = st.finished | (tok == eot) | (st.pos + 1 >= total_len)
 
         next_logits, cache = dec_mod.decode_step(

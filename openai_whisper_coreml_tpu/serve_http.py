@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import queue
 import threading
+import time
 import urllib.parse
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -33,6 +34,7 @@ class _Job:
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[Dict[str, Any]] = None
     error: Optional[str] = None
+    cancelled: bool = False  # set by a timed-out submit; worker skips it
 
 
 class WhisperHTTPServer:
@@ -64,12 +66,21 @@ class WhisperHTTPServer:
             except queue.Empty:
                 continue
             jobs = [first]
-            deadline = self.batch_window_ms / 1000.0
+            # one ABSOLUTE window from the first job: per-get timeouts would
+            # restart the clock per arrival (up to (batch-1) windows of
+            # added latency under a trickle of requests)
+            deadline = time.monotonic() + self.batch_window_ms / 1000.0
             try:
                 while len(jobs) < self.batch_size:
-                    jobs.append(self._queue.get(timeout=deadline))
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    jobs.append(self._queue.get(timeout=remaining))
             except queue.Empty:
                 pass
+            jobs = [j for j in jobs if not j.cancelled]
+            if not jobs:
+                continue
 
             # group by identical decode options (one batch per option set)
             by_opts: Dict[str, list] = {}
@@ -97,13 +108,22 @@ class WhisperHTTPServer:
         job = _Job(audio=audio, options=options)
         self._queue.put(job)
         if not job.done.wait(timeout):
-            job.error = "timeout"
+            # mark cancelled so the worker drops it instead of burning a
+            # batch slot on an abandoned request; a completion that raced
+            # the timeout still wins (done was set before we got here)
+            job.cancelled = True
+            if not job.done.is_set():
+                job.error = "timeout"
         return job
 
     def _make_handler(self):
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            # chunked transfer coding does not exist in HTTP/1.0: without
+            # this, /stream's framing bytes would reach clients verbatim
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *args):  # quiet
                 pass
 
@@ -175,9 +195,16 @@ class WhisperHTTPServer:
                         pending = b""
                         while True:
                             line = self.rfile.readline().strip()
-                            n = int(line or b"0", 16)
+                            # chunk-size may carry extensions: "4;name=val"
+                            size_tok = line.split(b";", 1)[0].strip()
+                            n = int(size_tok or b"0", 16)
                             if n == 0:
-                                self.rfile.readline()
+                                # consume optional trailer fields up to the
+                                # terminating blank line
+                                while True:
+                                    t = self.rfile.readline()
+                                    if t in (b"\r\n", b"\n", b""):
+                                        break
                                 break
                             pending += self.rfile.read(n)
                             self.rfile.read(2)  # CRLF

@@ -7,11 +7,14 @@ arrives and CONFIRMS the longest common prefix of the last `agreement`
 hypotheses (the LocalAgreement-n policy from the streaming-Whisper
 literature), so emitted text never retracts.
 
-Buffer policy: when the unconfirmed window approaches 30 s, the oldest
-segment boundary (timestamp token) inside the confirmed region becomes a cut
-point: audio before it is dropped and its text becomes the conditioning
-prompt. All decoding reuses the batch-of-one jitted graphs from decoding.py
-(no new compilation beyond the first call).
+Buffer policy: when the rolling buffer approaches 30 s, confirmed text is
+committed (it becomes the conditioning prompt) and the last ~10 s of audio
+are kept as context for the still-unconfirmed tail. Streaming decodes run
+without timestamps, so the kept audio cannot be cut exactly at the confirmed
+boundary; re-transcription of already-emitted audio is suppressed by a
+one-shot overlap check against the tail of emitted tokens (first
+confirmation after each trim). All decoding reuses the batch-of-one jitted
+graphs from decoding.py (no new compilation beyond the first call).
 """
 
 from __future__ import annotations
@@ -89,6 +92,8 @@ class StreamingTranscriber:
         self._confirmed: List[int] = []  # confirmed tokens for current buffer
         self._hyps: List[List[int]] = []  # recent hypotheses
         self._prompt: List[int] = []  # committed text (conditioning)
+        self._emitted_tail: List[int] = []  # recent emitted ids (dedup)
+        self._dedup_pending = False  # set by a trim that kept emitted audio
         self._tokenizer = None
 
     # -- internals ----------------------------------------------------------
@@ -167,27 +172,51 @@ class StreamingTranscriber:
             self._hyps.clear()
             return
         # commit everything confirmed, keep the last ~10 s of audio as
-        # context for the still-unconfirmed tail
+        # context for the still-unconfirmed tail. The kept audio may cover
+        # text that was already emitted (no timestamps -> no exact cut
+        # point): arm the one-shot overlap dedup for the next confirmation.
         self._prompt = (self._prompt + self._confirmed)[-(self.model.cfg.n_text_ctx // 2 - 1):]
         keep = 10 * SAMPLE_RATE
         self._buffer = self._buffer[-keep:]
         self._confirmed = []
         self._hyps.clear()
+        self._dedup_pending = True
+
+    def _make_event(self, new: List[int], final: bool = False
+                    ) -> Optional[StreamEvent]:
+        """Dedup (one-shot after a trim), record the emitted tail, build the
+        event. Returns None when nothing (new) survives."""
+        if new and self._dedup_pending:
+            tail = self._emitted_tail
+            for k in range(min(len(tail), len(new)), 0, -1):
+                if tail[-k:] == new[:k]:
+                    new = new[k:]
+                    break
+            self._dedup_pending = False
+        if not new:
+            return None
+        self._emitted_tail = (self._emitted_tail + new)[-64:]
+        return StreamEvent(self._tok().decode(new), new, is_final=final)
+
+    def _buffer_samples(self, samples: np.ndarray) -> None:
+        """Append audio without triggering a decode (shared with the
+        multi-stream tier, which decodes in poll())."""
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._buffer = np.concatenate([self._buffer, samples])
+        self._since_decode += len(samples)
 
     # -- public API ---------------------------------------------------------
 
     def feed(self, samples: np.ndarray) -> List[StreamEvent]:
         """Append audio; returns newly confirmed transcript events."""
-        samples = np.asarray(samples, np.float32).reshape(-1)
-        self._buffer = np.concatenate([self._buffer, samples])
-        self._since_decode += len(samples)
+        self._buffer_samples(samples)
 
         events: List[StreamEvent] = []
         if self._since_decode >= self.decode_interval * SAMPLE_RATE:
             self._since_decode = 0
-            new = self._confirm()
-            if new:
-                events.append(StreamEvent(self._tok().decode(new), new))
+            ev = self._make_event(self._confirm())
+            if ev:
+                events.append(ev)
             self._maybe_trim()
         return events
 
@@ -206,8 +235,8 @@ class StreamingTranscriber:
         else:
             new = hyp[len(self._confirmed) :]
             self._confirmed = hyp
-        ev = StreamEvent(self._tok().decode(new), new, is_final=True)
-        return [ev] if new else [StreamEvent("", [], is_final=True)]
+        ev = self._make_event(new, final=True)
+        return [ev] if ev else [StreamEvent("", [], is_final=True)]
 
 
 class MultiStreamTranscriber:
@@ -249,10 +278,7 @@ class MultiStreamTranscriber:
 
     def feed(self, idx: int, samples: np.ndarray) -> None:
         """Buffer audio for one stream (no device work; see poll())."""
-        st = self.streams[idx]
-        samples = np.asarray(samples, np.float32).reshape(-1)
-        st._buffer = np.concatenate([st._buffer, samples])
-        st._since_decode += len(samples)
+        self.streams[idx]._buffer_samples(samples)
 
     def poll(self) -> dict:
         """Decode every due stream in one device batch; returns
@@ -273,19 +299,27 @@ class MultiStreamTranscriber:
 
         audio = np.stack([pad_or_trim(self.streams[i]._buffer)
                           for i in due], axis=0)
+        if len(due) < len(self.streams):
+            # pad to the FIXED stream count: every distinct batch size is
+            # its own compiled decode graph (minutes each at large models);
+            # padded rows repeat the last due stream and are discarded
+            audio = np.concatenate(
+                [audio, np.repeat(audio[-1:],
+                                  len(self.streams) - len(due), axis=0)],
+                axis=0)
         mel = np.asarray(log_mel_spectrogram(
             audio, n_mels=self.model.cfg.n_mels))
         res = _decode(self.model, mel, DecodingOptions(
             language=self.language, without_timestamps=True,
-            sample_len=sample_len))
+            sample_len=sample_len))[: len(due)]
 
         events: dict = {}
         for i, r in zip(due, res):
             st = self.streams[i]
             st._since_decode = 0
-            new = st._update_with_hyp(list(r.tokens))
-            if new:
-                events[i] = [StreamEvent(st._tok().decode(new), new)]
+            ev = st._make_event(st._update_with_hyp(list(r.tokens)))
+            if ev:
+                events[i] = [ev]
             st._maybe_trim()
         return events
 

@@ -104,3 +104,45 @@ def test_continuous_language_detection(model, rng):
     assert out[0]["language"] in __import__(
         "openai_whisper_coreml_tpu.tokenizer", fromlist=["LANGUAGES"]
     ).LANGUAGES
+
+
+def test_finished_row_never_overwrites_last_token(model):
+    """A row frozen at pos==total_len must not clobber the token it sampled
+    at total_len-1 while other rows keep decoding (code-review finding)."""
+    import jax.numpy as jnp
+
+    from openai_whisper_coreml_tpu import serve_cb
+    from openai_whisper_coreml_tpu.decoding import (
+        DecodingOptions, build_blank_mask, build_suppress_mask)
+    from openai_whisper_coreml_tpu.tokenizer import get_tokenizer
+
+    cfg = model.cfg
+    tok = get_tokenizer(cfg, language="en")
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal(
+        (2, cfg.n_audio_ctx, cfg.n_audio_state)).astype(np.float32) * 0.1)
+    cross = serve_cb.encode_cross_core(model.params, cfg, feats)
+    initial = jnp.tile(jnp.asarray(
+        [[tok.eot, tok.sot, tok.language_token("en"), tok.transcribe]],
+        jnp.int32), (2, 1))
+    sample_len, prompt_len = 6, 4
+    total_len = prompt_len + sample_len
+    state = serve_cb.prefill_from_cross_core(
+        model.params, cfg, cross, initial, jnp.zeros((2,), jnp.float32),
+        jnp.int32(0), jnp.int32(0), sample_len=sample_len,
+        prompt_len=prompt_len, cache_len=16, compute_dtype=jnp.float32)
+
+    sentinel = 1234
+    state = state._replace(
+        finished=jnp.asarray([True, False]),
+        pos=jnp.asarray([total_len, prompt_len], jnp.int32),
+        tokens=state.tokens.at[0, total_len - 1].set(sentinel))
+
+    opts = DecodingOptions(language="en")
+    state, _ = serve_cb.decode_chunk_core(
+        model.params, cfg, state, jax.random.PRNGKey(0),
+        jnp.asarray(build_suppress_mask(tok, opts)),
+        jnp.asarray(build_blank_mask(tok)), jnp.int32(-1), jnp.int32(0),
+        chunk=3, use_timestamps=False, prompt_len=prompt_len,
+        total_len=total_len)
+    assert int(np.asarray(state.tokens)[0, total_len - 1]) == sentinel

@@ -146,3 +146,24 @@ def test_multistream_due_gating(model):
     assert mst.streams[0]._since_decode == 0
     assert mst.streams[1]._since_decode == 0 or len(
         mst.streams[1]._buffer) == 0
+
+
+def test_make_event_dedups_once_after_trim(model):
+    st = StreamingTranscriber(model, language="en")
+    st._emitted_tail = [5, 6, 7]
+    st._dedup_pending = True
+    ev = st._make_event([6, 7, 8])  # overlap [6,7] with emitted tail
+    assert ev is not None and ev.tokens == [8]
+    # one-shot: the next confirmation is NOT deduped
+    ev2 = st._make_event([8, 9])
+    assert ev2 is not None and ev2.tokens == [8, 9]
+
+    st2 = StreamingTranscriber(model, language="en")
+    st2._emitted_tail = [5, 6, 7]
+    ev3 = st2._make_event([6, 7])  # no trim pending: emit verbatim
+    assert ev3 is not None and ev3.tokens == [6, 7]
+
+    st3 = StreamingTranscriber(model, language="en")
+    st3._emitted_tail = [1, 2]
+    st3._dedup_pending = True
+    assert st3._make_event([1, 2]) is None  # fully duplicate -> nothing
