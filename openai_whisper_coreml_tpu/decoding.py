@@ -432,8 +432,10 @@ _PROMPT_BUCKETS = (4, 32, 224)
 def _prompt_bucket(n: int, n_ctx: int) -> int:
     for b in _PROMPT_BUCKETS:
         if n <= b:
-            return b
-    return min(n, n_ctx - 1)
+            # small-context models (tests) must not bucket past their own
+            # context; n itself is pre-clamped to n_ctx - 2 by the caller
+            return min(b, n_ctx - 2)
+    return min(n, n_ctx - 2)
 
 
 def _as_token_list(tokenizer: Tokenizer, x: Union[str, List[int], None],
@@ -531,6 +533,10 @@ def _decode_impl(
         # keep at most the trailing half-context of previous text
         max_prompt = cfg.n_text_ctx // 2 - 1
         prompt_tokens = prompt_tokens[-max_prompt:]
+    if prefix_tokens:
+        # openai trims the prefix to the available context too; without
+        # this a long prefix overflows the decode buffer (negative pad)
+        prefix_tokens = prefix_tokens[-(cfg.n_text_ctx // 2 - 1):]
 
     initial = []
     for seq in sot_seqs:
@@ -539,6 +545,12 @@ def _decode_impl(
         initial.append(toks)
     true_len = len(initial[0])
     assert all(len(t) == true_len for t in initial)
+    max_len = cfg.n_text_ctx - 2  # leave room for >=1 sampled token + EOT
+    if true_len > max_len:
+        # prompt + prefix together can still exceed the context: drop the
+        # OLDEST conditioning (front) — the sot sequence sits after it
+        initial = [t[true_len - max_len:] for t in initial]
+        true_len = max_len
 
     # Bucket the prompt length so the jitted core compiles once per bucket,
     # not once per window of a long-form run (conditioning grows the prompt).

@@ -34,12 +34,23 @@ from typing import Dict, Iterator, List, Optional
 # Basic
 # ---------------------------------------------------------------------------
 
+# Letters NFKD cannot decompose (they are letters, not base+combining-mark):
+# mapped explicitly so e.g. "søren" -> "soren" as under openai's normalizer
+_LIGATURES = {
+    "œ": "oe", "Œ": "OE", "ø": "o", "Ø": "O", "æ": "ae", "Æ": "AE",
+    "ß": "ss", "ẞ": "SS", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
+    "þ": "th", "Þ": "th", "ł": "l", "Ł": "L",
+}
+
+
 def remove_symbols_and_diacritics(s: str, keep: str = "") -> str:
     """Replace markers/symbols/punctuation with a space, drop diacritics."""
     out = []
     for c in unicodedata.normalize("NFKD", s):
         if c in keep:
             out.append(c)
+        elif c in _LIGATURES:
+            out.append(_LIGATURES[c])
         elif unicodedata.category(c) == "Mn":
             continue  # combining mark (diacritic): drop
         elif unicodedata.category(c)[0] in "MSP":
@@ -69,7 +80,11 @@ class BasicTextNormalizer:
         s = re.sub(r"\(([^)]+?)\)", "", s)  # remove words between parenthesis
         s = self.clean(s).lower()
         if self.split_letters:
-            s = " ".join(re.findall(r"\X", s, re.U))
+            # \X (grapheme cluster) needs the third-party `regex` module;
+            # stdlib re raises "bad escape \X"
+            import regex as _regex
+
+            s = " ".join(_regex.findall(r"\X", s, _regex.U))
         return re.sub(r"\s+", " ", s).strip()
 
 
@@ -105,14 +120,12 @@ _ORDINAL_MULTIPLIERS = {"hundredth": 100, "thousandth": 10 ** 3,
                         "trillionth": 10 ** 12}
 _DECADES = {"twenties": 20, "thirties": 30, "forties": 40, "fifties": 50,
             "sixties": 60, "seventies": 70, "eighties": 80, "nineties": 90}
-_TEEN_DECADES = {"tens": 10}  # "the tens" is too ambiguous; kept narrow
 
 _CURRENCY = {"dollar": "$", "dollars": "$", "pound": "£", "pounds": "£",
              "euro": "€", "euros": "€"}
 _CENTS = {"cent": "¢", "cents": "¢"}
 
 _ZEROS = {"zero": "0", "oh": "0", "o": "0"}
-_DIGIT_WORDS = dict(_ONES)
 
 
 def _ordinal_suffix(n: int) -> str:
@@ -221,7 +234,7 @@ class EnglishNumberNormalizer:
             return True  # "hundred"
         if w in _MULTIPLIERS:
             return True
-        if re.fullmatch(r"[0-9]+(\.[0-9]+)?", w or ""):
+        if re.fullmatch(r"[$€£¥]?[0-9]+(\.[0-9]+)?", w or ""):
             return True
         return False
 
@@ -247,6 +260,8 @@ class EnglishNumberNormalizer:
         has_value = False
         decimal = ""  # digits after "point"
         suffix = ""  # ordinal suffix / "s"
+        currency_sym = ""  # symbol carried by a "$10"-style digit token
+        after_multiplier = False  # last consumed word was hundred/thousand/..
         done = False
 
         def flush_cur_to_concat():
@@ -258,12 +273,24 @@ class EnglishNumberNormalizer:
         while i < n and not done:
             w = words[i]
             nxt = words[i + 1] if i + 1 < n else None
+            # the "and" branch must see whether the PREVIOUS word was a
+            # multiplier; every other branch clears the flag for the next
+            # iteration via this shuffle
+            was_multiplier, after_multiplier = after_multiplier, False
 
-            if re.fullmatch(r"[0-9]+", w):
+            digit_tok = re.fullmatch(r"([$€£¥]?)([0-9]+)(?:\.([0-9]+))?", w)
+            if digit_tok:
+                # plain, decimal, or currency-prefixed digits: "10", "1.5",
+                # "$10" — all may be scaled by a following multiplier word
                 if has_value:
                     break
-                cur = int(w)
+                currency_sym = digit_tok.group(1)
+                cur = int(digit_tok.group(2))
                 has_value = True
+                if digit_tok.group(3) is not None:
+                    decimal = digit_tok.group(3)
+                    i += 1
+                    break  # only a multiplier/unit may follow a decimal
             elif w in _ZEROS:
                 if w in ("o", "oh") and not (has_value or nxt in _ZEROS
                                              or nxt in _ONES):
@@ -315,10 +342,12 @@ class EnglishNumberNormalizer:
             elif w == "hundred":
                 cur = max(cur, 1) * 100
                 has_value = True
+                after_multiplier = True
             elif w in _MULTIPLIERS and w != "hundred":
                 total += max(cur, 1) * _MULTIPLIERS[w]
                 cur = 0
                 has_value = True
+                after_multiplier = True
             elif w == "point":
                 if not has_value and not (nxt in _ONES or nxt in _ZEROS):
                     break
@@ -336,12 +365,14 @@ class EnglishNumberNormalizer:
                 break  # a multiplier after the decimal scales the float
                 # (handled below); any other word ends the number
             elif w == "and":
-                # consume only when the number clearly continues
-                if has_value and nxt is not None and (
+                # consume ONLY directly after a multiplier group ("one
+                # hundred and five"); "one and two" is two numbers joined
+                # by a conjunction, not 12 (openai semantics)
+                if was_multiplier and nxt is not None and (
                         nxt in _ONES or nxt in _TEENS or nxt in _TENS
                         or nxt in _ORDINAL_ONES or nxt in _ORDINAL_TEENS
                         or nxt in _ORDINAL_TENS):
-                    pass
+                    after_multiplier = True  # still inside the same number
                 else:
                     break
             elif w in _ORDINAL_ONES or w in _ORDINAL_TEENS \
@@ -380,7 +411,8 @@ class EnglishNumberNormalizer:
         int_part = concat + str(total + cur) if concat else str(total + cur)
         if concat and total + cur == 0 and concat:
             int_part = concat  # pure digit run like 007
-        text = sign + int_part + (("." + decimal) if decimal else "")
+        text = sign + currency_sym + int_part + (
+            ("." + decimal) if decimal else "")
 
         # trailing unit: percent / currency / cents / multiplier-after-decimal
         consumed_units = 0
@@ -390,9 +422,9 @@ class EnglishNumberNormalizer:
             value += Fraction(int(decimal), 10 ** len(decimal))
             value *= _MULTIPLIERS[words[j]]
             if value.denominator == 1:
-                text = sign + str(value.numerator)
+                text = sign + currency_sym + str(value.numerator)
             else:
-                text = sign + str(float(value))
+                text = sign + currency_sym + str(float(value))
             j += 1
             consumed_units += 1
         if j < n:
@@ -401,7 +433,8 @@ class EnglishNumberNormalizer:
                 j += 1
                 consumed_units += 1
             elif words[j] in _CURRENCY:
-                text = _CURRENCY[words[j]] + text
+                if not currency_sym:  # "$10 dollars" must not double up
+                    text = _CURRENCY[words[j]] + text
                 j += 1
                 consumed_units += 1
             elif words[j] in _CENTS:
@@ -468,6 +501,15 @@ _OUR_KEEP = {"hour", "hours", "our", "ours", "four", "fours", "tour",
              "tours", "pour", "pours", "sour", "flour", "your", "yours",
              "contour", "contours", "velour", "detour", "detours", "devour",
              "devours", "paramour", "troubadour", "dour", "amour"}
+# -ise words that are NOT British -ize variants (base forms; inflections are
+# matched by reconstructing the stem in _word)
+_ISE_KEEP = {"wise", "rise", "arise", "precise", "concise", "paradise",
+             "promise", "premise", "surprise", "advise", "devise", "revise",
+             "exercise", "franchise", "disguise", "otherwise", "likewise",
+             "comprise", "compromise", "demise", "despise", "expertise",
+             "improvise", "merchandise", "supervise", "televise", "treatise",
+             "sunrise", "praise", "raise", "anise", "chastise", "advertise"}
+
 _RE_KEEP = {"there", "where", "here", "were", "more", "bore", "core", "fore",
             "gore", "lore", "pore", "sore", "store", "score", "shore",
             "snore", "spore", "swore", "tore", "wore", "before", "are",
@@ -504,20 +546,16 @@ class EnglishSpellingNormalizer:
             return self.mapping.get(w, w)
         if w in _SPELLING_TABLE:
             return _SPELLING_TABLE[w]
-        # -ise/-isation family (vowel before 'ise' guards "wise", "rise")
+        # -ise/-isation family. The keep-check runs on the reconstructed
+        # BASE ("promised" -> stem "promise"), so inflections of excluded
+        # words stay untouched too (was: "promised" -> "promized").
         for br, us in (("isation", "ization"), ("isations", "izations"),
                        ("ising", "izing"), ("ised", "ized"), ("iser", "izer"),
                        ("isers", "izers"), ("ises", "izes"), ("ise", "ize")):
-            if w.endswith(br) and len(w) > len(br) + 2 \
-                    and w not in ("wise", "rise", "arise", "precise",
-                                  "concise", "paradise", "promise",
-                                  "premise", "surprise", "advise", "devise",
-                                  "revise", "exercise", "franchise",
-                                  "disguise", "otherwise", "likewise",
-                                  "comprise", "compromise", "demise",
-                                  "despise", "expertise", "improvise",
-                                  "merchandise", "supervise", "televise",
-                                  "treatise", "sunrise"):
+            if w.endswith(br) and len(w) > len(br) + 2:
+                stem = w[: -len(br)] + "ise"
+                if stem in _ISE_KEEP:
+                    break  # not a British -ise verb; leave the word alone
                 return w[: -len(br)] + us
         for br, us in (("yse", "yze"), ("ysed", "yzed"), ("ysing", "yzing"),
                        ("yses", "yzes")):
@@ -536,7 +574,7 @@ class EnglishSpellingNormalizer:
         for br, us in (("tre", "ter"), ("tres", "ters"),
                        ("bre", "ber"), ("bres", "bers")):
             if (w.endswith(br) and len(w) > len(br) + 1
-                    and w not in _RE_KEEP and w not in ("macabre",)):
+                    and w not in _RE_KEEP):
                 return w[: -len(br)] + us
         return w
 

@@ -196,16 +196,43 @@ def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return np.array(ti[::-1]), np.array(fi[::-1])
 
 
+def split_tokens_on_unicode(tokenizer: Tokenizer, tokens: Sequence[int]
+                            ) -> Tuple[List[str], List[List[int]]]:
+    """Group tokens into minimal unicode-complete pieces.
+
+    A byte-level BPE token can end mid-UTF-8-sequence; decoding it alone
+    yields U+FFFD and corrupts multi-byte (CJK/accented) words. Tokens are
+    accumulated until their joint decode is clean — a piece is accepted
+    with a replacement char only if the char is genuinely present at that
+    offset of the full decoded text (openai's guard)."""
+    text_toks = [int(t) for t in tokens if int(t) < tokenizer.eot]
+    full = tokenizer.decode(text_toks)
+    pieces: List[str] = []
+    groups: List[List[int]] = []
+    cur: List[int] = []
+    offset = 0
+    for tok in text_toks:
+        cur.append(tok)
+        piece = tokenizer.decode(cur)
+        rc = piece.find("�")
+        if rc == -1 or (offset + rc < len(full)
+                        and full[offset + rc] == "�"):
+            pieces.append(piece)
+            groups.append(cur)
+            offset += len(piece)
+            cur = []
+    if cur:  # trailing incomplete bytes: emit what decodes
+        pieces.append(tokenizer.decode(cur))
+        groups.append(cur)
+    return pieces, groups
+
+
 def split_tokens_on_spaces(tokenizer: Tokenizer, tokens: Sequence[int]
                            ) -> Tuple[List[str], List[List[int]]]:
     """Group text tokens into words (split on leading spaces/punctuation)."""
     words: List[str] = []
     word_tokens: List[List[int]] = []
-    for tok in tokens:
-        tok = int(tok)
-        if tok >= tokenizer.eot:
-            continue
-        piece = tokenizer.decode([tok])
+    for piece, toks in zip(*split_tokens_on_unicode(tokenizer, tokens)):
         starts_new = (piece.startswith(" ") or not words
                       or (piece.strip() and piece.strip()[0] in
                           string.punctuation and words[-1].strip()))
@@ -214,13 +241,13 @@ def split_tokens_on_spaces(tokenizer: Tokenizer, tokens: Sequence[int]
         if words and punct_only and not piece.startswith(" "):
             # attach trailing punctuation to the previous word
             words[-1] += piece
-            word_tokens[-1].append(tok)
+            word_tokens[-1].extend(toks)
         elif starts_new:
             words.append(piece)
-            word_tokens.append([tok])
+            word_tokens.append(list(toks))
         else:
             words[-1] += piece
-            word_tokens[-1].append(tok)
+            word_tokens[-1].extend(toks)
     return words, word_tokens
 
 
@@ -255,7 +282,6 @@ def find_word_alignment(
         for i, t in enumerate(text_tokens)
     ] if len(text_tokens) else []
 
-    w = np.asarray(weights[:, 0])  # (L, H, T, S)
     if alignment_heads is None:
         # checkpoint-carried heads (tools/convert.py stores the HF
         # generation_config pairs in the safetensors metadata) beat the
@@ -264,13 +290,19 @@ def find_word_alignment(
     if alignment_heads is None:
         alignment_heads = default_alignment_heads(cfg)
     alignment_heads = np.asarray(alignment_heads, dtype=bool)
-    sel = w[alignment_heads]  # (n_sel, T, S)
 
     n_audio = max(1, num_frames // 2)
-    sel = sel[:, :, :n_audio]
-    # standardise per head+token, smooth over time, average heads
-    mean = sel.mean(axis=-1, keepdims=True)
-    std = sel.std(axis=-1, keepdims=True) + 1e-8
+    # select heads + slice frames ON DEVICE: transferring the full
+    # (L, B, H, T, S) stack is ~1.7 GB at large-v3 per window; the selected
+    # slice is ~30-80x smaller
+    li, hi = np.nonzero(alignment_heads)
+    sel = np.asarray(
+        weights[li, 0, hi, :, :n_audio].astype(jnp.float32))  # (n_sel,T,S')
+    # standardise each frame across tokens (openai find_alignment:
+    # std_mean over dim=-2 — NOT per-token across frames), smooth over
+    # time, average heads
+    mean = sel.mean(axis=-2, keepdims=True)
+    std = sel.std(axis=-2, keepdims=True) + 1e-8
     sel = (sel - mean) / std
     sel = median_filter(sel, medfilt_width)
     matrix = sel.mean(axis=0)  # (T, n_audio)

@@ -200,3 +200,14 @@ def test_timestamp_rule_c_openai_semantics():
     # no timestamp sampled yet (sentinel ts_max = tb - 1): <|0.00|> allowed
     out = rules([7, 8], ts_max=tb - 1)
     assert out[tb] > suppressed
+
+
+def test_long_prefix_is_truncated(model, mel):
+    """A prefix longer than the text context must not overflow the decode
+    buffer (openai trims; code-review finding)."""
+    from openai_whisper_coreml_tpu.decoding import DecodingOptions, decode
+
+    long_prefix = list(range(300, 300 + model.cfg.n_text_ctx + 50))
+    res = decode(model, mel, DecodingOptions(
+        language="en", sample_len=4, prefix=long_prefix))
+    assert res and isinstance(res[0].tokens, list)

@@ -107,3 +107,48 @@ def test_wer_uses_english_normalizer():
     r = compute_wer(["Mister Brown paid one thousand dollars."],
                     ["mr. brown paid $1,000"])
     assert r.wer == 0.0
+
+
+def test_digit_tokens_with_decimal_and_currency_scale_multipliers():
+    from openai_whisper_coreml_tpu.eval.normalizers import (
+        EnglishNumberNormalizer)
+
+    n = EnglishNumberNormalizer()
+    assert n("1.5 million") == "1500000"
+    assert n("$10 million") == "$10000000"
+    assert n("$1.5 billion") == "$1500000000"
+    assert n("50.5 percent") == "50.5%"
+    assert n("$10 dollars") == "$10"
+
+
+def test_and_joins_numbers_only_after_multipliers():
+    from openai_whisper_coreml_tpu.eval.normalizers import (
+        EnglishNumberNormalizer)
+
+    n = EnglishNumberNormalizer()
+    # post-1-respell keeps "one" spelled (openai readability rule)
+    assert n("one and two") == "one and 2"
+    assert n("sixty and five") == "60 and 5"
+    assert n("one hundred and five") == "105"
+    assert n("two thousand and eight") == "2008"
+
+
+def test_ise_keep_covers_inflections():
+    from openai_whisper_coreml_tpu.eval.normalizers import (
+        EnglishTextNormalizer)
+
+    e = EnglishTextNormalizer()
+    for w in ("promised", "surprised", "praised", "advising", "exercised",
+              "promises"):
+        assert e(w) == w, w
+    assert e("organised") == "organized"
+    assert e("realising") == "realizing"
+
+
+def test_ligatures_and_split_letters():
+    from openai_whisper_coreml_tpu.eval.normalizers import (
+        BasicTextNormalizer, remove_symbols_and_diacritics)
+
+    assert remove_symbols_and_diacritics("søren œuvre straße") == \
+        "soren oeuvre strasse"
+    assert BasicTextNormalizer(split_letters=True)("héllo") == "h é l l o"

@@ -146,3 +146,17 @@ def test_alignment_heads_from_checkpoint_metadata(tmp_path):
                 extra_meta={"alignment_heads": json.dumps(pairs)})
     meta = read_metadata(path)
     assert json.loads(meta["alignment_heads"]) == pairs
+
+
+def test_split_tokens_on_unicode_multibyte():
+    """Multi-byte characters split across byte-level BPE tokens must not
+    decode to U+FFFD pieces (code-review finding)."""
+    from openai_whisper_coreml_tpu.timing import split_tokens_on_unicode
+
+    cfg = tiny_test_config()
+    tok = get_tokenizer(cfg)
+    ids = tok.encode(" héllo 你好")
+    pieces, groups = split_tokens_on_unicode(tok, ids)
+    assert "".join(pieces) == " héllo 你好"
+    assert all("�" not in p for p in pieces)
+    assert [t for g in groups for t in g] == ids
