@@ -66,14 +66,18 @@ def beam_decode_core(
     total_len = prompt_len + sample_len
     bk = b * k
 
-    # replicate audio features / prompts across beams -> flattened rows
-    feats = jnp.repeat(audio_features, k, axis=0)  # (B*K, S, n)
+    # prompts replicate across beams -> flattened rows; cross-KV is
+    # computed ONCE per batch row and repeated along its batch axis (the
+    # K beam rows are bit-identical — projecting replicated features did
+    # k-fold redundant matmul work per window)
     init = jnp.repeat(initial_tokens, k, axis=0)  # (B*K, P)
 
     if kv_dtype == "int8":
-        cross_kv = dec_mod.precompute_cross_kv_int8(params, cfg, feats)
+        cross_b = dec_mod.precompute_cross_kv_int8(params, cfg,
+                                                   audio_features)
     else:
-        cross_kv = dec_mod.precompute_cross_kv(params, cfg, feats)
+        cross_b = dec_mod.precompute_cross_kv(params, cfg, audio_features)
+    cross_kv = jax.tree.map(lambda a: jnp.repeat(a, k, axis=1), cross_b)
     cache_len = min(-(-total_len // 128) * 128, cfg.n_text_ctx)
     if cache_dtype == "int8":
         cache = dec_mod.init_kv_cache_int8(cfg, bk, ctx=cache_len)
@@ -127,8 +131,11 @@ def beam_decode_core(
             tokens.reshape(b, k, total_len), src_beam[..., None], axis=1
         )  # (B, 2K, L)
         src_rows = src_rows.at[:, :, pos].set(eot)
+        # length EXCLUDES the EOT (openai MaximumLikelihoodRanker counts
+        # text tokens only; including it skews avg-logprob toward shorter
+        # hypotheses)
         cand_lens = jnp.take_along_axis(
-            seq_len.reshape(b, k), src_beam, axis=1) + 1  # incl. eot
+            seq_len.reshape(b, k), src_beam, axis=1)
         all_tokens = jnp.concatenate([fin_tokens, src_rows], axis=1)
         all_lens = jnp.concatenate([fin_lens, cand_lens], axis=1)
         keep_scores, keep_idx = jax.lax.top_k(all_scores, max_candidates)
@@ -188,20 +195,28 @@ def beam_decode_core(
     (pos, tokens, cache, logits, sum_lp, seq_len, _ts, fin_scores,
      fin_tokens, fin_lens) = jax.lax.while_loop(cond, step, init_carry)
 
-    # fall back to alive beams where nothing finished
+    # openai finalize semantics: pad the candidate set with the still-alive
+    # beams (EOT appended, score unchanged) and let the ranker choose over
+    # finished + alive together. Discarding alive beams the moment ONE
+    # early EOT landed let a truncated low-quality hypothesis beat much
+    # better unfinished ones.
     alive_scores = sum_lp.reshape(b, k)
-    alive_tokens = tokens.reshape(b, k, total_len)
+    col = jnp.minimum(pos, total_len - 1)
+    write_eot = (pos < total_len) & (jnp.arange(total_len) == col)
+    alive_tokens = jnp.where(write_eot[None, :], eot, tokens
+                             ).reshape(b, k, total_len)
     alive_lens = seq_len.reshape(b, k)
-    has_fin = fin_scores[:, 0] > NEG_INF / 2
 
-    all_scores = jnp.where(has_fin[:, None],
-                           fin_scores[:, : k],
-                           alive_scores)
-    all_tokens = jnp.where(has_fin[:, None, None],
-                           fin_tokens[:, : k],
-                           alive_tokens)
-    all_lens = jnp.where(has_fin[:, None], fin_lens[:, : k], alive_lens)
-    return all_tokens, all_scores, all_lens, no_speech_prob
+    all_scores = jnp.concatenate([fin_scores, alive_scores], axis=1)
+    all_tokens = jnp.concatenate(
+        [fin_tokens, alive_tokens], axis=1)  # (B, max_cand + K, L)
+    all_lens = jnp.concatenate([fin_lens, alive_lens], axis=1)
+    # keep the top max_candidates by raw score (openai's finalize bound);
+    # the host-side ranker applies length normalisation over these
+    keep_scores, keep_idx = jax.lax.top_k(all_scores, max_candidates)
+    keep_tokens = jnp.take_along_axis(all_tokens, keep_idx[..., None], axis=1)
+    keep_lens = jnp.take_along_axis(all_lens, keep_idx, axis=1)
+    return keep_tokens, keep_scores, keep_lens, no_speech_prob
 
 
 def rank_sequences(scores, lengths, length_penalty: Optional[float]):

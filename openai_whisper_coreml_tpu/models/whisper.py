@@ -151,11 +151,28 @@ def load_model(
         # opaque custom call to GSPMD (it cannot be partitioned without
         # shard_map), while the jnp path shards cleanly.
         flash = not on_cpu and mesh is None
+    elif flash and mesh is not None:
+        raise ValueError(
+            "flash=True cannot be combined with a mesh: a pallas_call is "
+            "opaque to GSPMD and the TP-sharded encoder would fail to "
+            "partition (omit flash to use the sharding-clean jnp path)")
     alignment_heads = None
     if checkpoint is not None:
+        import os
+
         from ..utils.checkpoint import load_params, read_metadata
 
-        params = load_params(checkpoint, cfg=cfg, dtype=dtype)
+        if os.path.isdir(checkpoint):
+            # orbax training-state dir (tools/finetune.py output): restore
+            # the params leaf against a freshly-initialised template
+            import orbax.checkpoint as ocp
+
+            restored = ocp.StandardCheckpointer().restore(
+                os.path.abspath(checkpoint))  # saved structure, any leaves
+            params = jax.tree.map(lambda a: jnp.asarray(a, dtype),
+                                  restored["params"])
+        else:
+            params = load_params(checkpoint, cfg=cfg, dtype=dtype)
         if checkpoint.endswith(".safetensors"):
             meta = read_metadata(checkpoint)
             if meta.get("alignment_heads"):

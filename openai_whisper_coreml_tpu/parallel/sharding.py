@@ -38,8 +38,9 @@ Params = Dict[str, Any]
 
 KV_PSPEC = P(None, AXIS_DATA, AXIS_MODEL, None, None)  # (L, B, H, D, S)
 KV_SCALE_PSPEC = P(None, AXIS_DATA, AXIS_MODEL, None, None)  # (L, B, H, 1, S)
-FEATURES_PSPEC = P(AXIS_DATA, None, None)  # (B, S, n_state)
-BATCH_PSPEC = P(AXIS_DATA)  # (B, ...) host inputs / logits
+# host-input batches are placed data-sharded by WhisperModel.shard_batch
+# (rank-generic device_put there); no in-graph activation constraints are
+# needed beyond the cache/cross-KV ones — GSPMD propagates the rest
 
 
 def constrain(x, spec: P):

@@ -122,9 +122,11 @@ def transcribe(
                 task=task,
                 language=language if cfg.multilingual else None,
                 temperature=float(t),
-                prompt=(all_tokens[prompt_reset_since:]
-                        if condition_on_previous_text else initial_prompt_tokens)
-                or None,
+                # always the tail since the last reset (openai): with
+                # conditioning OFF the reset advances after every window,
+                # so the initial_prompt conditions only window 1 — re-
+                # feeding it to every window diverges from openai
+                prompt=all_tokens[prompt_reset_since:] or None,
                 without_timestamps=without_timestamps,
                 **decode_options,
             )
@@ -253,7 +255,12 @@ def transcribe(
         seg.id = i
 
     return {
-        "text": "".join(seg.text for seg in all_segments),
+        # decode the FULL token stream once (openai): per-segment decode
+        # would corrupt multi-byte UTF-8 characters whose byte-level BPE
+        # tokens straddle a segment boundary
+        "text": tokenizer.decode(
+            [t for t in all_tokens[len(initial_prompt_tokens):]
+             if t < tokenizer.eot]),
         "segments": [seg.to_dict() for seg in all_segments],
         "language": language,
         "duration": content_duration,

@@ -140,3 +140,46 @@ def test_convert_tool_openai_format(tmp_path):
     a = enc_mod.encode(params, cfg, jnp.asarray(mel))
     b = enc_mod.encode(direct, cfg, jnp.asarray(mel))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_load_model_from_orbax_dir(tmp_path):
+    """load_model's documented 'orbax dir' contract (code-review finding:
+    a training-state dir previously crashed in the safetensors loader)."""
+    import jax
+    import jax.numpy as jnp
+
+    from openai_whisper_coreml_tpu.config import tiny_test_config
+    from openai_whisper_coreml_tpu.params import init_params
+    from openai_whisper_coreml_tpu.utils.checkpoint import save_train_state
+
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2)
+    params = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    path = str(tmp_path / "state")
+    save_train_state(path, params, opt_state=None)
+
+    import openai_whisper_coreml_tpu.config as config_mod
+    import openai_whisper_coreml_tpu.models.whisper as whisper_mod
+
+    orig = config_mod.get_config
+    patched = lambda name: cfg if name == "tiny-test" else orig(name)
+    config_mod.get_config = patched
+    whisper_mod.get_config = patched
+    try:
+        m = whisper_mod.load_model("tiny-test", checkpoint=path,
+                                   dtype=jnp.float32)
+    finally:
+        config_mod.get_config = orig
+        whisper_mod.get_config = orig
+    np.testing.assert_array_equal(
+        np.asarray(m.params["decoder"]["token_embedding"]),
+        np.asarray(params["decoder"]["token_embedding"]))
+
+
+def test_flash_plus_mesh_rejected():
+    import pytest as _pytest
+
+    from openai_whisper_coreml_tpu.models.whisper import load_model
+    from openai_whisper_coreml_tpu.parallel import make_mesh
+
+    with _pytest.raises(ValueError, match="flash"):
+        load_model("tiny", mesh=make_mesh(n_model=2), flash=True)
