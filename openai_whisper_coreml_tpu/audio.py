@@ -235,8 +235,13 @@ def pad_or_trim(
 
     Matches the reference's pad/truncate-to-480000 loop
     (/root/reference/Whisper/Whisper/ContentView.swift:57-60).
+
+    NumPy inputs stay on the HOST (np.pad): shipping a trivial pad through
+    the axon relay cost a ~30 ms round trip per call (streaming pays this
+    per stream per tick).
     """
-    array = jnp.asarray(array)
+    xp = np if isinstance(array, np.ndarray) else jnp
+    array = xp.asarray(array)
     n = array.shape[axis]
     if n > length:
         sl = [slice(None)] * array.ndim
@@ -245,7 +250,7 @@ def pad_or_trim(
     if n < length:
         pad_widths = [(0, 0)] * array.ndim
         pad_widths[axis] = (0, length - n)
-        return jnp.pad(array, pad_widths)
+        return xp.pad(array, pad_widths)
     return array
 
 

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 from ..config import WhisperConfig
 from ..parallel.sharding import KV_PSPEC, KV_SCALE_PSPEC, constrain
 from .layers import (
-    attention_core,
     layer_norm,
     linear,
     merge_heads,
@@ -182,17 +181,23 @@ def attention_dmajor(q: Array, k: Array, v: Array,
     q: (B, T, H, D); k, v: (B, H, D, S); mask broadcastable to (B, H, T, S).
     Returns (B, T, H, D). Softmax in fp32; openai double-scaling numerics.
     """
+    from .layers import matmul_precision
+
     d = q.shape[-1]
     scale = d ** -0.25
     qs = (q * scale).astype(q.dtype)
     ks = (k * scale).astype(k.dtype)
+    # precision matters: fp32 operands at default MXU precision truncate to
+    # bf16 and break the 1e-3 fidelity gates (CLAUDE.md invariant)
     logits = jnp.einsum("bthd,bhds->bhts", qs, ks,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=matmul_precision(q.dtype))
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.float32(-1e30))
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     out = jnp.einsum("bhts,bhds->bthd", weights.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=matmul_precision(v.dtype))
     return out.astype(q.dtype)
 
 
@@ -204,15 +209,10 @@ def cross_attention_dmajor(x: Array, p, n_head: int, k: Array, v: Array) -> Arra
 
 def decoder_block_full(x, layer_params, cross_k, cross_v, n_head):
     """Teacher-forcing block: full causal self-attention (no cache)."""
-    t = x.shape[1]
-    mask = jnp.tril(jnp.ones((t, t), jnp.bool_))[None, None]
-    h = layer_norm(x, layer_params["attn_ln"])
-    p = layer_params["attn"]
-    q = split_heads(linear(h, p["q"]), n_head)
-    k = split_heads(linear(h, p["k"]), n_head)
-    v = split_heads(linear(h, p["v"]), n_head)
-    attn_out = linear(merge_heads(attention_core(q, k, v, mask=mask)), p["out"])
-    x = x + attn_out
+    from .layers import self_attention
+
+    x = x + self_attention(layer_norm(x, layer_params["attn_ln"]),
+                           layer_params["attn"], n_head, causal=True)
     x = x + cross_attention_dmajor(
         layer_norm(x, layer_params["cross_attn_ln"]),
         layer_params["cross_attn"], n_head, cross_k, cross_v)

@@ -38,7 +38,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-               sm_scale: float, causal: bool, q_len: int, kv_len: int,
+               sm_scale: float, causal: bool, kv_len: int,
                block_q: int, block_k: int, n_kv_blocks: int):
     iq = pl.program_id(2)
     ik = pl.program_id(3)
@@ -119,6 +119,12 @@ def flash_attention(
         interpret = jax.default_backend() == "cpu"
     b, tq, h, d = q.shape
     tk = k.shape[1]
+    if causal and tq != tk:
+        # the causal mask assumes q and k are aligned at position 0; a
+        # suffix query (incremental decode) would silently mask almost
+        # everything — use the KV-cache decode path for that
+        raise ValueError(f"causal flash attention requires tq == tk, got "
+                         f"{tq} vs {tk}")
     sm_scale = d ** -0.5
 
     # Whisper head_dim is 64, so the QK^T contraction only half-fills the MXU;
@@ -150,7 +156,6 @@ def flash_attention(
         _fa_kernel,
         sm_scale=sm_scale,
         causal=causal,
-        q_len=tq,
         kv_len=tk,
         block_q=block_q,
         block_k=block_k,

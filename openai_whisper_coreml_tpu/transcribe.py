@@ -80,11 +80,18 @@ def transcribe(
         raise ValueError(f"transcribe expects mono audio, got {audio.shape}")
 
     # Full-length mel plus one window of trailing padding (so the final
-    # window is always complete), openai semantics.
+    # window is always complete), openai semantics. The device length is
+    # BUCKETED to a power-of-two count of 30 s chunks: an exact-length mel
+    # graph would recompile for every distinct file duration (the recompile
+    # class CLAUDE.md's prompt buckets exist to avoid); the mel is sliced
+    # back to the true frame count, so downstream seek logic is unchanged.
     n_samples_ceil = ((len(audio) + HOP_LENGTH - 1) // HOP_LENGTH) * HOP_LENGTH
-    padded = np.zeros(n_samples_ceil + N_SAMPLES, dtype=np.float32)
+    chunks = max(1, -(-n_samples_ceil // N_SAMPLES))
+    bucket_chunks = 1 << (chunks - 1).bit_length()
+    padded = np.zeros(bucket_chunks * N_SAMPLES + N_SAMPLES, dtype=np.float32)
     padded[: len(audio)] = audio
     mel = np.asarray(log_mel_spectrogram(padded, n_mels=cfg.n_mels))
+    mel = mel[..., : n_samples_ceil // HOP_LENGTH + N_FRAMES]
     content_frames = mel.shape[-1] - N_FRAMES
     content_duration = content_frames / FRAMES_PER_SECOND
 
