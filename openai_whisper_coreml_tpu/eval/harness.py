@@ -80,23 +80,29 @@ def evaluate(
     utts = discover(dataset_root)
     if not utts:
         raise FileNotFoundError(f"no utterances found under {dataset_root}")
-    if limit:
+    if limit is not None:  # `if limit:` treated --limit 0 as unbounded
         utts = utts[:limit]
+
+    from ..config import SAMPLE_RATE
 
     # threaded native batch loader (native/audio_io.cpp wa_load_batch);
     # falls back to serial decode without the native lib
     audios = load_audio_batch([u.audio_path for u in utts])
-    total_audio_sec = sum(len(a) for a in audios) / 16_000
+    total_audio_sec = sum(len(a) for a in audios) / SAMPLE_RATE
 
+    opts = ServeOptions(batch_size=batch_size, language=language,
+                        **serve_kwargs)
+    # warm up the graphs outside the timed window: the first batch pays
+    # XLA compilation (minutes through the relay) and would understate
+    # RTFx by an order of magnitude on small --limit runs
+    transcribe_batch(model, audios[: min(2, len(audios))], opts)
     t0 = time.perf_counter()
-    results = transcribe_batch(
-        model, audios,
-        ServeOptions(batch_size=batch_size, language=language, **serve_kwargs))
+    results = transcribe_batch(model, audios, opts)
     elapsed = time.perf_counter() - t0
 
     hyps = [r["text"] for r in results]
     refs = [u.reference for u in utts]
-    wer = compute_wer(refs, hyps)
+    wer = compute_wer(refs, hyps, language=language)
 
     return {
         "n_utterances": len(utts),

@@ -106,13 +106,19 @@ def word_errors(ref_words: Sequence[str], hyp_words: Sequence[str]
 
 
 def compute_wer(references: Sequence[str], hypotheses: Sequence[str],
-                *, normalize: bool = True) -> WERResult:
+                *, normalize: bool = True,
+                language: Optional[str] = "en") -> WERResult:
+    """language selects the normaliser: the English pipeline (contractions,
+    numbers, respellings) only applies to 'en'/None; other languages use
+    BasicTextNormalizer — scoring French through English number rules would
+    corrupt the WER."""
     if len(references) != len(hypotheses):
         raise ValueError("reference/hypothesis count mismatch")
     total_s = total_d = total_i = total_h = total_n = 0
     for ref, hyp in zip(references, hypotheses):
         if normalize:
-            ref, hyp = normalize_text(ref), normalize_text(hyp)
+            ref = normalize_text(ref, language)
+            hyp = normalize_text(hyp, language)
         rw, hw = ref.split(), hyp.split()
         s, d, i, h = word_errors(rw, hw)
         total_s += s

@@ -51,6 +51,20 @@ def load_state_dict(path: str):
             from safetensors.torch import load_file
 
             return load_file(st), None, "hf"
+        index = os.path.join(path, "model.safetensors.index.json")
+        if os.path.exists(index):
+            # sharded save_pretrained output: merge every shard the index
+            # references (large fp32 checkpoints split at ~5 GB)
+            import json
+
+            from safetensors.torch import load_file
+
+            with open(index, encoding="utf-8") as f:
+                weight_map = json.load(f)["weight_map"]
+            sd = {}
+            for shard in sorted(set(weight_map.values())):
+                sd.update(load_file(os.path.join(path, shard)))
+            return sd, None, "hf"
         bin_path = os.path.join(path, "pytorch_model.bin")
         if os.path.exists(bin_path):
             import torch
@@ -78,9 +92,8 @@ def load_state_dict(path: str):
         # large-v3-turbo: same dims signature except decoder depth
         if name == "large-v3" and dims.get("n_text_layer") == 4:
             name = "large-v3-turbo"
-        if name == "large-v2" and dims.get("n_text_layer") == 32:
-            # v1 and v2 share dims; default to large-v2 naming
-            name = "large-v2"
+        # NOTE: large-v1 and large-v2 share every dims field; the detected
+        # name defaults to "large-v2" (pass --model large-v1 to override)
         return obj["model_state_dict"], name, "openai"
     return obj, None, "openai"
 
@@ -114,6 +127,15 @@ def main(argv=None) -> int:
     name = args.model or detected
     if name is None:
         raise SystemExit("could not auto-detect model size; pass --model")
+    if detected and args.model and args.model != detected:
+        # large-v1/v2 share dims, so allow that pair; anything else would
+        # silently truncate layers / mislabel the converted checkpoint
+        allowed = {detected, "large-v1" if detected == "large-v2" else detected}
+        if args.model not in allowed:
+            raise SystemExit(
+                f"--model {args.model!r} contradicts the checkpoint's "
+                f"detected size {detected!r}; converting would truncate or "
+                f"mislabel weights (drop --model to use the detected size)")
     cfg = get_config(name)
     dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
 
