@@ -170,6 +170,348 @@ std::vector<float> resample_poly(const std::vector<float>& in, int src_rate,
   return out;
 }
 
+// ---------------------------------------------------------------------------
+// FLAC decoding (from scratch, per the public format spec — RFC 9639).
+// LibriSpeech/FLEURS ship FLAC; this image has no decoder library, so the
+// eval data-loader implements the decode subset those corpora need:
+// STREAMINFO, fixed+variable blocking, CONSTANT/VERBATIM/FIXED/LPC
+// subframes, RICE/RICE2 residual partitions (incl. escape), wasted bits,
+// and L/S, R/S, M/S stereo decorrelation. CRCs are parsed but not verified
+// (tolerant decode). Exposed as wa_load_flac + routed via wa_load_auto.
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+  const uint8_t* p;
+  size_t len;
+  size_t byte = 0;
+  int bit = 0;  // bits consumed of current byte (0..7)
+
+  bool eof() const { return byte >= len; }
+
+  // read n (<=32) bits MSB-first; returns false on EOF
+  bool get(uint32_t n, uint64_t* out) {
+    uint64_t v = 0;
+    for (uint32_t i = 0; i < n; ++i) {
+      if (byte >= len) return false;
+      v = (v << 1) | ((p[byte] >> (7 - bit)) & 1u);
+      if (++bit == 8) {
+        bit = 0;
+        ++byte;
+      }
+    }
+    *out = v;
+    return true;
+  }
+
+  bool get_signed(uint32_t n, int64_t* out) {
+    uint64_t u;
+    if (!get(n, &u)) return false;
+    // sign-extend n-bit value
+    if (n && (u >> (n - 1))) u |= ~((uint64_t{1} << n) - 1);
+    *out = static_cast<int64_t>(u);
+    return true;
+  }
+
+  // unary: count of 0 bits before the terminating 1 bit
+  bool get_unary(uint32_t* out) {
+    uint32_t q = 0;
+    for (;;) {
+      uint64_t b;
+      if (!get(1, &b)) return false;
+      if (b) break;
+      if (++q > 1u << 24) return false;  // corrupt stream guard
+    }
+    *out = q;
+    return true;
+  }
+
+  void align() {
+    if (bit) {
+      bit = 0;
+      ++byte;
+    }
+  }
+};
+
+// UTF-8-style coded number in frame headers (up to 7 bytes); value unused.
+bool skip_utf8_number(BitReader* br) {
+  uint64_t first;
+  if (!br->get(8, &first)) return false;
+  int extra = 0;
+  for (uint8_t m = 0x80; first & m; m >>= 1) ++extra;
+  if (extra == 1 || extra > 7) return false;  // 10xxxxxx alone is invalid
+  if (extra) --extra;  // leading byte counted itself
+  for (int i = 0; i < extra; ++i) {
+    uint64_t cont;
+    if (!br->get(8, &cont)) return false;
+  }
+  return true;
+}
+
+bool decode_residual(BitReader* br, uint32_t block_size, uint32_t order,
+                     std::vector<int64_t>* res) {
+  uint64_t method, po;
+  if (!br->get(2, &method) || method > 1) return false;
+  const uint32_t pbits = method == 0 ? 4 : 5;
+  const uint32_t escape = method == 0 ? 0xF : 0x1F;
+  if (!br->get(4, &po)) return false;
+  const uint32_t partitions = 1u << po;
+  if (block_size % partitions) return false;
+  const uint32_t part_len = block_size >> po;
+  if (part_len <= order && partitions == 1) return false;
+  size_t idx = order;
+  for (uint32_t part = 0; part < partitions; ++part) {
+    uint32_t count = part_len - (part == 0 ? order : 0);
+    uint64_t param;
+    if (!br->get(pbits, &param)) return false;
+    if (param == escape) {
+      uint64_t nbits;
+      if (!br->get(5, &nbits)) return false;
+      for (uint32_t i = 0; i < count; ++i) {
+        int64_t v = 0;
+        if (nbits && !br->get_signed(static_cast<uint32_t>(nbits), &v))
+          return false;
+        (*res)[idx++] = v;
+      }
+    } else {
+      for (uint32_t i = 0; i < count; ++i) {
+        uint32_t q;
+        uint64_t low = 0;
+        if (!br->get_unary(&q)) return false;
+        if (param && !br->get(static_cast<uint32_t>(param), &low))
+          return false;
+        uint64_t u = (static_cast<uint64_t>(q) << param) | low;
+        (*res)[idx++] = static_cast<int64_t>(u >> 1) ^
+                        -static_cast<int64_t>(u & 1);
+      }
+    }
+  }
+  return idx == block_size;
+}
+
+bool decode_subframe(BitReader* br, uint32_t block_size, uint32_t bps,
+                     std::vector<int64_t>* out) {
+  uint64_t pad, type_bits, has_wasted;
+  if (!br->get(1, &pad) || pad) return false;
+  if (!br->get(6, &type_bits)) return false;
+  uint32_t wasted = 0;
+  if (!br->get(1, &has_wasted)) return false;
+  if (has_wasted) {
+    uint32_t q;
+    if (!br->get_unary(&q)) return false;
+    wasted = q + 1;
+    if (wasted >= bps) return false;
+    bps -= wasted;
+  }
+  out->assign(block_size, 0);
+
+  if (type_bits == 0) {  // CONSTANT
+    int64_t v;
+    if (!br->get_signed(bps, &v)) return false;
+    for (auto& s : *out) s = v;
+  } else if (type_bits == 1) {  // VERBATIM
+    for (auto& s : *out)
+      if (!br->get_signed(bps, &s)) return false;
+  } else if ((type_bits & 0x38) == 0x08 && (type_bits & 0x07) <= 4) {
+    // FIXED, order 0..4
+    const uint32_t order = type_bits & 0x07;
+    for (uint32_t i = 0; i < order; ++i)
+      if (!br->get_signed(bps, &(*out)[i])) return false;
+    if (!decode_residual(br, block_size, order, out)) return false;
+    for (uint32_t i = order; i < block_size; ++i) {
+      int64_t* s = out->data() + i;
+      switch (order) {
+        case 0: break;
+        case 1: s[0] += s[-1]; break;
+        case 2: s[0] += 2 * s[-1] - s[-2]; break;
+        case 3: s[0] += 3 * s[-1] - 3 * s[-2] + s[-3]; break;
+        case 4: s[0] += 4 * s[-1] - 6 * s[-2] + 4 * s[-3] - s[-4]; break;
+      }
+    }
+  } else if (type_bits & 0x20) {  // LPC, order 1..32
+    const uint32_t order = (type_bits & 0x1F) + 1;
+    if (order > block_size) return false;
+    for (uint32_t i = 0; i < order; ++i)
+      if (!br->get_signed(bps, &(*out)[i])) return false;
+    uint64_t prec_m1;
+    int64_t shift;
+    if (!br->get(4, &prec_m1) || prec_m1 == 0xF) return false;
+    const uint32_t prec = static_cast<uint32_t>(prec_m1) + 1;
+    if (!br->get_signed(5, &shift) || shift < 0) return false;
+    std::vector<int64_t> coef(order);
+    for (auto& c : coef)
+      if (!br->get_signed(prec, &c)) return false;
+    if (!decode_residual(br, block_size, order, out)) return false;
+    for (uint32_t i = order; i < block_size; ++i) {
+      int64_t acc = 0;
+      for (uint32_t j = 0; j < order; ++j)
+        acc += coef[j] * (*out)[i - 1 - j];
+      (*out)[i] += acc >> shift;
+    }
+  } else {
+    return false;  // reserved type
+  }
+
+  if (wasted)
+    for (auto& s : *out) s <<= wasted;
+  return true;
+}
+
+bool decode_flac(const uint8_t* buf, size_t len, std::vector<float>* out,
+                 int* rate) {
+  if (len < 4 || std::memcmp(buf, "fLaC", 4) != 0) return false;
+  size_t pos = 4;
+  uint32_t sample_rate = 0, channels = 0, bps = 0;
+  uint64_t total_samples = 0;
+  bool have_streaminfo = false, last = false;
+  while (!last && pos + 4 <= len) {
+    const uint8_t* h = buf + pos;
+    last = (h[0] & 0x80) != 0;
+    const uint32_t type = h[0] & 0x7F;
+    const uint32_t blen = (static_cast<uint32_t>(h[1]) << 16) |
+                          (static_cast<uint32_t>(h[2]) << 8) | h[3];
+    pos += 4;
+    if (pos + blen > len) return false;
+    if (type == 0 && blen >= 34) {  // STREAMINFO
+      const uint8_t* s = buf + pos;
+      sample_rate = (static_cast<uint32_t>(s[10]) << 12) |
+                    (static_cast<uint32_t>(s[11]) << 4) | (s[12] >> 4);
+      channels = ((s[12] >> 1) & 0x07) + 1;
+      bps = (((s[12] & 1u) << 4) | (s[13] >> 4)) + 1;
+      total_samples = (static_cast<uint64_t>(s[13] & 0x0F) << 32) |
+                      (static_cast<uint64_t>(s[14]) << 24) |
+                      (static_cast<uint64_t>(s[15]) << 16) |
+                      (static_cast<uint64_t>(s[16]) << 8) | s[17];
+      have_streaminfo = true;
+    }
+    pos += blen;
+  }
+  if (!have_streaminfo || !sample_rate || !channels || bps < 4) return false;
+  *rate = static_cast<int>(sample_rate);
+  out->clear();
+  if (total_samples) out->reserve(static_cast<size_t>(total_samples));
+
+  BitReader br{buf, len, pos, 0};
+  std::vector<std::vector<int64_t>> chan(channels);
+  const double denom = static_cast<double>(uint64_t{1} << (bps - 1));
+
+  while (true) {
+    br.align();
+    if (br.byte >= br.len) break;
+    uint64_t sync;
+    if (!br.get(14, &sync)) break;
+    if (sync != 0x3FFE) return out->size() > 0;  // trailing garbage: stop
+    uint64_t reserved, blocking, bs_code, sr_code, ch_code, ss_code, zero;
+    if (!br.get(1, &reserved) || !br.get(1, &blocking) ||
+        !br.get(4, &bs_code) || !br.get(4, &sr_code) ||
+        !br.get(4, &ch_code) || !br.get(3, &ss_code) || !br.get(1, &zero))
+      return false;
+    if (!skip_utf8_number(&br)) return false;
+
+    uint32_t block_size = 0;
+    switch (bs_code) {
+      case 1: block_size = 192; break;
+      case 6: {
+        uint64_t v;
+        if (!br.get(8, &v)) return false;
+        block_size = static_cast<uint32_t>(v) + 1;
+        break;
+      }
+      case 7: {
+        uint64_t v;
+        if (!br.get(16, &v)) return false;
+        block_size = static_cast<uint32_t>(v) + 1;
+        break;
+      }
+      default:
+        if (bs_code >= 2 && bs_code <= 5)
+          block_size = 576u << (bs_code - 2);
+        else if (bs_code >= 8)
+          block_size = 256u << (bs_code - 8);
+        else
+          return false;
+    }
+    if (sr_code == 12) {
+      uint64_t v;
+      if (!br.get(8, &v)) return false;  // kHz, ignored (streaminfo wins)
+    } else if (sr_code == 13 || sr_code == 14) {
+      uint64_t v;
+      if (!br.get(16, &v)) return false;
+    } else if (sr_code == 15) {
+      return false;
+    }
+    uint32_t frame_bps = bps;
+    switch (ss_code) {
+      case 0: break;
+      case 1: frame_bps = 8; break;
+      case 2: frame_bps = 12; break;
+      case 4: frame_bps = 16; break;
+      case 5: frame_bps = 20; break;
+      case 6: frame_bps = 24; break;
+      case 7: frame_bps = 32; break;
+      default: return false;
+    }
+    uint64_t crc8;
+    if (!br.get(8, &crc8)) return false;  // parsed, not verified
+
+    uint32_t n_ch = channels;
+    int stereo_mode = 0;  // 1=L/S, 2=R/S, 3=M/S
+    if (ch_code <= 7) {
+      n_ch = static_cast<uint32_t>(ch_code) + 1;
+      if (n_ch != channels) return false;
+    } else if (ch_code <= 10) {
+      if (channels != 2) return false;
+      n_ch = 2;
+      stereo_mode = static_cast<int>(ch_code) - 7;
+    } else {
+      return false;
+    }
+
+    for (uint32_t c = 0; c < n_ch; ++c) {
+      uint32_t sub_bps = frame_bps;
+      // the side channel carries one extra bit
+      if ((stereo_mode == 1 && c == 1) || (stereo_mode == 2 && c == 0) ||
+          (stereo_mode == 3 && c == 1))
+        sub_bps += 1;
+      if (!decode_subframe(&br, block_size, sub_bps, &chan[c])) return false;
+    }
+    br.align();
+    uint64_t crc16;
+    if (!br.get(16, &crc16)) return false;  // parsed, not verified
+
+    // stereo decorrelation
+    if (stereo_mode == 1) {  // left/side: right = left - side
+      for (uint32_t i = 0; i < block_size; ++i)
+        chan[1][i] = chan[0][i] - chan[1][i];
+    } else if (stereo_mode == 2) {  // right/side: left = right + side
+      for (uint32_t i = 0; i < block_size; ++i) {
+        int64_t side = chan[0][i];
+        chan[0][i] = chan[1][i] + side;
+      }
+    } else if (stereo_mode == 3) {  // mid/side
+      for (uint32_t i = 0; i < block_size; ++i) {
+        int64_t side = chan[1][i];
+        int64_t mid = (chan[0][i] << 1) | (side & 1);
+        chan[0][i] = (mid + side) >> 1;
+        chan[1][i] = (mid - side) >> 1;
+      }
+    }
+
+    const float inv_ch = 1.0f / static_cast<float>(channels);
+    for (uint32_t i = 0; i < block_size; ++i) {
+      double acc = 0.0;
+      for (uint32_t c = 0; c < channels; ++c)
+        acc += static_cast<double>(chan[c][i]);
+      out->push_back(static_cast<float>(acc * inv_ch / denom));
+    }
+    if (total_samples && out->size() >= total_samples) {
+      out->resize(static_cast<size_t>(total_samples));
+      break;
+    }
+  }
+  return !out->empty();
+}
+
 bool read_file(const char* path, std::vector<float>* samples, int* rate) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
@@ -181,6 +523,9 @@ bool read_file(const char* path, std::vector<float>* samples, int* rate) {
   std::fclose(f);
   if (got != buf.size()) return false;
 
+  // container dispatch by magic: RIFF/WAVE or fLaC
+  if (buf.size() >= 4 && std::memcmp(buf.data(), "fLaC", 4) == 0)
+    return decode_flac(buf.data(), buf.size(), samples, rate);
   WavInfo info;
   if (!parse_wav(buf.data(), buf.size(), &info)) return false;
   if (!decode_samples(info, samples)) return false;

@@ -133,20 +133,24 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return resample_poly(audio, target_sr // g, orig_sr // g).astype(np.float32)
 
 
+_NATIVE_SUFFIXES = (".wav", ".flac")  # native lib dispatches by file magic
+
+
 def load_audio(path: str, sample_rate: int = 16_000) -> np.ndarray:
-    """Load audio as float32 mono at `sample_rate`."""
+    """Load audio as float32 mono at `sample_rate` (WAV, or FLAC through the
+    native decoder — LibriSpeech/FLEURS ship FLAC)."""
     lib = _find_native_lib()
-    if lib is not None and path.lower().endswith(".wav"):
+    if lib is not None and path.lower().endswith(_NATIVE_SUFFIXES):
         out_ptr = ctypes.POINTER(ctypes.c_float)()
         n = lib.wa_load_wav(path.encode(), int(sample_rate), ctypes.byref(out_ptr))
         if n >= 0:
             out = np.ctypeslib.as_array(out_ptr, shape=(n,)).copy()
             lib.wa_free(out_ptr)
             return out
-        # fall through to Python on native decode failure
+        # fall through to Python on native decode failure (WAV only)
     if not path.lower().endswith(".wav"):
         raise ValueError(
-            f"cannot decode {path!r}: only WAV is supported without the native "
+            f"cannot decode {path!r}: non-WAV formats (FLAC) need the native "
             "decoder (build native/ via `make -C native`)"
         )
     data, rate = _load_wav_python(path)
@@ -165,7 +169,7 @@ def load_audio_batch(paths, sample_rate: int = 16_000,
     paths = list(paths)
     lib = _find_native_lib()
     if (lib is None or not hasattr(lib, "wa_load_batch")
-            or not all(p.lower().endswith(".wav") for p in paths)):
+            or not all(p.lower().endswith(_NATIVE_SUFFIXES) for p in paths)):
         return [load_audio(p, sample_rate) for p in paths]
 
     n = len(paths)
