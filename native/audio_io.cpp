@@ -11,6 +11,7 @@
 //
 // Build: make -C native        (produces libwhisper_audio.so)
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -258,10 +259,13 @@ bool decode_residual(BitReader* br, uint32_t block_size, uint32_t order,
   const uint32_t partitions = 1u << po;
   if (block_size % partitions) return false;
   const uint32_t part_len = block_size >> po;
-  if (part_len <= order && partitions == 1) return false;
+  // RFC 9639: (block_size >> partition_order) MUST exceed the predictor
+  // order, or the first partition's sample count underflows.
+  if (part_len <= order) return false;
   size_t idx = order;
   for (uint32_t part = 0; part < partitions; ++part) {
     uint32_t count = part_len - (part == 0 ? order : 0);
+    if (idx + count > block_size) return false;
     uint64_t param;
     if (!br->get(pbits, &param)) return false;
     if (param == escape) {
@@ -389,7 +393,13 @@ bool decode_flac(const uint8_t* buf, size_t len, std::vector<float>* out,
   if (!have_streaminfo || !sample_rate || !channels || bps < 4) return false;
   *rate = static_cast<int>(sample_rate);
   out->clear();
-  if (total_samples) out->reserve(static_cast<size_t>(total_samples));
+  // STREAMINFO total_samples is a 36-bit field from untrusted input (up to
+  // ~256 GB of floats); clamp the pre-reserve to 4 hours at the stated rate
+  // and let the vector grow normally past that.
+  if (total_samples) {
+    const uint64_t cap = static_cast<uint64_t>(sample_rate) * 3600ull * 4ull;
+    out->reserve(static_cast<size_t>(std::min(total_samples, cap)));
+  }
 
   BitReader br{buf, len, pos, 0};
   std::vector<std::vector<int64_t>> chan(channels);

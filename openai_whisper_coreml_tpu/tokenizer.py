@@ -416,7 +416,14 @@ def get_tokenizer(
         # different name: sniff the structure
         with open(path, encoding="utf-8") as f:
             head = json.load(f)
-        if isinstance(head, dict) and "model" in head and "vocab" not in head:
+        # Sniff on STRUCTURE, not key presence: a genuine vocab.json maps
+        # token strings to int ids and real GPT-2/Whisper vocabs contain the
+        # literal token "model", so `"model" in head` would misroute them.
+        if (
+            isinstance(head, dict)
+            and isinstance(head.get("model"), dict)
+            and "vocab" in head["model"]
+        ):
             ranks = load_hf_tokenizer_json(path)
         else:
             ranks = load_hf_vocab(path)

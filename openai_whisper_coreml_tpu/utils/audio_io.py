@@ -140,7 +140,9 @@ def load_audio(path: str, sample_rate: int = 16_000) -> np.ndarray:
     """Load audio as float32 mono at `sample_rate` (WAV, or FLAC through the
     native decoder — LibriSpeech/FLEURS ship FLAC)."""
     lib = _find_native_lib()
+    native_tried = False
     if lib is not None and path.lower().endswith(_NATIVE_SUFFIXES):
+        native_tried = True
         out_ptr = ctypes.POINTER(ctypes.c_float)()
         n = lib.wa_load_wav(path.encode(), int(sample_rate), ctypes.byref(out_ptr))
         if n >= 0:
@@ -149,6 +151,11 @@ def load_audio(path: str, sample_rate: int = 16_000) -> np.ndarray:
             return out
         # fall through to Python on native decode failure (WAV only)
     if not path.lower().endswith(".wav"):
+        if native_tried:
+            raise ValueError(
+                f"native FLAC decode failed for {path!r}: "
+                "file may be corrupt or truncated"
+            )
         raise ValueError(
             f"cannot decode {path!r}: non-WAV formats (FLAC) need the native "
             "decoder (build native/ via `make -C native`)"
@@ -164,8 +171,9 @@ def load_audio_batch(paths, sample_rate: int = 16_000,
     The eval harness walks thousands of utterances; serial loads leave the
     host CPU-bound while the chip idles. Falls back to serial `load_audio`
     per file when the native lib is unavailable (or for non-WAV paths).
-    n_threads=0 uses the hardware concurrency. Per-file decode failures fall
-    back to the Python decoder (and raise there if truly malformed)."""
+    n_threads=0 uses the hardware concurrency. Per-file decode failures retry
+    through `load_audio` (WAV falls back to the Python decoder; a FLAC that
+    the native decoder rejects raises, since there is no other decoder)."""
     paths = list(paths)
     lib = _find_native_lib()
     if (lib is None or not hasattr(lib, "wa_load_batch")

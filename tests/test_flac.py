@@ -356,3 +356,52 @@ def test_flac_mid_side_stereo(tmp_path, rng):
     dec = _decode(str(p))
     expect = (left + right) / 2.0 / 32768.0
     np.testing.assert_allclose(dec, expect, atol=1e-7)
+
+
+def test_flac_partition_order_underflow_rejected(tmp_path):
+    """A frame whose partition length <= predictor order must be REJECTED.
+
+    Regression (advisor, round 2): with partition order >0 the first
+    partition's sample count `part_len - order` underflowed uint32; combined
+    with a zero-bit escape partition that consumes no input, the residual
+    loop would write ~4 billion zeros past the block-sized buffer. RFC 9639
+    requires (block_size >> po) > predictor_order.
+    """
+    _native()
+    bs = 4
+    out = b"fLaC" + _streaminfo(16_000, 1, 16, bs, bs)
+
+    def write(bw):
+        bw.put(0, 1)
+        bw.put(0b001010, 6)  # FIXED, order 2
+        bw.put(0, 1)
+        bw.put_signed(100, 16)  # warmup x2
+        bw.put_signed(101, 16)
+        bw.put(0, 2)   # residual method: rice 4-bit
+        bw.put(2, 4)   # partition order 2 -> part_len = 1 < order = 2
+        for _ in range(4):
+            bw.put(0xF, 4)  # escape
+            bw.put(0, 5)    # nbits=0: consumes nothing per sample
+    out += _frame(0, bs, 0b0000, write)
+    p = tmp_path / "underflow.flac"
+    p.write_bytes(out)
+    with pytest.raises(ValueError, match="native FLAC decode failed"):
+        _decode(str(p))
+
+
+def test_flac_huge_total_samples_header(tmp_path):
+    """A STREAMINFO claiming 2^36-1 total samples must not pre-allocate
+    256 GB (advisor low: clamp the reserve); the actual frames decode fine."""
+    _native()
+    pcm = np.arange(-500, 500, dtype=np.int64)
+    bs = len(pcm)
+    out = b"fLaC" + _streaminfo(16_000, 1, 16, (1 << 36) - 1, bs)
+
+    def write(bw):
+        _subframe_verbatim(bw, pcm, 16)
+
+    out += _frame(0, bs, 0b0000, write)
+    p = tmp_path / "huge_header.flac"
+    p.write_bytes(out)
+    dec = _decode(str(p))
+    np.testing.assert_allclose(dec, pcm / 32768.0, atol=1e-7)

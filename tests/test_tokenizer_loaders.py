@@ -137,3 +137,18 @@ def test_get_tokenizer_sniffs_tokenizer_json(tmp_path):
         p.write_text(json.dumps(data), encoding="utf-8")
         tok = get_tokenizer(cfg, vocab_path=str(p))
         assert tok.ranks[b"hello"] == 5
+
+
+def test_get_tokenizer_vocab_json_containing_model_token(tmp_path):
+    """Regression (advisor, round 2): a genuine flat vocab.json that happens
+    to contain the BPE token "model" (as real GPT-2/Whisper vocabs do) must
+    route to the flat-vocab loader, not crash in the tokenizer.json one."""
+    from openai_whisper_coreml_tpu.tokenizer import get_tokenizer
+
+    cfg = tiny_test_config()
+    vocab = {"model": 11, "hello": 5, "vo cab": 7}
+    p = tmp_path / "vocab.json"
+    p.write_text(json.dumps(vocab), encoding="utf-8")
+    tok = get_tokenizer(cfg, vocab_path=str(p))
+    assert tok.ranks[b"model"] == 11
+    assert tok.ranks[b"hello"] == 5
