@@ -115,11 +115,13 @@ def self_attention(x: Array, p, n_head: int,
     q = split_heads(linear(x, p["q"]), n_head)
     k = split_heads(linear(x, p["k"]), n_head)
     v = split_heads(linear(x, p["v"]), n_head)
+    out = None
     if flash:
-        from ..ops.flash_attention import flash_attention
+        from ..ops.flash_attention import flash_attention_auto
 
-        out = flash_attention(q, k, v, causal=causal)
-    else:
+        # None when the active mesh cannot shard_map these shapes
+        out = flash_attention_auto(q, k, v, causal=causal)
+    if out is None:
         if causal and mask is None:
             t = x.shape[1]
             mask = jnp.tril(jnp.ones((t, t), jnp.bool_))[None, None]
@@ -135,11 +137,12 @@ def cross_attention(x: Array, p, n_head: int,
     q = split_heads(linear(x, p["q"]), n_head)
     k = split_heads(k, n_head)
     v = split_heads(v, n_head)
+    out = None
     if flash:
-        from ..ops.flash_attention import flash_attention
+        from ..ops.flash_attention import flash_attention_auto
 
-        out = flash_attention(q, k, v, causal=False)
-    else:
+        out = flash_attention_auto(q, k, v, causal=False)
+    if out is None:
         out = attention_core(q, k, v)
     return linear(merge_heads(out), p["out"])
 

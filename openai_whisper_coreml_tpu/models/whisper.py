@@ -147,15 +147,10 @@ def load_model(
     if flash is None:
         # Pallas flash attention beats XLA attention ~1.6x at encoder
         # geometry on v5e; interpret mode on CPU is only for tests. Under a
-        # mesh the jnp attention path is used instead: a pallas_call is an
-        # opaque custom call to GSPMD (it cannot be partitioned without
-        # shard_map), while the jnp path shards cleanly.
-        flash = not on_cpu and mesh is None
-    elif flash and mesh is not None:
-        raise ValueError(
-            "flash=True cannot be combined with a mesh: a pallas_call is "
-            "opaque to GSPMD and the TP-sharded encoder would fail to "
-            "partition (omit flash to use the sharding-clean jnp path)")
+        # mesh the kernel runs through a shard_map wrapper (batch on "data",
+        # heads on "model" — ops/flash_attention.flash_attention_auto), with
+        # an automatic jnp fallback for shapes the mesh cannot divide.
+        flash = not on_cpu
     alignment_heads = None
     if checkpoint is not None:
         import os

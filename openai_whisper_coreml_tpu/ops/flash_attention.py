@@ -195,3 +195,52 @@ def flash_attention(
     if tq_p != tq:
         out = out[:, :tq]
     return out
+
+
+def flash_attention_auto(
+    q: jax.Array,  # (B, T, H, D)
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+) -> Optional[jax.Array]:
+    """flash_attention that works under an active (data, model) mesh.
+
+    A pallas_call is an opaque custom call to GSPMD — it cannot be
+    partitioned automatically, which round 2 handled by forbidding
+    flash+mesh entirely (losing the measured 1.6x encoder kernel for every
+    TP configuration). The kernel grid is per-(batch, head) and attention
+    is independent across both, so `jax.shard_map` over batch ("data") and
+    heads ("model") runs the SAME kernel on each chip's local shard with no
+    collectives; the surrounding column/row-parallel projections keep their
+    one GSPMD all-reduce per block.
+
+    Returns None when the shapes cannot be distributed on the active mesh
+    (batch not divisible by the data axis, or heads by the model axis) —
+    callers fall back to the sharding-clean jnp path.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh.empty:
+        return flash_attention(q, k, v, causal=causal)
+
+    from ..parallel.mesh import AXIS_DATA, AXIS_MODEL
+    from jax.sharding import PartitionSpec as P
+
+    axes = dict(zip(mesh.axis_names, mesh.axis_sizes))
+    dp = axes.get(AXIS_DATA, 1)
+    tp = axes.get(AXIS_MODEL, 1)
+    b, _, h, _ = q.shape
+    if b % dp or h % tp:
+        return None
+    spec = P(AXIS_DATA, None, AXIS_MODEL, None)
+    fn = jax.shard_map(
+        functools.partial(flash_attention, causal=causal),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        # pallas_call's out_shape carries no varying-mesh-axes annotation, so
+        # the vma check cannot see through it; the kernel body has no
+        # collectives for it to validate anyway
+        check_vma=False,
+    )
+    return fn(q, k, v)

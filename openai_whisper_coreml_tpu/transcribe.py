@@ -122,7 +122,11 @@ def transcribe(
     else:
         initial_prompt_tokens = []
 
-    def decode_with_fallback(segment_mel: np.ndarray) -> DecodingResult:
+    def decode_with_fallback(segment_feats) -> DecodingResult:
+        """segment_feats: (1, 1500, n_state) — encoded ONCE per window by the
+        caller; the temperature ladder and the word-timestamp pass both reuse
+        it (round-2 verdict: the old mel-in signature re-ran the encoder per
+        retry and again for word timestamps)."""
         result: Optional[DecodingResult] = None
         for t in temperatures:
             opts = DecodingOptions(
@@ -137,7 +141,7 @@ def transcribe(
                 without_timestamps=without_timestamps,
                 **decode_options,
             )
-            result = decode(model, segment_mel[None], opts,
+            result = decode(model, segment_feats, opts, from_features=True,
                             tokenizer=None)[0]
 
             needs_fallback = False
@@ -169,7 +173,8 @@ def transcribe(
             segment_mel = np.pad(
                 segment_mel, ((0, 0), (0, N_FRAMES - segment_mel.shape[-1])))
 
-        result = decode_with_fallback(segment_mel)
+        segment_feats = model.encode(segment_mel[None])
+        result = decode_with_fallback(segment_feats)
         tokens = np.asarray(result.tokens, dtype=np.int64)
 
         if no_speech_threshold is not None:
@@ -240,9 +245,9 @@ def transcribe(
         if word_timestamps and current_segments:
             from .timing import add_word_timestamps_to_segments
 
-            feats = model.encode(segment_mel[None])
+            # reuse the window's features — no duplicate encoder pass
             add_word_timestamps_to_segments(
-                model, tokenizer, current_segments, feats,
+                model, tokenizer, current_segments, segment_feats,
                 num_frames=segment_size, time_offset=time_offset)
 
         if verbose:

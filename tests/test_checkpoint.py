@@ -175,11 +175,11 @@ def test_load_model_from_orbax_dir(tmp_path):
         np.asarray(params["decoder"]["token_embedding"]))
 
 
-def test_flash_plus_mesh_rejected():
-    import pytest as _pytest
-
+def test_flash_plus_mesh_loads():
+    """flash=True with a mesh is supported since round 3 (shard_map wrapper,
+    ops/flash_attention.flash_attention_auto); loading must not raise."""
     from openai_whisper_coreml_tpu.models.whisper import load_model
     from openai_whisper_coreml_tpu.parallel import make_mesh
 
-    with _pytest.raises(ValueError, match="flash"):
-        load_model("tiny", mesh=make_mesh(n_model=2), flash=True)
+    m = load_model("tiny", mesh=make_mesh(n_model=2), flash=True)
+    assert m.flash and m.mesh is not None

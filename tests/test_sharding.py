@@ -210,3 +210,46 @@ def test_sharded_continuous_batching_token_exact(cfg):
         toks_a = [t for seg in a["segments"] for t in seg["tokens"]]
         toks_b = [t for seg in b["segments"] for t in seg["tokens"]]
         assert toks_a == toks_b
+
+
+def test_sharded_flash_encoder_matches(cfg):
+    """flash=True under a DP x TP mesh (shard_map-wrapped Pallas kernel) must
+    match the unsharded jnp path (round-2 verdict #2: TP previously lost the
+    1.6x encoder kernel because flash+mesh was forbidden)."""
+    import functools
+
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(8)
+    mel = rng.standard_normal((4, cfg.n_mels,
+                               2 * cfg.n_audio_ctx)).astype(np.float32)
+    feats_ref = enc_mod.encode(params, cfg, mel)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    with jax.set_mesh(mesh):
+        sharded = shard_params(params, cfg, mesh)
+        feats = jax.jit(functools.partial(enc_mod.encode, cfg=cfg,
+                                          flash=True))(sharded, mel=mel)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(feats_ref),
+                               atol=2e-3)
+    assert np.abs(np.asarray(feats) - np.asarray(feats_ref)).mean() < 2e-4
+
+
+def test_sharded_flash_odd_heads_falls_back(cfg):
+    """Head counts the model axis cannot divide fall back to the jnp path
+    inside flash_attention_auto (returns None) instead of crashing."""
+    c = tiny_test_config(n_state=96, n_head=3, n_layer=1, n_audio_ctx=64,
+                         n_text_ctx=64)
+    params = init_params(c, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(9)
+    mel = rng.standard_normal((4, c.n_mels,
+                               2 * c.n_audio_ctx)).astype(np.float32)
+    feats_ref = enc_mod.encode(params, c, mel)
+    import functools
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    with jax.set_mesh(mesh):
+        # params stay host-side (3 heads won't TP-shard) — replicate them
+        feats = jax.jit(functools.partial(enc_mod.encode, cfg=c,
+                                          flash=True))(params, mel=mel)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(feats_ref),
+                               atol=2e-3)

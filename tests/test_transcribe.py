@@ -160,3 +160,34 @@ def test_cli_transcribe_end_to_end(tmp_path, monkeypatch, model, speechy_audio):
     ])
     assert rc == 0
     assert (tmp_path / "clip.json").exists()
+
+
+def test_transcribe_encodes_each_window_once(model, speechy_audio):
+    """Round-2 verdict weak #5: word_timestamps=True used to re-run the full
+    encoder per window (and the temperature ladder re-encoded per retry).
+    The window is now encoded exactly once and its features are threaded
+    through decode AND the word-timestamp alignment pass."""
+    calls = {"n": 0}
+    orig = WhisperModel.encode
+
+    def counting_encode(self, mel):
+        calls["n"] += 1
+        return orig(self, mel)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(WhisperModel, "encode", counting_encode):
+        res = transcribe(
+            model, speechy_audio[: 16000 * 40],  # 2 windows
+            language="en",
+            temperature=(0.0, 0.5),  # ladder present
+            sample_len=8,
+            word_timestamps=True,
+            no_speech_threshold=None,
+            logprob_threshold=None,
+            compression_ratio_threshold=None,
+        )
+    n_windows = len({s["seek"] for s in res["segments"]})
+    assert calls["n"] == n_windows
+    # and word timings were actually produced
+    assert any("words" in s for s in res["segments"])
