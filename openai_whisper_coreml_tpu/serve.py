@@ -139,8 +139,10 @@ def transcribe_batch(
     mels = _batched_mels(arrays, model.cfg.n_mels)
     _mel_s = _time.perf_counter() - _t0
     if os.environ.get("WHISPER_TPU_SERVE_TIMING"):
-        print(f"[serve] mel frontend: {_mel_s:.2f}s for {len(arrays)} "
-              f"requests", flush=True)
+        from .utils.obs import get_logger, kv
+
+        get_logger("serve").info("mel frontend %s", kv(
+            seconds=round(_mel_s, 2), requests=len(arrays)))
     windows: List[_Window] = []
     for rid, arr in enumerate(arrays):
         windows.extend(_windows_for(arr, model.cfg.n_mels, rid,

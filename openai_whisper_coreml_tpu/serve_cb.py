@@ -54,6 +54,9 @@ from .decoding import (
 )
 from .models import decoder as dec_mod
 from .tokenizer import LANGUAGES, get_tokenizer
+from .utils.obs import get_logger as _get_logger, kv as _kv
+
+_cb_log = _get_logger("serve_cb")
 
 Array = jax.Array
 
@@ -503,6 +506,9 @@ class ContinuousBatcher:
                 if self._pool_remaining() == 0:
                     self._encode_pool(pending)
                 count = min(self.refill, len(free), self._pool_remaining())
+                _cb_log.debug("refill %s", _kv(
+                    count=count, free=len(free), pending=len(pending),
+                    pool=self._pool_remaining()))
                 rows, group = self._draw_from_pool(self.refill, count)
                 idx = np.full(self.refill, bs, np.int32)
                 idx[: len(group)] = free[: len(group)]

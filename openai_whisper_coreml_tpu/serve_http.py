@@ -15,6 +15,7 @@ the batch-first core — swap for a production gateway as needed.
 
 from __future__ import annotations
 
+import itertools
 import json
 import queue
 import threading
@@ -26,11 +27,18 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
+from .utils.obs import Metrics, get_logger, kv
+
+log = get_logger("serve_http")
+_req_ids = itertools.count(1)
+
 
 @dataclass
 class _Job:
     audio: np.ndarray
     options: Dict[str, Any]
+    request_id: str = ""
+    submitted: float = 0.0
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[Dict[str, Any]] = None
     error: Optional[str] = None
@@ -47,6 +55,7 @@ class WhisperHTTPServer:
         self.default_options = dict(default_options or {})
         self.batch_size = batch_size
         self.batch_window_ms = batch_window_ms
+        self.metrics = Metrics()
         self._queue: "queue.Queue[_Job]" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._drain, daemon=True)
@@ -89,6 +98,8 @@ class WhisperHTTPServer:
                                    []).append(j)
             for opts_key, group in by_opts.items():
                 opts = {**self.default_options, **json.loads(opts_key)}
+                t0 = time.monotonic()
+                audio_s = sum(len(j.audio) for j in group) / 16_000.0
                 try:
                     results = transcribe_batch(
                         self.model, [j.audio for j in group],
@@ -98,6 +109,20 @@ class WhisperHTTPServer:
                 except Exception as e:  # surface per-request, keep serving
                     for j in group:
                         j.error = f"{type(e).__name__}: {e}"
+                    self.metrics.inc("batches_failed")
+                    log.error("batch failed %s", kv(
+                        requests=len(group), error=f"{type(e).__name__}: {e}"))
+                elapsed = time.monotonic() - t0
+                self.metrics.inc("batches_total")
+                self.metrics.observe("batch_latency_s", elapsed)
+                if audio_s and elapsed > 0:
+                    self.metrics.observe("batch_rtfx", audio_s / elapsed)
+                self.metrics.set_gauge("queue_depth", self._queue.qsize())
+                log.info("batch done %s", kv(
+                    requests=len(group), audio_s=round(audio_s, 2),
+                    latency_s=round(elapsed, 3),
+                    rtfx=round(audio_s / elapsed, 1) if elapsed else 0,
+                    ids=",".join(j.request_id for j in group)))
                 for j in group:
                     j.done.set()
 
@@ -105,7 +130,13 @@ class WhisperHTTPServer:
 
     def submit(self, audio: np.ndarray, options: Dict[str, Any],
                timeout: float = 300.0) -> _Job:
-        job = _Job(audio=audio, options=options)
+        job = _Job(audio=audio, options=options,
+                   request_id=f"r{next(_req_ids)}", submitted=time.monotonic())
+        self.metrics.inc("requests_total")
+        self.metrics.set_gauge("queue_depth", self._queue.qsize() + 1)
+        log.info("request queued %s", kv(
+            id=job.request_id, audio_s=round(len(audio) / 16_000.0, 2),
+            options=json.dumps(options, sort_keys=True)))
         self._queue.put(job)
         if not job.done.wait(timeout):
             # mark cancelled so the worker drops it instead of burning a
@@ -114,6 +145,17 @@ class WhisperHTTPServer:
             job.cancelled = True
             if not job.done.is_set():
                 job.error = "timeout"
+                self.metrics.inc("requests_timeout")
+        latency = time.monotonic() - job.submitted
+        self.metrics.observe("request_latency_s", latency)
+        if job.error:
+            self.metrics.inc("requests_failed")
+            log.warning("request failed %s", kv(id=job.request_id,
+                                                error=job.error,
+                                                latency_s=round(latency, 3)))
+        else:
+            log.info("request done %s", kv(id=job.request_id,
+                                           latency_s=round(latency, 3)))
         return job
 
     def _make_handler(self):
@@ -150,6 +192,8 @@ class WhisperHTTPServer:
                     self._json(200, {"ok": True,
                                      "model": server.model.cfg.name,
                                      "backend": jax.default_backend()})
+                elif self.path.startswith("/metrics"):
+                    self._json(200, server.metrics.snapshot())
                 else:
                     self._json(404, {"error": "not found"})
 
@@ -232,6 +276,7 @@ class WhisperHTTPServer:
                 qs = {k: v[0] for k, v in
                       urllib.parse.parse_qs(parsed.query).items()}
                 if parsed.path == "/stream":
+                    server.metrics.inc("streams_total")
                     self._do_stream(qs)
                     return
                 if parsed.path not in ("/transcribe", "/detect"):
@@ -244,6 +289,7 @@ class WhisperHTTPServer:
                     return
 
                 if parsed.path == "/detect":
+                    server.metrics.inc("detects_total")
                     try:
                         from .audio import pad_or_trim
                         from .decoding import detect_language

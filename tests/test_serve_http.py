@@ -196,3 +196,48 @@ def test_stream_endpoint_incremental_ndjson(server, rng):
     assert lines[-1]["final"] is True
     assert all("text" in l or "error" in l for l in lines)
     assert not any("error" in l for l in lines)
+
+
+def test_metrics_endpoint_counts_requests(server, rng):
+    """SURVEY §5 metrics row: /metrics surfaces counters/gauges/latency
+    summaries and they MOVE when requests are served (round-2 verdict #8)."""
+    import urllib.request
+
+    def metrics():
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/metrics", timeout=30) as r:
+            return json.loads(r.read())
+
+    before = metrics()
+    audio = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+    status, body = _post(server, "/transcribe?language=en&sample_len=4",
+                         _wav_bytes(audio))
+    assert status == 200
+    after = metrics()
+    got = after["counters"].get("requests_total", 0)
+    assert got >= before["counters"].get("requests_total", 0) + 1
+    assert after["counters"].get("batches_total", 0) >= 1
+    lat = after["summaries"]["request_latency_s"]
+    assert lat["count"] >= 1 and lat["p50"] is not None and lat["p50"] > 0
+    assert "queue_depth" in after["gauges"]
+    assert after["uptime_s"] > 0
+
+
+def test_obs_logger_and_metrics_unit():
+    from openai_whisper_coreml_tpu.utils.obs import Metrics, get_logger, kv
+
+    log = get_logger("test")
+    assert log.name == "whisper_tpu.test"
+    assert kv(a=1, b="x") == "a=1 b=x"
+    m = Metrics()
+    m.inc("c")
+    m.inc("c", 2)
+    m.set_gauge("g", 7)
+    for v in (1.0, 2.0, 3.0, 10.0):
+        m.observe("lat", v)
+    snap = m.snapshot()
+    assert snap["counters"]["c"] == 3
+    assert snap["gauges"]["g"] == 7
+    assert snap["summaries"]["lat"]["count"] == 4
+    assert 1.0 <= snap["summaries"]["lat"]["p50"] <= 3.0
+    assert snap["summaries"]["lat"]["p95"] == 10.0
