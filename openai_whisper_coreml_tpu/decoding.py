@@ -50,7 +50,10 @@ class DecodingOptions:
     beam_size: Optional[int] = None
     patience: Optional[float] = None
     length_penalty: Optional[float] = None
-    prompt: Optional[Union[str, List[int]]] = None  # previous-context prompt
+    # previous-context prompt: one shared prompt (str or flat token list), or
+    # a PER-SAMPLE list (one str/token-list/None per batch row — rows share
+    # one bucketed graph via per-row left-pads; greedy/sampled only)
+    prompt: Optional[Union[str, List[int], List[Union[str, List[int], None]]]] = None
     prefix: Optional[Union[str, List[int]]] = None  # prefix for this window
     suppress_tokens: Optional[Union[str, Sequence[int]]] = "-1"
     suppress_blank: bool = True
@@ -234,8 +237,8 @@ def greedy_decode_core(
     temperature: Array,  # scalar fp32; 0 -> argmax
     key: Array,  # PRNG key (used when temperature > 0)
     max_initial_ts_index: Array,  # scalar int32; -1 disables
-    pad_len: Array,  # scalar int32: slots [0, pad_len) are masked padding
-    sot_index: Array,  # scalar int32: slot holding the SOT token
+    pad_len: Array,  # int32 scalar or (B,): slots [0, pad_len) are padding
+    sot_index: Array,  # int32 scalar or (B,): slot holding the SOT token
     *,
     sample_len: int,
     use_timestamps: bool,
@@ -272,10 +275,13 @@ def greedy_decode_core(
     prefill_logits, cache = dec_mod.decode_step(
         params, cfg, initial_tokens, cross_kv, cache, 0, valid_from=pad_len)
     # no-speech probability read at the SOT position of the prompt
-    # (openai semantics; generalises the reference's SOT-step probe)
+    # (openai semantics; generalises the reference's SOT-step probe);
+    # sot_index may be per-row when prompts differ across the batch
+    si = jnp.broadcast_to(jnp.asarray(sot_index, jnp.int32), (b,))
+    sot_logits = jnp.take_along_axis(prefill_logits, si[:, None, None],
+                                     axis=1)[:, 0]
     no_speech_prob = jax.nn.softmax(
-        jnp.take(prefill_logits, sot_index, axis=1).astype(jnp.float32), axis=-1
-    )[:, cfg.no_speech_token]
+        sot_logits.astype(jnp.float32), axis=-1)[:, cfg.no_speech_token]
 
     def sample(logits, k):
         def argmax(_):
@@ -473,6 +479,15 @@ def decode(
     x = x if x.ndim == 3 else x[None]
     b_in = x.shape[0]
     x = model.shard_batch(_pad_batch_to_mesh(x, mesh))
+    if (x.shape[0] != b_in and isinstance(options.prompt, (list, tuple))
+            and len(options.prompt) == b_in and options.prompt
+            and not isinstance(options.prompt[0], (int, np.integer))):
+        # batch was padded to the data axis: pad the per-sample prompt list
+        # alongside (padded rows repeat the last prompt and are trimmed)
+        extra = x.shape[0] - b_in
+        options = dataclasses.replace(
+            options, prompt=list(options.prompt)
+            + [options.prompt[-1]] * extra)
     with _model_mesh_ctx(model):
         results = _decode_impl(model, x, options, from_features=from_features,
                                tokenizer=tokenizer, seed=seed)
@@ -525,40 +540,57 @@ def _decode_impl(
             seq.append(tokenizer.no_timestamps)
         sot_seqs.append(seq)
 
-    prompt_tokens = _as_token_list(tokenizer, options.prompt)
+    prompt_in = options.prompt
+    # per-sample prompts: a list/tuple whose entries are themselves
+    # prompts (str / token list / None) — one per batch row. A flat list of
+    # ints remains a single shared prompt.
+    per_sample_prompt = (isinstance(prompt_in, (list, tuple))
+                         and len(prompt_in) > 0
+                         and not isinstance(prompt_in[0], (int, np.integer)))
+    if per_sample_prompt:
+        if len(prompt_in) != b:
+            raise ValueError(f"per-sample prompt list has {len(prompt_in)} "
+                             f"entries for batch {b}")
+        prompt_rows = [_as_token_list(tokenizer, p) for p in prompt_in]
+    else:
+        prompt_rows = [_as_token_list(tokenizer, prompt_in)] * b
     prefix_tokens = _as_token_list(tokenizer, options.prefix)
 
     sample_len = options.sample_len or cfg.n_text_ctx // 2
-    if prompt_tokens:
-        # keep at most the trailing half-context of previous text
-        max_prompt = cfg.n_text_ctx // 2 - 1
-        prompt_tokens = prompt_tokens[-max_prompt:]
+    # keep at most the trailing half-context of previous text; openai trims
+    # the prefix to the available context too (a long prefix would otherwise
+    # overflow the decode buffer with a negative pad)
+    max_prompt = cfg.n_text_ctx // 2 - 1
+    prompt_rows = [p[-max_prompt:] if p else [] for p in prompt_rows]
     if prefix_tokens:
-        # openai trims the prefix to the available context too; without
-        # this a long prefix overflows the decode buffer (negative pad)
-        prefix_tokens = prefix_tokens[-(cfg.n_text_ctx // 2 - 1):]
+        prefix_tokens = prefix_tokens[-max_prompt:]
 
     initial = []
-    for seq in sot_seqs:
-        toks = ([tokenizer.sot_prev] + prompt_tokens if prompt_tokens else [])
-        toks = toks + seq + prefix_tokens
-        initial.append(toks)
-    true_len = len(initial[0])
-    assert all(len(t) == true_len for t in initial)
     max_len = cfg.n_text_ctx - 2  # leave room for >=1 sampled token + EOT
-    if true_len > max_len:
-        # prompt + prefix together can still exceed the context: drop the
-        # OLDEST conditioning (front) — the sot sequence sits after it
-        initial = [t[true_len - max_len:] for t in initial]
-        true_len = max_len
+    for seq, ptoks in zip(sot_seqs, prompt_rows):
+        toks = ([tokenizer.sot_prev] + ptoks if ptoks else [])
+        toks = toks + seq + prefix_tokens
+        if len(toks) > max_len:
+            # prompt + prefix together can still exceed the context: drop the
+            # OLDEST conditioning (front) — the sot sequence sits after it
+            toks = toks[len(toks) - max_len:]
+        initial.append(toks)
 
     # Bucket the prompt length so the jitted core compiles once per bucket,
     # not once per window of a long-form run (conditioning grows the prompt).
-    prompt_len = _prompt_bucket(true_len, cfg.n_text_ctx)
-    pad = prompt_len - true_len
-    sot_index = pad + initial[0].index(tokenizer.sot)
-    initial = [[tokenizer.eot] * pad + t for t in initial]
+    # Rows with shorter prompts are left-padded further; the per-row pad/sot
+    # vectors keep the SAME graph (shapes don't depend on the values).
+    prompt_len = _prompt_bucket(max(len(t) for t in initial), cfg.n_text_ctx)
+    pads = [prompt_len - len(t) for t in initial]
+    sots = [p + t.index(tokenizer.sot) for p, t in zip(pads, initial)]
+    initial = [[tokenizer.eot] * p + t for p, t in zip(pads, initial)]
     sample_len = min(sample_len, cfg.n_text_ctx - prompt_len)
+    if per_sample_prompt:
+        pad = np.asarray(pads, np.int32)  # (B,) per-row left-pads
+        sot_index = np.asarray(sots, np.int32)
+    else:
+        assert all(p == pads[0] for p in pads)
+        pad, sot_index = pads[0], sots[0]
 
     suppress_mask = jnp.asarray(build_suppress_mask(tokenizer, options))
     blank_mask = jnp.asarray(build_blank_mask(tokenizer)
@@ -570,6 +602,10 @@ def _decode_impl(
         max_init_idx = round(options.max_initial_timestamp / 0.02)
 
     use_beam = options.beam_size is not None and options.temperature == 0.0
+    if use_beam and per_sample_prompt:
+        raise ValueError(
+            "per-sample prompts are supported for greedy/sampled decoding "
+            "only (beam search assumes one shared pad/sot layout)")
     if use_beam:
         from .beam import beam_decode_core, rank_sequences
 
@@ -608,8 +644,12 @@ def _decode_impl(
                   if options.best_of and options.temperature > 0 else 1)
         feats_in = (jnp.repeat(feats, n_cand, axis=0) if n_cand > 1 else feats)
         init_arr = np.asarray(initial, np.int32)
+        pad_arr, sot_arr = pad, sot_index
         if n_cand > 1:
             init_arr = np.repeat(init_arr, n_cand, axis=0)
+            if per_sample_prompt:
+                pad_arr = np.repeat(pad_arr, n_cand, axis=0)
+                sot_arr = np.repeat(sot_arr, n_cand, axis=0)
         tokens, sum_lp, n_sampled, no_speech_prob = greedy_decode_core(
             model.params,
             cfg,
@@ -620,8 +660,8 @@ def _decode_impl(
             jnp.float32(options.temperature),
             jax.random.PRNGKey(seed),
             jnp.int32(max_init_idx),
-            jnp.int32(pad),
-            jnp.int32(sot_index),
+            jnp.asarray(pad_arr, jnp.int32),
+            jnp.asarray(sot_arr, jnp.int32),
             sample_len=sample_len,
             use_timestamps=not options.without_timestamps,
             prompt_len=prompt_len,

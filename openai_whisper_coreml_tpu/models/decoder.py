@@ -227,13 +227,17 @@ def embed_tokens(params, cfg: WhisperConfig, tokens: Array,
     are masked out of attention anyway.
 
     pos_offset may be a scalar (lockstep decode) or a (B,) vector of
-    independent per-row positions (continuous batching)."""
+    independent per-row positions (continuous batching); valid_from likewise
+    may be a scalar or a (B,) vector of per-row left-pads (per-sample
+    prompts of different lengths sharing one bucketed graph)."""
     dec = params["decoder"]
     b, t = tokens.shape
     tok_emb = dec["token_embedding"][tokens]  # (B, T, n_state)
     pos_col = jnp.broadcast_to(jnp.asarray(pos_offset, jnp.int32),
                                (b,))[:, None]  # (B, 1)
-    positions = jnp.clip(pos_col + jnp.arange(t)[None] - valid_from, 0,
+    vf_col = jnp.broadcast_to(jnp.asarray(valid_from, jnp.int32),
+                              (b,))[:, None]  # (B, 1)
+    positions = jnp.clip(pos_col + jnp.arange(t)[None] - vf_col, 0,
                          cfg.n_text_ctx - 1)  # (B, T)
     pos_emb = jnp.take(dec["positional_embedding"], positions, axis=0)
     return (tok_emb + pos_emb).astype(compute_dtype)
@@ -301,7 +305,10 @@ def decode_step(
     pos_col = jnp.broadcast_to(jnp.asarray(pos_offset, jnp.int32), (b,))
     q_pos = pos_col[:, None, None] + jnp.arange(t)[None, :, None]  # (B,T,1)
     k_pos = jnp.arange(c)[None, None, :]  # (1,1,C)
-    mask = ((k_pos <= q_pos) & (k_pos >= valid_from))[:, None]  # (B,1,T,C)
+    # valid_from: scalar or (B,) per-row left-pad bound
+    vf = jnp.broadcast_to(jnp.asarray(valid_from, jnp.int32),
+                          (b,))[:, None, None]  # (B,1,1)
+    mask = ((k_pos <= q_pos) & (k_pos >= vf))[:, None]  # (B,1,T,C)
 
     quant_cross = isinstance(cross_kv, QuantCrossKV)
 

@@ -247,9 +247,10 @@ class MultiStreamTranscriber:
     docs/benchmarks.md "Streaming latency"). This tier keeps a
     StreamingTranscriber state machine per stream but decodes every due
     stream's window in ONE device batch, so N concurrent streams cost ~one
-    decode instead of N. Conditioning on committed text is disabled (rows
-    cannot carry different prompts in one graph — the same tradeoff batch
-    serving documents in serve.py).
+    decode instead of N. Each stream carries its OWN committed-text prompt
+    through decoding's per-sample prompt support (per-row left-pads in one
+    bucketed graph) — round 2 disabled conditioning here and traded
+    transcript quality for the batching win; round 3 removes the tradeoff.
 
     Usage:
         mst = MultiStreamTranscriber(model, n_streams=8, language="en")
@@ -263,11 +264,13 @@ class MultiStreamTranscriber:
                  language: Optional[str] = "en", agreement: int = 2,
                  decode_interval: float = 1.0,
                  sample_len: Optional[int] = None,
-                 max_tokens_per_second: Optional[float] = 8.0) -> None:
+                 max_tokens_per_second: Optional[float] = 8.0,
+                 condition_on_committed_text: bool = True) -> None:
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
         self.model = model
         self.language = language
+        self.condition_on_committed_text = condition_on_committed_text
         self.streams = [
             StreamingTranscriber(
                 model, language=language, agreement=agreement,
@@ -299,18 +302,25 @@ class MultiStreamTranscriber:
 
         audio = np.stack([pad_or_trim(self.streams[i]._buffer)
                           for i in due], axis=0)
+        prompts = [list(self.streams[i]._prompt) or None for i in due]
         if len(due) < len(self.streams):
             # pad to the FIXED stream count: every distinct batch size is
             # its own compiled decode graph (minutes each at large models);
             # padded rows repeat the last due stream and are discarded
+            n_pad = len(self.streams) - len(due)
             audio = np.concatenate(
-                [audio, np.repeat(audio[-1:],
-                                  len(self.streams) - len(due), axis=0)],
-                axis=0)
+                [audio, np.repeat(audio[-1:], n_pad, axis=0)], axis=0)
+            prompts = prompts + [prompts[-1]] * n_pad
         mel = np.asarray(log_mel_spectrogram(
             audio, n_mels=self.model.cfg.n_mels))
+        # per-stream committed text rides decoding's per-sample prompts; the
+        # prompt-length BUCKET is shared, so conditioned streams do not add
+        # compiled graphs beyond one per (bucket, horizon) pair
+        prompt_opt = (prompts if self.condition_on_committed_text
+                      and any(p for p in prompts) else None)
         res = _decode(self.model, mel, DecodingOptions(
             language=self.language, without_timestamps=True,
+            prompt=prompt_opt,
             sample_len=sample_len))[: len(due)]
 
         events: dict = {}

@@ -211,3 +211,43 @@ def test_long_prefix_is_truncated(model, mel):
     res = decode(model, mel, DecodingOptions(
         language="en", sample_len=4, prefix=long_prefix))
     assert res and isinstance(res[0].tokens, list)
+
+
+def test_per_sample_prompts_match_individual_decodes(model, mel):
+    """A batch with PER-SAMPLE prompts (per-row left-pads in one bucketed
+    graph) must emit exactly what each row gets when decoded alone with its
+    own prompt (fp32 CPU: masked padding is numerically inert)."""
+    prompts = [[51, 52, 53, 54, 55], [61, 62]]
+    batch = decode(model, mel, DecodingOptions(
+        language="en", sample_len=8, prompt=prompts))
+    for i, p in enumerate(prompts):
+        solo = decode(model, mel[i : i + 1], DecodingOptions(
+            language="en", sample_len=8, prompt=p))[0]
+        assert batch[i].tokens == solo.tokens
+        np.testing.assert_allclose(batch[i].avg_logprob, solo.avg_logprob,
+                                   atol=1e-4)
+        np.testing.assert_allclose(batch[i].no_speech_prob,
+                                   solo.no_speech_prob, atol=1e-4)
+
+
+def test_per_sample_prompts_none_entries(model, mel):
+    """None entries in a per-sample prompt list mean 'no conditioning' for
+    that row, matching a promptless solo decode."""
+    batch = decode(model, mel, DecodingOptions(
+        language="en", sample_len=6, prompt=[[71, 72, 73], None]))
+    solo = decode(model, mel[1:2], DecodingOptions(
+        language="en", sample_len=6))[0]
+    assert batch[1].tokens == solo.tokens
+
+
+def test_per_sample_prompts_reject_beam(model, mel):
+    with pytest.raises(ValueError, match="per-sample"):
+        decode(model, mel, DecodingOptions(
+            language="en", sample_len=4, beam_size=2,
+            prompt=[[1, 2], [3]]))
+
+
+def test_per_sample_prompt_wrong_length_rejected(model, mel):
+    with pytest.raises(ValueError, match="entries for batch"):
+        decode(model, mel, DecodingOptions(
+            language="en", sample_len=4, prompt=[[1, 2]]))
