@@ -33,7 +33,7 @@ def main() -> int:
     ap.add_argument("--seq-pad", type=int, default=1536)
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--iters", type=int, default=32)
-    ap.add_argument("--hg", type=str, default="10,20")
+    
     args = ap.parse_args()
 
     import jax
@@ -96,7 +96,7 @@ def main() -> int:
     ref1 = sqa_cross_reference(q0, k8[0], ks[0], v8[0], vs[0], s_len=s)
     for av in (True, False):
         got = sqa_cross_int8(q0, k8[0], ks[0], v8[0], vs[0], s_len=s,
-                             hg=10, av_int8=av)
+                             av_int8=av)
         err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
                                     - ref1.astype(jnp.float32))))
         print(json.dumps({"check": f"av_int8={av}", "max_abs_err": err}),
@@ -114,15 +114,14 @@ def main() -> int:
         return o.astype(jnp.bfloat16)
 
     timed("inline_int8", chain(layer_inline), q0, k8, ks, v8, vs)
-    for hg in [int(x) for x in args.hg.split(",")]:
-        for av in (True, False):
-            def layer_kernel(x, k8l, ksl, v8l, vsl, hg=hg, av=av):
-                return sqa_cross_int8(x, k8l, ksl, v8l, vsl, s_len=s,
-                                      hg=hg, av_int8=av,
-                                      interpret=False).astype(jnp.bfloat16)
+    for av in (True, False):
+        def layer_kernel(x, k8l, ksl, v8l, vsl, av=av):
+            return sqa_cross_int8(x, k8l, ksl, v8l, vsl, s_len=s,
+                                  av_int8=av,
+                                  interpret=False).astype(jnp.bfloat16)
 
-            timed(f"v3_hg{hg}_av{'8' if av else 'bf16'}",
-                  chain(layer_kernel), q0, k8, ks, v8, vs)
+        timed(f"v3_av{'8' if av else 'bf16'}",
+              chain(layer_kernel), q0, k8, ks, v8, vs)
     return 0
 
 

@@ -53,16 +53,20 @@ def _sqa3_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *,
                  sm_scale: float, s_len: int, av_int8: bool):
     """One (batch row, head group) block.
 
-    q_ref: (1, HG, D) int8; k_ref/v_ref: (1, HG, D, S) int8;
+    q_ref: (1, HG, 1, D) int8 — note the pre-inserted singleton: Mosaic
+    cannot reshape/insert minor dims on sub-32-bit vectors, so every int8
+    operand arrives already in its dot_general rank and all in-kernel
+    rank-changes happen on f32/int32;
+    k_ref/v_ref: (1, HG, D, S) int8;
     ks_ref: (1, HG, S) f32 — PRE-FOLDED k_col_scale * q_row_scale;
     vs_ref: (1, HG, S) f32; o_ref: (1, HG, D) f32.
     """
-    q = q_ref[0]  # (HG, D) int8
+    q = q_ref[0]  # (HG, 1, D) int8
     k = k_ref[0]  # (HG, D, S) int8
     # batched over heads: (HG, 1, D) @ (HG, D, S) -> (HG, 1, S), int8 MXU
     lg_i = jax.lax.dot_general(
-        q[:, None, :], k, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)[:, 0, :]  # (HG, S)
+        q, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)[:, 0, :]  # (HG, S) — i32 reshape ok
     lg = lg_i.astype(jnp.float32) * ks_ref[0] * sm_scale
 
     if s_len != lg.shape[-1]:  # mask the 1500 -> 1536 lane padding
@@ -73,20 +77,20 @@ def _sqa3_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *,
     p = jnp.exp(lg - m)  # (HG, S)
     denom = jnp.sum(p, axis=-1, keepdims=True)
 
-    pv = p * vs_ref[0]  # fold V's per-position column scale
+    pv = (p * vs_ref[0])[:, None, :]  # (HG, 1, S) f32; V col scale folded
     if av_int8:
         wmax = jnp.maximum(jnp.max(pv, axis=-1, keepdims=True), 1e-20)
         w8 = jnp.clip(jnp.round(pv * (127.0 / wmax)), -127, 127
-                      ).astype(jnp.int8)
+                      ).astype(jnp.int8)  # (HG, 1, S) — no int8 reshape
         v = v_ref[0]  # (HG, D, S) int8
         o_i = jax.lax.dot_general(
-            w8[:, None, :], v, (((2,), (2,)), ((0,), (0,))),
+            w8, v, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.int32)[:, 0, :]  # (HG, D)
-        out = o_i.astype(jnp.float32) * (wmax / 127.0) / denom
+        out = o_i.astype(jnp.float32) * (wmax[:, 0, :] / 127.0) / denom
     else:
         vb = v_ref[0].astype(jnp.bfloat16)  # (HG, D, S)
         o_f = jax.lax.dot_general(
-            pv.astype(jnp.bfloat16)[:, None, :], vb,
+            pv.astype(jnp.bfloat16), vb,
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)[:, 0, :]
         out = o_f / denom
@@ -94,7 +98,7 @@ def _sqa3_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("s_len", "hg", "av_int8", "interpret"))
+                   static_argnames=("s_len", "av_int8", "interpret"))
 def sqa_cross_int8(
     q: jax.Array,  # (B, H, D) float (bf16/f32) — single query per row
     k8: jax.Array,  # (B, H, D, S) int8 (S may include lane padding)
@@ -103,19 +107,23 @@ def sqa_cross_int8(
     v_scale: jax.Array,  # (B, H, 1, S) fp32
     *,
     s_len: Optional[int] = None,  # real (unpadded) S; default k8.shape[-1]
-    hg: int = 10,  # heads per grid block
     av_int8: bool = True,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Fused cross-attention decode step; returns (B, H, D) in q.dtype."""
+    """Fused cross-attention decode step; returns (B, H, D) in q.dtype.
+
+    Grid is (B,) with all heads in one block (Mosaic requires the trailing
+    two block dims divisible by (8, 128) or equal to the array dims; whisper
+    head counts (6..20) are neither, so the head dim stays whole — at
+    large-v3 that is a 1.9 MB K block + 1.9 MB V block per batch row,
+    comfortably double-buffered in ~16 MB VMEM).
+    """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, h, d = q.shape
     s = k8.shape[-1]
     if s_len is None:
         s_len = s
-    if h % hg:
-        hg = h  # fall back to one block per row
     q8, qs = quantize_q_rows(q)
     # fold the query row scale into K's column scales: one (B,H,S) multiply
     ks_folded = (k_scale[:, :, 0, :] * qs).astype(jnp.float32)
@@ -126,20 +134,20 @@ def sqa_cross_int8(
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, d), jnp.float32),
-        grid=(b, h // hg),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, hg, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, hg, d, s), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, hg, s), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, hg, d, s), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, hg, s), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, h, 1, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, d, s), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, s), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h, d, s), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, s), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, hg, d), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((1, h, d), lambda i: (i, 0, 0)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(q8, k8, ks_folded, v8, vs)
+    )(q8[:, :, None, :], k8, ks_folded, v8, vs)
     return out.astype(q.dtype)
 
 

@@ -12,6 +12,13 @@ Design notes (TPU-shaped):
     never serialises the batch; conditioning-on-previous-text is OFF in
     batch mode (it would serialise windows; accuracy delta is small and
     documented by openai);
+  * SPECULATIVE SEEK: windows are first decoded at fixed 30 s offsets
+    (speculating full advance), then each request's seek chain is verified
+    against the openai rule (transcribe.seek_advance) and mis-seeked
+    windows are re-decoded in batched repair rounds. Output is
+    token-identical to transcribe(condition_on_previous_text=False) at
+    temperature 0 — including audio where a window's last complete segment
+    ends mid-window;
   * fixed batch size with EOT-padding of underfull batches -> one XLA graph;
   * per-window no-speech skip and temperature fallback applied per window.
 """
@@ -143,19 +150,86 @@ def transcribe_batch(
 
         get_logger("serve").info("mel frontend %s", kv(
             seconds=round(_mel_s, 2), requests=len(arrays)))
-    windows: List[_Window] = []
-    for rid, arr in enumerate(arrays):
-        windows.extend(_windows_for(arr, model.cfg.n_mels, rid,
-                                    mel=mels[rid]))
-
-    if options.scheduler == "continuous" and options.beam_size is None:
-        from .serve_cb import ContinuousBatcher
-
-        ContinuousBatcher(model, options).run(windows)
-        return _reassemble(model, arrays, windows, options)
     if options.scheduler not in ("static", "continuous"):
         raise ValueError(f"unknown scheduler {options.scheduler!r}")
+    use_cb = options.scheduler == "continuous" and options.beam_size is None
 
+    def decode_round(wins: List[_Window]) -> None:
+        if use_cb:
+            from .serve_cb import ContinuousBatcher
+
+            ContinuousBatcher(model, options).run(wins)
+        else:
+            _decode_windows_static(model, wins, options)
+
+    # -- speculative seek (round-2 verdict #6) -----------------------------
+    # openai's transcribe() advances window N+1 to where window N's LAST
+    # complete segment ended — a data dependency that would serialise the
+    # batch. Instead: SPECULATE that every window advances fully (decode all
+    # fixed 30 s offsets in one batched round), then verify each request's
+    # seek chain with the shared transcribe.seek_advance rule and decode any
+    # window whose true offset differs, again batched across requests, until
+    # every chain is closed. Typical speech seeks nearly-full windows, so
+    # repair rounds are rare; the result is token-parity with
+    # transcribe(condition_on_previous_text=False).
+    from .transcribe import seek_advance
+
+    content = [-(-len(a) // HOP_LENGTH) for a in arrays]
+    ts_begin = model.cfg.timestamp_begin
+    decoded: Dict[tuple, DecodingResult] = {}
+
+    def window_at(rid: int, seek: int) -> _Window:
+        return _Window(rid, seek, mels[rid][:, seek : seek + N_FRAMES])
+
+    def walk(rid: int):
+        """Follow request rid's seek chain; returns (chain, missing_seek).
+        chain entries: (seek, result, segment_size)."""
+        chain, seek = [], 0
+        while seek < content[rid]:
+            r = decoded.get((rid, seek))
+            if r is None:
+                return chain, seek
+            seg_size = min(N_FRAMES, content[rid] - seek)
+            chain.append((seek, r, seg_size))
+            if _window_skipped(r, options):
+                seek += seg_size  # silence: skip, advance fully
+            else:
+                seek += seek_advance(r.tokens, ts_begin, seg_size)
+        return chain, None
+
+    pending_windows = [w for rid in range(len(arrays))
+                       for w in (_windows_for(arrays[rid], model.cfg.n_mels,
+                                              rid, mel=mels[rid]))]
+    # safety valve for degenerate streams that advance 2 frames per window
+    # (transcribe() crawls the same way, one window at a time; here we bound
+    # the extra batched rounds and log the truncation instead of crawling)
+    max_extra = 16 * len(arrays) + 256
+    while pending_windows:
+        decode_round(pending_windows)
+        for w in pending_windows:
+            decoded[(w.request_id, w.offset_frames)] = w.result
+        pending_windows = []
+        for rid in range(len(arrays)):
+            _, missing = walk(rid)
+            if missing is not None:
+                pending_windows.append(window_at(rid, missing))
+        if pending_windows and len(decoded) > max_extra + sum(
+                -(-c // N_FRAMES) for c in content):
+            from .utils.obs import get_logger
+
+            get_logger("serve").warning(
+                "speculative seek repair truncated after %d windows "
+                "(degenerate timestamps); remaining chains end early",
+                len(decoded))
+            break
+
+    chains = [walk(rid)[0] for rid in range(len(arrays))]
+    return _reassemble(model, arrays, chains, options)
+
+
+def _decode_windows_static(model, windows: List[_Window],
+                           options: ServeOptions) -> None:
+    """Fixed-size batches + per-window temperature-fallback ladder."""
     bs = options.batch_size
     base_opts = dict(
         task=options.task,
@@ -167,21 +241,20 @@ def transcribe_batch(
         cache_dtype=options.cache_dtype,
     )
 
-    # decode in fixed-size batches; pad the tail batch by repeating the last
-    # window (one compiled graph for every batch)
+    # pad the tail batch by repeating the last window (one compiled graph)
     for start in range(0, len(windows), bs):
         chunk = windows[start : start + bs]
-        mels = np.stack([w.mel for w in chunk], axis=0)
+        batch_mels = np.stack([w.mel for w in chunk], axis=0)
         if len(chunk) < bs:
-            pad = np.repeat(mels[-1:], bs - len(chunk), axis=0)
-            mels = np.concatenate([mels, pad], axis=0)
+            pad = np.repeat(batch_mels[-1:], bs - len(chunk), axis=0)
+            batch_mels = np.concatenate([batch_mels, pad], axis=0)
 
         results: List[Optional[DecodingResult]] = [None] * len(chunk)
         pending = list(range(len(chunk)))
         for t in options.temperature:
             if not pending:
                 break
-            res = decode(model, mels,
+            res = decode(model, batch_mels,
                          DecodingOptions(temperature=float(t), **base_opts))
             still: List[int] = []
             for i in pending:
@@ -207,19 +280,28 @@ def transcribe_batch(
         for w, r in zip(chunk, results):
             w.result = r
 
-    return _reassemble(model, arrays, windows, options)
+
+def _window_skipped(r: DecodingResult, options: ServeOptions) -> bool:
+    """openai no-speech skip rule (identical to transcribe())."""
+    return (options.no_speech_threshold is not None
+            and r.no_speech_prob > options.no_speech_threshold
+            and not (options.logprob_threshold is not None
+                     and r.avg_logprob > options.logprob_threshold))
 
 
-def _reassemble(model, arrays, windows, options) -> List[Dict[str, Any]]:
-    """Stitch per-window DecodingResults back into per-request outputs."""
+def _reassemble(model, arrays, chains, options) -> List[Dict[str, Any]]:
+    """Stitch each request's verified seek chain into per-request outputs.
+
+    chains[rid]: ordered (seek, DecodingResult, segment_size) entries from
+    the speculative-seek walk — the same windows transcribe() would decode.
+    """
     out: List[Dict[str, Any]] = []
     for rid, arr in enumerate(arrays):
         segs: List[Segment] = []
         language_votes: Dict[str, float] = {}
-        for w in windows:
-            if w.request_id != rid or w.result is None:
+        for seek, r, seg_size in chains[rid]:
+            if r is None:
                 continue
-            r = w.result
             if r.language_probs:
                 for code, p in r.language_probs.items():
                     language_votes[code] = language_votes.get(code, 0.0) + p
@@ -229,15 +311,12 @@ def _reassemble(model, arrays, windows, options) -> List[Dict[str, Any]]:
                 # languages would silently fall back to "en")
                 language_votes[r.language] = (
                     language_votes.get(r.language, 0.0) + 1.0)
-            skip = (options.no_speech_threshold is not None
-                    and r.no_speech_prob > options.no_speech_threshold
-                    and (options.logprob_threshold is None
-                         or r.avg_logprob < options.logprob_threshold))
-            if skip:
+            if _window_skipped(r, options):
                 continue
-            time_offset = w.offset_frames / FRAMES_PER_SECOND
+            time_offset = seek / FRAMES_PER_SECOND
             segs.extend(_segments_from_result(
-                model.cfg, r, time_offset, w.offset_frames))
+                model.cfg, r, time_offset, seek,
+                segment_duration=seg_size / FRAMES_PER_SECOND))
         for i, s in enumerate(segs):
             s.id = i
         language = (options.language
@@ -253,10 +332,15 @@ def _reassemble(model, arrays, windows, options) -> List[Dict[str, Any]]:
 
 
 def _segments_from_result(cfg, r: DecodingResult, time_offset: float,
-                          seek: int) -> List[Segment]:
-    """Split one window's tokens into timestamped segments (batch-mode
-    variant of the transcribe.py logic; no seek feedback needed since
-    windows are fixed)."""
+                          seek: int, segment_duration: float
+                          ) -> List[Segment]:
+    """Split one window's tokens into timestamped segments — EXACTLY the
+    transcribe() in-window rule: with consecutive-timestamp pairs, only the
+    CLOSED segments are emitted (plus the final open one when the window
+    ends on a single trailing timestamp); the incomplete tail is dropped
+    because the verified seek chain re-decodes that audio in the next
+    window. This is what keeps batched output token-identical to
+    transcribe(condition_on_previous_text=False)."""
     from .tokenizer import get_tokenizer
 
     tok = get_tokenizer(cfg, language=r.language if cfg.multilingual else None)
@@ -275,24 +359,26 @@ def _segments_from_result(cfg, r: DecodingResult, time_offset: float,
     if tokens.size == 0:
         return []
     is_ts = tokens >= ts_begin
+    single_timestamp_ending = (len(is_ts) >= 2 and not is_ts[-2]
+                               and is_ts[-1])
     consecutive = np.where(is_ts[:-1] & is_ts[1:])[0] + 1
     segs = []
     if len(consecutive):
+        slices = consecutive.tolist()
+        if single_timestamp_ending:
+            slices.append(len(tokens))
         last = 0
-        for cur in list(consecutive) + [len(tokens)]:
+        for cur in slices:
             sliced = tokens[last:cur]
-            ts_in = sliced[sliced >= ts_begin]
-            if len(ts_in):
-                start = time_offset + (int(ts_in[0]) - ts_begin) * 0.02
-                end = time_offset + (int(ts_in[-1]) - ts_begin) * 0.02
-            else:
-                start = end = time_offset
-            if np.any(sliced < tok.eot) or len(ts_in):
-                segs.append(seg(start, end, sliced))
+            start_pos = int(sliced[0]) - ts_begin
+            end_pos = int(sliced[-1]) - ts_begin
+            segs.append(seg(time_offset + start_pos * 0.02,
+                            time_offset + end_pos * 0.02, sliced))
             last = cur
     else:
+        duration = segment_duration
         ts_in = tokens[is_ts]
-        end_off = ((int(ts_in[-1]) - ts_begin) * 0.02
-                   if len(ts_in) else N_FRAMES / FRAMES_PER_SECOND)
-        segs.append(seg(time_offset, time_offset + end_off, tokens))
+        if len(ts_in) > 0 and int(ts_in[-1]) != ts_begin:
+            duration = (int(ts_in[-1]) - ts_begin) * 0.02
+        segs.append(seg(time_offset, time_offset + duration, tokens))
     return segs

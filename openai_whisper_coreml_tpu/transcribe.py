@@ -49,6 +49,28 @@ class Segment:
         return d
 
 
+def seek_advance(tokens, ts_begin: int, segment_size: int) -> int:
+    """openai's window-advance rule, in mel frames (input_stride == 2).
+
+    Shared single source of truth between the sequential loop below and
+    batched serving's speculative-seek verification (serve.transcribe_batch)
+    — round-2 verdict #6: the two paths must agree on where window N+1
+    starts or batched transcripts diverge from `transcribe()`.
+    """
+    tokens = np.asarray(tokens, dtype=np.int64)
+    timestamp_tokens = tokens >= ts_begin
+    single_timestamp_ending = (
+        len(timestamp_tokens) >= 2
+        and not timestamp_tokens[-2] and timestamp_tokens[-1])
+    consecutive = np.where(timestamp_tokens[:-1] & timestamp_tokens[1:])[0] + 1
+    if len(consecutive) > 0 and not single_timestamp_ending:
+        last_ts_pos = int(tokens[int(consecutive[-1]) - 1]) - ts_begin
+        # guard: a degenerate window whose last timestamp is 0.00 must still
+        # advance, or the loop would never terminate
+        return max(last_ts_pos * 2, 2)
+    return segment_size
+
+
 def transcribe(
     model,
     audio: Union[str, np.ndarray],
@@ -160,8 +182,7 @@ def transcribe(
         return result
 
     seek = 0
-    input_stride = 2  # mel frames per audio position (3000 -> 1500)
-    # one timestamp token step = 0.02 s = input_stride mel frames
+    # one timestamp token step = 0.02 s = 2 mel frames (input stride)
     ts_begin = cfg.timestamp_begin
 
     while seek < content_frames:
@@ -227,20 +248,15 @@ def transcribe(
                     sliced,
                 )
                 last_slice = current_slice
-            if single_timestamp_ending:
-                seek += segment_size  # no speech after the final timestamp
-            else:
-                last_ts_pos = int(tokens[last_slice - 1]) - ts_begin
-                # guard: a degenerate window whose last timestamp is 0.00
-                # must still advance, or the loop would never terminate
-                seek += max(last_ts_pos * input_stride, input_stride)
         else:
             duration = segment_duration
             ts = tokens[timestamp_tokens]
             if len(ts) > 0 and int(ts[-1]) != ts_begin:
                 duration = (int(ts[-1]) - ts_begin) * 0.02
             new_segment(time_offset, time_offset + duration, tokens)
-            seek += segment_size
+        # advance by the shared openai rule (also used by batched serving's
+        # speculative-seek verification)
+        seek += seek_advance(tokens, ts_begin, segment_size)
 
         if word_timestamps and current_segments:
             from .timing import add_word_timestamps_to_segments

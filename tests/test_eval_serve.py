@@ -113,6 +113,9 @@ def test_transcribe_batch_multi_request(model):
     assert len(results) == 2
     assert abs(results[0]["duration"] - 3.0) < 0.01
     assert abs(results[1]["duration"] - 35.0) < 0.01
-    # the 35s request must produce segments beyond the first window
+    # the 35s request must produce segments beyond the first 30s window
+    # (window offsets are seek-chain-determined since the speculative-seek
+    # change; the second window starts wherever window 1's last complete
+    # segment ended)
     seeks = {s["seek"] for s in results[1]["segments"]}
-    assert any(s >= 3000 for s in seeks)
+    assert len(seeks) >= 2 and max(seeks) > 0

@@ -20,6 +20,11 @@ class FakeModel:
     def detect_language(self, mel):
         return ["en"], [{"en": 1.0}]
 
+    def encode(self, mel):
+        # transcribe() encodes each window once and passes features to
+        # decode(); the scripted fake decode ignores them
+        return mel
+
 
 def _result(tokens, avg_logprob=-0.2, no_speech=0.0, compression=1.0, temp=0.0):
     return DecodingResult(
