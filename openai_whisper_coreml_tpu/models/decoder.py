@@ -274,6 +274,9 @@ def decode_step(
     cache: KVCache,
     pos_offset,  # python int, traced scalar, or (B,) per-row positions
     valid_from=0,  # slots [0, valid_from) are masked left-padding
+    _ablate: Optional[str] = None,  # benchmark-only: skip one sublayer kind
+    # ("self" | "cross" | "mlp") to attribute step time on-chip
+    # (benchmarks/step_ablation.py); None in every production path
 ) -> Tuple[Array, KVCache]:
     """Incremental decode: returns (logits (B, T, vocab) fp32, updated cache).
 
@@ -343,33 +346,38 @@ def decode_step(
     for l in range(cfg.n_text_layer):
         lp = jax.tree.map(lambda a: a[l], blocks)
 
-        p = lp["attn"]
-        h = layer_norm(x, lp["attn_ln"])
-        q = split_heads(linear(h, p["q"]), n_head)
-        # new K/V in d-major: (B, T, n_state) -> (B, H, D, T)
-        k_new = to_dmajor(linear(h, p["k"]), n_head)
-        v_new = to_dmajor(linear(h, p["v"]), n_head)
-        if quant_self:
-            kq, ksc = quantize_kv_column(k_new)
-            vq, vsc = quantize_kv_column(v_new)
-            k8_all = _cache_write(k8_all, l, kq, pos_offset, rowpos)
-            ks_all = _cache_write(ks_all, l, ksc, pos_offset, rowpos)
-            v8_all = _cache_write(v8_all, l, vq, pos_offset, rowpos)
-            vs_all = _cache_write(vs_all, l, vsc, pos_offset, rowpos)
-            # inline dequant: XLA fuses the convert+scale into the reads
-            k_l = (k8_all[l].astype(jnp.float32) * ks_all[l]).astype(x.dtype)
-            v_l = (v8_all[l].astype(jnp.float32) * vs_all[l]).astype(x.dtype)
-        else:
-            ck_all = _cache_write(ck_all, l, k_new.astype(ck_all.dtype),
-                                  pos_offset, rowpos)
-            cv_all = _cache_write(cv_all, l, v_new.astype(cv_all.dtype),
-                                  pos_offset, rowpos)
-            k_l, v_l = ck_all[l], cv_all[l]
-        attn = attention_dmajor(q, k_l, v_l, mask=mask)
-        x = x + linear(merge_heads(attn), p["out"])
+        if _ablate != "self":
+            p = lp["attn"]
+            h = layer_norm(x, lp["attn_ln"])
+            q = split_heads(linear(h, p["q"]), n_head)
+            # new K/V in d-major: (B, T, n_state) -> (B, H, D, T)
+            k_new = to_dmajor(linear(h, p["k"]), n_head)
+            v_new = to_dmajor(linear(h, p["v"]), n_head)
+            if quant_self:
+                kq, ksc = quantize_kv_column(k_new)
+                vq, vsc = quantize_kv_column(v_new)
+                k8_all = _cache_write(k8_all, l, kq, pos_offset, rowpos)
+                ks_all = _cache_write(ks_all, l, ksc, pos_offset, rowpos)
+                v8_all = _cache_write(v8_all, l, vq, pos_offset, rowpos)
+                vs_all = _cache_write(vs_all, l, vsc, pos_offset, rowpos)
+                # inline dequant: XLA fuses the convert+scale into the reads
+                k_l = (k8_all[l].astype(jnp.float32)
+                       * ks_all[l]).astype(x.dtype)
+                v_l = (v8_all[l].astype(jnp.float32)
+                       * vs_all[l]).astype(x.dtype)
+            else:
+                ck_all = _cache_write(ck_all, l, k_new.astype(ck_all.dtype),
+                                      pos_offset, rowpos)
+                cv_all = _cache_write(cv_all, l, v_new.astype(cv_all.dtype),
+                                      pos_offset, rowpos)
+                k_l, v_l = ck_all[l], cv_all[l]
+            attn = attention_dmajor(q, k_l, v_l, mask=mask)
+            x = x + linear(merge_heads(attn), p["out"])
 
-        x = x + cross_attn(x, lp, l)
-        x = x + mlp(layer_norm(x, lp["mlp_ln"]), lp["mlp"])
+        if _ablate != "cross":
+            x = x + cross_attn(x, lp, l)
+        if _ablate != "mlp":
+            x = x + mlp(layer_norm(x, lp["mlp_ln"]), lp["mlp"])
 
     if quant_self:
         new_cache = QuantKVCache(k8_all, ks_all, v8_all, vs_all)
