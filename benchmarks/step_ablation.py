@@ -70,12 +70,17 @@ def main() -> int:
     import gc
     gc.collect()
 
-    cache0 = dec.init_kv_cache(cfg, b, dtype=jnp.bfloat16, ctx=args.ctx)
     tok0 = jnp.asarray(rng.integers(0, cfg.n_vocab, (b, 1)), jnp.int32)
 
     def make_chain(ablate):
+        # cache created INSIDE the jit — an argument cache defeats in-place
+        # scan updates (551 vs 18 ms/step measured; see step_ablation2.py
+        # and the CLAUDE.md rule it produced)
         @jax.jit
-        def run(params, cross, cache, tok):
+        def run(params, cross, tok):
+            cache = dec.init_kv_cache(cfg, b, dtype=jnp.bfloat16,
+                                      ctx=args.ctx)
+
             def body(carry, i):
                 cache, tok = carry
                 logits, cache = dec.decode_step(
@@ -117,7 +122,7 @@ def main() -> int:
     for ablate in (None, "cross", "self", "mlp"):
         name = "full" if ablate is None else f"-{ablate}"
         results[name] = timed(name, make_chain(ablate),
-                              model.params, cross, cache0, tok0)
+                              model.params, cross, tok0)
 
     x0 = jnp.asarray(rng.standard_normal((b, 1, cfg.n_text_state)) * 0.1,
                      jnp.bfloat16)
