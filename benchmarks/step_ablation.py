@@ -72,7 +72,7 @@ def main() -> int:
 
     tok0 = jnp.asarray(rng.integers(0, cfg.n_vocab, (b, 1)), jnp.int32)
 
-    def make_chain(ablate):
+    def make_chain(ablate, self_kernel=False):
         # cache created INSIDE the jit — an argument cache defeats in-place
         # scan updates (551 vs 18 ms/step measured; see step_ablation2.py
         # and the CLAUDE.md rule it produced)
@@ -85,7 +85,7 @@ def main() -> int:
                 cache, tok = carry
                 logits, cache = dec.decode_step(
                     params, cfg, tok, cross, cache, i + 4, valid_from=1,
-                    _ablate=ablate)
+                    self_kernel=self_kernel, _ablate=ablate)
                 tok = jnp.argmax(logits[:, 0], axis=-1
                                  ).astype(jnp.int32)[:, None]
                 return (cache, tok), None
@@ -123,6 +123,10 @@ def main() -> int:
         name = "full" if ablate is None else f"-{ablate}"
         results[name] = timed(name, make_chain(ablate),
                               model.params, cross, tok0)
+
+    results["full_selfkernel"] = timed(
+        "full_selfkernel", make_chain(None, self_kernel=True),
+        model.params, cross, tok0)
 
     x0 = jnp.asarray(rng.standard_normal((b, 1, cfg.n_text_state)) * 0.1,
                      jnp.bfloat16)

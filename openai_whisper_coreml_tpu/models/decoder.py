@@ -274,6 +274,11 @@ def decode_step(
     cache: KVCache,
     pos_offset,  # python int, traced scalar, or (B,) per-row positions
     valid_from=0,  # slots [0, valid_from) are masked left-padding
+    self_kernel: bool = False,  # fuse the decode self-attention (QK + mask
+    # + softmax + AV) into ONE Pallas op (ops/sqa_self). The sublayer's ~12
+    # tiny ops are boundary-cost-bound at single-token shapes (measured
+    # 7.05 ms of a 17.7 ms step vs a ~2.5 ms floor at B40 —
+    # benchmarks/step_ablation.py); requires T == 1 and a bf16 cache.
     _ablate: Optional[str] = None,  # benchmark-only: skip one sublayer kind
     # ("self" | "cross" | "mlp") to attribute step time on-chip
     # (benchmarks/step_ablation.py); None in every production path
@@ -371,7 +376,15 @@ def decode_step(
                 cv_all = _cache_write(cv_all, l, v_new.astype(cv_all.dtype),
                                       pos_offset, rowpos)
                 k_l, v_l = ck_all[l], cv_all[l]
-            attn = attention_dmajor(q, k_l, v_l, mask=mask)
+            if self_kernel and t == 1 and not quant_self:
+                from ..ops.sqa_self import sqa_self
+
+                attn = sqa_self(q[:, 0], k_l, v_l, pos_col,
+                                jnp.broadcast_to(
+                                    jnp.asarray(valid_from, jnp.int32),
+                                    (b,)))[:, None]  # (B, 1, H, D)
+            else:
+                attn = attention_dmajor(q, k_l, v_l, mask=mask)
             x = x + linear(merge_heads(attn), p["out"])
 
         if _ablate != "cross":
