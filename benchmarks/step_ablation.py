@@ -118,22 +118,27 @@ def main() -> int:
                           "per_step_ms": round(ms, 3)}), flush=True)
         return ms
 
+    import argparse as _a  # noqa: F401  (keep imports stable)
+    variants = os.environ.get(
+        "ABLATE_VARIANTS", "full,cross,self,mlp").split(",")
     results = {}
-    for ablate in (None, "cross", "self", "mlp"):
+    for v in variants:
+        ablate = None if v == "full" else v
         name = "full" if ablate is None else f"-{ablate}"
         results[name] = timed(name, make_chain(ablate),
                               model.params, cross, tok0)
 
-    results["full_selfkernel"] = timed(
-        "full_selfkernel", make_chain(None, self_kernel=True),
-        model.params, cross, tok0)
+    if os.environ.get("ABLATE_SELFKERNEL"):
+        results["full_selfkernel"] = timed(
+            "full_selfkernel", make_chain(None, self_kernel=True),
+            model.params, cross, tok0)
 
     x0 = jnp.asarray(rng.standard_normal((b, 1, cfg.n_text_state)) * 0.1,
                      jnp.bfloat16)
     results["logits_only"] = timed("logits_only", logits_chain,
                                    model.params, x0)
 
-    full = results["full"]
+    full = results.get("full", 0.0)
     attributed = {k: round(full - v, 3) for k, v in results.items()
                   if k.startswith("-")}
     print(json.dumps({"full_ms": round(full, 3),

@@ -280,8 +280,9 @@ def decode_step(
     # 7.05 ms of a 17.7 ms step vs a ~2.5 ms floor at B40 —
     # benchmarks/step_ablation.py); requires T == 1 and a bf16 cache.
     _ablate: Optional[str] = None,  # benchmark-only: skip one sublayer kind
-    # ("self" | "cross" | "mlp") to attribute step time on-chip
-    # (benchmarks/step_ablation.py); None in every production path
+    # ("self" | "cross" | "mlp" | "self_nowrite" | "self_noattn") to
+    # attribute step time on-chip (benchmarks/step_ablation.py); None in
+    # every production path
 ) -> Tuple[Array, KVCache]:
     """Incremental decode: returns (logits (B, T, vocab) fp32, updated cache).
 
@@ -358,7 +359,17 @@ def decode_step(
             # new K/V in d-major: (B, T, n_state) -> (B, H, D, T)
             k_new = to_dmajor(linear(h, p["k"]), n_head)
             v_new = to_dmajor(linear(h, p["v"]), n_head)
-            if quant_self:
+            k_l = v_l = None
+            if _ablate == "self_nowrite":
+                # skip the cache writes; attend against the stale buffer
+                k_l, v_l = cache[0][l], cache[1][l]
+            elif _ablate == "self_noattn":
+                # do the writes; skip the attention reads/softmax/out-proj
+                ck_all = _cache_write(ck_all, l, k_new.astype(ck_all.dtype),
+                                      pos_offset, rowpos)
+                cv_all = _cache_write(cv_all, l, v_new.astype(cv_all.dtype),
+                                      pos_offset, rowpos)
+            elif quant_self:
                 kq, ksc = quantize_kv_column(k_new)
                 vq, vsc = quantize_kv_column(v_new)
                 k8_all = _cache_write(k8_all, l, kq, pos_offset, rowpos)
@@ -376,16 +387,17 @@ def decode_step(
                 cv_all = _cache_write(cv_all, l, v_new.astype(cv_all.dtype),
                                       pos_offset, rowpos)
                 k_l, v_l = ck_all[l], cv_all[l]
-            if self_kernel and t == 1 and not quant_self:
-                from ..ops.sqa_self import sqa_self
+            if k_l is not None:
+                if self_kernel and t == 1 and not quant_self:
+                    from ..ops.sqa_self import sqa_self
 
-                attn = sqa_self(q[:, 0], k_l, v_l, pos_col,
-                                jnp.broadcast_to(
-                                    jnp.asarray(valid_from, jnp.int32),
-                                    (b,)))[:, None]  # (B, 1, H, D)
-            else:
-                attn = attention_dmajor(q, k_l, v_l, mask=mask)
-            x = x + linear(merge_heads(attn), p["out"])
+                    attn = sqa_self(q[:, 0], k_l, v_l, pos_col,
+                                    jnp.broadcast_to(
+                                        jnp.asarray(valid_from, jnp.int32),
+                                        (b,)))[:, None]  # (B, 1, H, D)
+                else:
+                    attn = attention_dmajor(q, k_l, v_l, mask=mask)
+                x = x + linear(merge_heads(attn), p["out"])
 
         if _ablate != "cross":
             x = x + cross_attn(x, lp, l)
