@@ -72,7 +72,8 @@ def main() -> int:
 
     tok0 = jnp.asarray(rng.integers(0, cfg.n_vocab, (b, 1)), jnp.int32)
 
-    def make_chain(ablate, self_kernel=False):
+    def make_chain(ablate, self_kernel=False,
+                   write_barrier=bool(os.environ.get("WRITE_BARRIER"))):
         # cache created INSIDE the jit — an argument cache defeats in-place
         # scan updates (551 vs 18 ms/step measured; see step_ablation2.py
         # and the CLAUDE.md rule it produced)
@@ -85,7 +86,8 @@ def main() -> int:
                 cache, tok = carry
                 logits, cache = dec.decode_step(
                     params, cfg, tok, cross, cache, i + 4, valid_from=1,
-                    self_kernel=self_kernel, _ablate=ablate)
+                    self_kernel=self_kernel, write_barrier=write_barrier,
+                    _ablate=ablate)
                 tok = jnp.argmax(logits[:, 0], axis=-1
                                  ).astype(jnp.int32)[:, None]
                 return (cache, tok), None

@@ -201,6 +201,65 @@ def attention_dmajor(q: Array, k: Array, v: Array,
     return out.astype(q.dtype)
 
 
+def attention_dmajor_decode(
+    q: Array,  # (B, 1, H, D)
+    k_stale: Array,  # (B, H, D, C) — the cache BEFORE this step's write
+    v_stale: Array,
+    k_new: Array,  # (B, H, D, 1) — this step's key/value
+    v_new: Array,
+    pos_col: Array,  # (B,) int32 — this step's write position per row
+    valid_from,  # scalar or (B,) int32 — left-pad bound
+) -> Array:
+    """Single-token decode attention WITHOUT reading the just-written cache.
+
+    Columns [valid_from, pos) come from the stale buffer; column pos comes
+    from k_new/v_new still in registers — mathematically identical to
+    writing first and attending to the updated buffer.
+
+    STATUS: recorded NEGATIVE (kept as the reference formulation + for its
+    parity tests). Motivation was the measured 5.49 ms/step of layer-slice
+    copies when the write fuses with the same-step read
+    (benchmarks/step_ablation.py, -self_nowrite row) — but inverting the
+    dependency makes XLA resolve the read-before-write ANTI-dependency with
+    even larger copies: 641 ms/step vs 17.7 on v5e (measured). Production
+    keeps write-then-read; see decode_step's write_barrier knob for the
+    remaining lever.
+    """
+    from .layers import matmul_precision
+
+    d = q.shape[-1]
+    c = k_stale.shape[-1]
+    scale = d ** -0.25
+    qs = (q * scale).astype(q.dtype)
+    ks = (k_stale * scale).astype(k_stale.dtype)
+    prec = matmul_precision(q.dtype)
+    lg = jnp.einsum("bthd,bhds->bhts", qs, ks,
+                    preferred_element_type=jnp.float32,
+                    precision=prec)  # (B, H, 1, C)
+    # current column's logit: q . k_new (openai double-scaling numerics)
+    lg_new = jnp.einsum("bthd,bhd->bht", qs,
+                        (k_new[..., 0] * scale).astype(k_new.dtype),
+                        preferred_element_type=jnp.float32,
+                        precision=prec)[..., None]  # (B, H, 1, 1)
+
+    col = jnp.arange(c)[None, None, None, :]  # (1,1,1,C)
+    pos4 = pos_col[:, None, None, None]
+    vf4 = jnp.broadcast_to(jnp.asarray(valid_from, jnp.int32),
+                           pos_col.shape)[:, None, None, None]
+    lg = jnp.where((col < pos4) & (col >= vf4), lg, jnp.float32(-1e30))
+    lg = jnp.where(col == pos4, lg_new, lg)
+
+    w = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)  # (B, H, 1, C)
+    w_stale = jnp.where(col == pos4, 0.0, w)
+    out = jnp.einsum("bhts,bhds->bthd", w_stale.astype(v_stale.dtype),
+                     v_stale, preferred_element_type=jnp.float32,
+                     precision=prec)
+    w_pos = jnp.take_along_axis(w, pos4, axis=-1)  # (B, H, 1, 1)
+    out = out + (w_pos[:, :, :, 0].transpose(0, 2, 1)[..., None]
+                 * v_new[..., 0][:, None]).astype(out.dtype)
+    return out.astype(q.dtype)
+
+
 def cross_attention_dmajor(x: Array, p, n_head: int, k: Array, v: Array) -> Array:
     q = split_heads(linear(x, p["q"]), n_head)
     out = attention_dmajor(q, k, v)
@@ -279,6 +338,8 @@ def decode_step(
     # tiny ops are boundary-cost-bound at single-token shapes (measured
     # 7.05 ms of a 17.7 ms step vs a ~2.5 ms floor at B40 —
     # benchmarks/step_ablation.py); requires T == 1 and a bf16 cache.
+    write_barrier: bool = False,  # optimization_barrier between the cache
+    # column write and its same-step read (see comment at the write site)
     _ablate: Optional[str] = None,  # benchmark-only: skip one sublayer kind
     # ("self" | "cross" | "mlp" | "self_nowrite" | "self_noattn") to
     # attribute step time on-chip (benchmarks/step_ablation.py); None in
@@ -359,6 +420,7 @@ def decode_step(
             # new K/V in d-major: (B, T, n_state) -> (B, H, D, T)
             k_new = to_dmajor(linear(h, p["k"]), n_head)
             v_new = to_dmajor(linear(h, p["v"]), n_head)
+            attn = None
             k_l = v_l = None
             if _ablate == "self_nowrite":
                 # skip the cache writes; attend against the stale buffer
@@ -386,6 +448,15 @@ def decode_step(
                                       pos_offset, rowpos)
                 cv_all = _cache_write(cv_all, l, v_new.astype(cv_all.dtype),
                                       pos_offset, rowpos)
+                if write_barrier:
+                    # keep the column write a standalone in-place op: fusing
+                    # the dynamic_update_slice into the same-step attention
+                    # read makes XLA materialise a copy of the layer slice
+                    # (5.49 ms/step at B40 — docs/benchmarks.md round 3; the
+                    # read-stale-plus-current rewrite was 36x WORSE, see
+                    # attention_dmajor_decode)
+                    ck_all, cv_all = jax.lax.optimization_barrier(
+                        (ck_all, cv_all))
                 k_l, v_l = ck_all[l], cv_all[l]
             if k_l is not None:
                 if self_kernel and t == 1 and not quant_self:
@@ -397,6 +468,7 @@ def decode_step(
                                         (b,)))[:, None]  # (B, 1, H, D)
                 else:
                     attn = attention_dmajor(q, k_l, v_l, mask=mask)
+            if attn is not None:
                 x = x + linear(merge_heads(attn), p["out"])
 
         if _ablate != "cross":
