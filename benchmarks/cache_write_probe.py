@@ -38,7 +38,8 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    L, B, H, D, C = 32, 40, 20, 64, 256
+    L, B, H, D = 32, 40, 20, 64
+    C = int(os.environ.get('PROBE_C', '256'))
     N = H * D
     iters = 64
     rng = np.random.default_rng(0)
@@ -120,5 +121,184 @@ def main() -> int:
     return 0
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("ATTN_VARIANTS"):
     sys.exit(main())
+
+
+def attn_variants() -> int:
+    """writes+attention-reads together (the real self sublayer minus
+    projections): is the 5.49 ms an interaction cost?"""
+    import jax
+    import jax.numpy as jnp
+
+    L, B, H, D = 32, 40, 20, 64
+    C = int(os.environ.get('PROBE_C', '256'))
+    iters = 64
+    rng = np.random.default_rng(0)
+    upd = jnp.asarray(rng.standard_normal((2, B, H, D)), jnp.bfloat16)
+    q0 = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.bfloat16)
+
+    def timed(name, fn, *xs):
+        np.asarray(fn(*xs))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(fn(*xs))
+            ts.append(time.perf_counter() - t0)
+        print(json.dumps({"variant": name,
+                          "per_step_ms": round(1e3 * min(ts) / iters, 3)}),
+              flush=True)
+
+    def make(write: bool, read: bool, barrier=False, perlayer=False,
+             scatter=False):
+        @jax.jit
+        def run(upd, q):
+            if perlayer:
+                ks = [jnp.zeros((B, H, D, C), jnp.bfloat16)
+                      for _ in range(L)]
+                vs = [jnp.zeros((B, H, D, C), jnp.bfloat16)
+                      for _ in range(L)]
+            else:
+                ks = jnp.zeros((L, B, H, D, C), jnp.bfloat16)
+                vs = jnp.zeros((L, B, H, D, C), jnp.bfloat16)
+
+            def step(carry, i):
+                k, v, q = carry
+                pos = i % C
+                mask = (jnp.arange(C)[None, None, None, :]
+                        <= pos)  # (1,1,1,C)
+                for l in range(L):
+                    if write:
+                        u = (upd[0] * q[:, 0].mean())[..., None]
+                        uv = upd[1][..., None]
+                        if perlayer:
+                            k[l] = jax.lax.dynamic_update_slice(
+                                k[l], u, (0, 0, 0, pos))
+                            v[l] = jax.lax.dynamic_update_slice(
+                                v[l], uv, (0, 0, 0, pos))
+                            if barrier:
+                                k[l], v[l] = jax.lax.optimization_barrier(
+                                    (k[l], v[l]))
+                        elif scatter:
+                            k = k.at[l, :, :, :, pos].set(u[..., 0])
+                            v = v.at[l, :, :, :, pos].set(uv[..., 0])
+                        else:
+                            k = jax.lax.dynamic_update_slice(
+                                k, u[None], (l, 0, 0, 0, pos))
+                            v = jax.lax.dynamic_update_slice(
+                                v, uv[None], (l, 0, 0, 0, pos))
+                            if barrier:
+                                k, v = jax.lax.optimization_barrier((k, v))
+                    if read:
+                        kl = k[l]
+                        vl = v[l]
+                        lg = jnp.einsum(
+                            "bthd,bhds->bhts", q, kl,
+                            preferred_element_type=jnp.float32) * (D ** -0.5)
+                        lg = jnp.where(mask, lg, -1e30)
+                        w = jax.nn.softmax(lg, axis=-1)
+                        o = jnp.einsum("bhts,bhds->bthd",
+                                       w.astype(jnp.bfloat16), vl,
+                                       preferred_element_type=jnp.float32)
+                        q = (q + 0.01 * o.astype(q.dtype))  # serial dep
+                return (k, v, q), None
+
+            (k, v, q), _ = jax.lax.scan(step, (ks, vs, q0),
+                                        jnp.arange(iters))
+            k0 = k[0]
+            v0 = v[0]
+            return q[:1, 0, 0, :8] + k0[0, 0, 0, :8] + v0[0, 0, 0, :8]
+        return run
+
+    which = os.environ.get("ATTN_VARIANTS", "base")
+    if which == "base":
+        timed("selfchain_write_read", make(True, True), upd, q0)
+        timed("selfchain_read_only", make(False, True), upd, q0)
+        timed("selfchain_write_only", make(True, False), upd, q0)
+    elif which == "mitig":
+        timed("wr_barrier", make(True, True, barrier=True), upd, q0)
+        timed("wr_perlayer", make(True, True, perlayer=True), upd, q0)
+    else:
+        # wide-8 write: broadcast the new column to 8 lanes so the dynamic
+        # update is not a single-lane slice; columns pos+1..pos+7 hold
+        # garbage that the <=pos mask excludes and later steps overwrite.
+        # Goal: stop XLA keeping a second (D-minor) layout of the cache for
+        # the write and converting per step (the 3.6 ms interaction - see
+        # the OOM dump's remat_compressed/uncompressed copy pair).
+        @jax.jit
+        def wide8(upd, q):
+            CP = C + 8
+            k = jnp.zeros((L, B, H, D, CP), jnp.bfloat16)
+            v = jnp.zeros((L, B, H, D, CP), jnp.bfloat16)
+
+            def step(carry, i):
+                k, v, q = carry
+                pos = i % C
+                mask = (jnp.arange(CP)[None, None, None, :] <= pos)
+                for l in range(L):
+                    u = jnp.broadcast_to(
+                        (upd[0] * q[:, 0].mean())[..., None],
+                        (B, H, D, 8))
+                    uv = jnp.broadcast_to(upd[1][..., None], (B, H, D, 8))
+                    k = jax.lax.dynamic_update_slice(
+                        k, u[None], (l, 0, 0, 0, pos))
+                    v = jax.lax.dynamic_update_slice(
+                        v, uv[None], (l, 0, 0, 0, pos))
+                    lg = jnp.einsum(
+                        "bthd,bhds->bhts", q, k[l],
+                        preferred_element_type=jnp.float32) * (D ** -0.5)
+                    lg = jnp.where(mask, lg, -1e30)
+                    w = jax.nn.softmax(lg, axis=-1)
+                    o = jnp.einsum("bhts,bhds->bthd",
+                                   w.astype(jnp.bfloat16), v[l],
+                                   preferred_element_type=jnp.float32)
+                    q = (q + 0.01 * o.astype(q.dtype))
+                return (k, v, q), None
+
+            (k, v, q), _ = jax.lax.scan(step, (k, v, q0),
+                                        jnp.arange(iters))
+            return q[:1, 0, 0, :8] + k[0, 0, 0, 0, :8] + v[0, 0, 0, 0, :8]
+
+        if which == "wide8":
+            timed("wr_wide8", wide8, upd, q0)
+
+        # sublane-major store (L,B,H,C,D): the write is a sublane-row
+        # update (cheap standalone: 0.545) and the read einsum contracts
+        # over the minor D dim (64 -> 128 lane padding: 2x read bytes).
+        @jax.jit
+        def subln_rw(upd, q):
+            k = jnp.zeros((L, B, H, C, D), jnp.bfloat16)
+            v = jnp.zeros((L, B, H, C, D), jnp.bfloat16)
+
+            def step(carry, i):
+                k, v, q = carry
+                pos = i % C
+                mask = (jnp.arange(C)[None, None, None, :] <= pos)
+                for l in range(L):
+                    u = (upd[0] * q[:, 0].mean())[:, :, None]
+                    uv = upd[1][:, :, None]
+                    k = jax.lax.dynamic_update_slice(
+                        k, u[None], (l, 0, 0, pos, 0))
+                    v = jax.lax.dynamic_update_slice(
+                        v, uv[None], (l, 0, 0, pos, 0))
+                    lg = jnp.einsum(
+                        "bthd,bhsd->bhts", q, k[l],
+                        preferred_element_type=jnp.float32) * (D ** -0.5)
+                    lg = jnp.where(mask, lg, -1e30)
+                    w = jnp.einsum("bhts->bhts", jax.nn.softmax(lg, axis=-1))
+                    o = jnp.einsum("bhts,bhsd->bthd",
+                                   w.astype(jnp.bfloat16), v[l],
+                                   preferred_element_type=jnp.float32)
+                    q = (q + 0.01 * o.astype(q.dtype))
+                return (k, v, q), None
+
+            (k, v, q), _ = jax.lax.scan(step, (k, v, q0),
+                                        jnp.arange(iters))
+            return q[:1, 0, 0, :8] + k[0, 0, 0, :8, 0] + v[0, 0, 0, :8, 0]
+
+        timed("wr_subln_rw", subln_rw, upd, q0)
+    return 0
+
+
+if __name__ == "__main__" and os.environ.get("ATTN_VARIANTS"):
+    attn_variants()
