@@ -56,6 +56,8 @@ def main() -> None:
     quantize = os.environ.get("BENCH_QUANTIZE", "int8") or None
     kv_dtype = os.environ.get("BENCH_KV_DTYPE", "int8")
     cache_dtype = os.environ.get("BENCH_CACHE_DTYPE", "bf16")
+    # two-level (frozen-prefix) decode; "0" reverts to the flat loop for A/B
+    two_level = os.environ.get("BENCH_TWO_LEVEL", "1") not in ("", "0")
 
     model = wt.load_model(model_name, quantize=quantize)
     cfg = model.cfg
@@ -82,7 +84,7 @@ def main() -> None:
             model.params, cfg, feats, initial_dev, suppress, blank,
             jnp.float32(0.0), key, jnp.int32(50), jnp.int32(1), jnp.int32(2),
             sample_len=sample_len, use_timestamps=True, prompt_len=prompt_len,
-            kv_dtype=kv_dtype, cache_dtype=cache_dtype)
+            kv_dtype=kv_dtype, cache_dtype=cache_dtype, two_level=two_level)
         return tokens
 
     def fence(x):

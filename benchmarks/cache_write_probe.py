@@ -296,7 +296,68 @@ def attn_variants() -> int:
                                         jnp.arange(iters))
             return q[:1, 0, 0, :8] + k[0, 0, 0, :8, 0] + v[0, 0, 0, :8, 0]
 
-        timed("wr_subln_rw", subln_rw, upd, q0)
+        if which == "subln":
+            timed("wr_subln_rw", subln_rw, upd, q0)
+
+        # two-level cache: a FROZEN prefix (loop-invariant — never written
+        # inside the loop, so it never pays the dual-layout conversion) plus
+        # a 128-column staging buffer that takes the writes. Attention =
+        # concat(frozen logits, staging logits) -> softmax -> two AV einsums.
+        # Models the production candidate: phase loops re-entered with a
+        # larger frozen prefix every 128 steps; interaction cost pinned at
+        # the C=128 figure (~1.6 ms) regardless of context length.
+        SG = 128
+        CF = C - SG  # frozen columns (phase where C-128 tokens are frozen)
+
+        @jax.jit
+        def twolevel(upd, q, kf, vf):
+            ks = jnp.zeros((L, B, H, D, SG), jnp.bfloat16)
+            vs = jnp.zeros((L, B, H, D, SG), jnp.bfloat16)
+
+            def step(carry, i):
+                ks, vs, q = carry
+                pos = i % SG
+                maskf = jnp.ones((1, 1, 1, CF), jnp.bool_)
+                masks = (jnp.arange(SG)[None, None, None, :] <= pos)
+                for l in range(L):
+                    u = (upd[0] * q[:, 0].mean())[..., None]
+                    uv = upd[1][..., None]
+                    ks = jax.lax.dynamic_update_slice(
+                        ks, u[None], (l, 0, 0, 0, pos))
+                    vs = jax.lax.dynamic_update_slice(
+                        vs, uv[None], (l, 0, 0, 0, pos))
+                    lgf = jnp.einsum(
+                        "bthd,bhds->bhts", q, kf[l],
+                        preferred_element_type=jnp.float32) * (D ** -0.5)
+                    lgs = jnp.einsum(
+                        "bthd,bhds->bhts", q, ks[l],
+                        preferred_element_type=jnp.float32) * (D ** -0.5)
+                    lg = jnp.concatenate(
+                        [jnp.where(maskf, lgf, -1e30),
+                         jnp.where(masks, lgs, -1e30)], axis=-1)
+                    w = jax.nn.softmax(lg, axis=-1)
+                    of = jnp.einsum(
+                        "bhts,bhds->bthd",
+                        w[..., :CF].astype(jnp.bfloat16), vf[l],
+                        preferred_element_type=jnp.float32)
+                    os_ = jnp.einsum(
+                        "bhts,bhds->bthd",
+                        w[..., CF:].astype(jnp.bfloat16), vs[l],
+                        preferred_element_type=jnp.float32)
+                    q = (q + 0.01 * (of + os_).astype(q.dtype))
+                return (ks, vs, q), None
+
+            (ks, vs, q), _ = jax.lax.scan(step, (ks, vs, q0),
+                                          jnp.arange(iters))
+            return q[:1, 0, 0, :8] + ks[0, 0, 0, 0, :8] + vs[0, 0, 0, 0, :8]
+
+        if which == "twolevel":
+            rngf = np.random.default_rng(1)
+            kf = jnp.asarray(rngf.standard_normal((L, B, H, D, CF)),
+                             jnp.bfloat16)
+            vf = jnp.asarray(rngf.standard_normal((L, B, H, D, CF)),
+                             jnp.bfloat16)
+            timed("wr_twolevel", twolevel, upd, q0, kf, vf)
     return 0
 
 

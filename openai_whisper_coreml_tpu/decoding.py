@@ -31,6 +31,7 @@ import numpy as np
 
 from .config import WhisperConfig
 from .models import decoder as dec_mod
+from .parallel.sharding import KV_PSPEC, constrain
 from .tokenizer import LANGUAGES, Tokenizer, get_tokenizer
 
 Array = jax.Array
@@ -225,7 +226,7 @@ def _apply_logit_rules(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "sample_len", "use_timestamps", "prompt_len",
-                     "kv_dtype", "cache_dtype"),
+                     "kv_dtype", "cache_dtype", "two_level"),
 )
 def greedy_decode_core(
     params,
@@ -245,6 +246,7 @@ def greedy_decode_core(
     prompt_len: int,
     kv_dtype: str = "bf16",
     cache_dtype: str = "bf16",
+    two_level: bool = True,
 ):
     """Returns (tokens (B, P+sample_len), sum_logprobs, n_sampled,
     no_speech_prob) — all device arrays.
@@ -252,6 +254,14 @@ def greedy_decode_core(
     prompt_len is a BUCKET size (static); the true prompt occupies slots
     [pad_len, prompt_len). Bucketing keeps the number of compiled graphs
     bounded while long-form conditioning grows the prompt every window.
+
+    two_level: decode in phases over 128-column blocks of the self-KV
+    cache. Within a phase only a 128-column staging block is loop-carried
+    and written; completed blocks join a read-only frozen prefix between
+    phases. This pins the per-step whole-buffer layout-conversion cost
+    (linear in live capacity — docs/benchmarks.md round 3) at the
+    128-column figure regardless of context length. Token-identical to the
+    flat path up to fp32 summation order in the split attention.
     """
     b = audio_features.shape[0]
     eot = cfg.eot_token
@@ -263,11 +273,23 @@ def greedy_decode_core(
     else:
         cross_kv = dec_mod.precompute_cross_kv(params, cfg, audio_features)
     cache_len = min(-(-total_len // 128) * 128, cfg.n_text_ctx)
+    two_level = two_level and cache_dtype != "int8"
+    if two_level:
+        # absolute column ranges the staging block sweeps over, phase by
+        # phase; the prefill cache only spans the first block
+        col_blocks = []
+        lo = 128 * (prompt_len // 128)
+        while lo < cache_len:
+            col_blocks.append((lo, min(lo + 128, cache_len)))
+            lo = col_blocks[-1][1]
+        prefill_ctx = col_blocks[0][1]
+    else:
+        prefill_ctx = cache_len
     if cache_dtype == "int8":
-        cache = dec_mod.init_kv_cache_int8(cfg, b, ctx=cache_len)
+        cache = dec_mod.init_kv_cache_int8(cfg, b, ctx=prefill_ctx)
     else:
         cache = dec_mod.init_kv_cache(cfg, b, dtype=audio_features.dtype,
-                                      ctx=cache_len)
+                                      ctx=prefill_ctx)
 
     tokens = jnp.full((b, total_len), eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, initial_tokens, (0, 0))
@@ -294,38 +316,43 @@ def greedy_decode_core(
 
         return jax.lax.cond(temperature > 0, sample_t, argmax, k)
 
-    def step(carry):
-        (pos, tokens, cache, logits, finished, sum_lp, n_sampled, ts_max,
-         key) = carry
+    def make_step(frozen):
+        def step(carry):
+            (pos, tokens, cache, logits, finished, sum_lp, n_sampled, ts_max,
+             key) = carry
 
-        filtered = _apply_logit_rules(
-            logits, tokens, pos, cfg, prompt_len, suppress_mask, blank_mask,
-            use_timestamps, ts_max, max_initial_ts_index)
+            filtered = _apply_logit_rules(
+                logits, tokens, pos, cfg, prompt_len, suppress_mask,
+                blank_mask, use_timestamps, ts_max, max_initial_ts_index)
 
-        key, sub = jax.random.split(key)
-        tok = sample(filtered, sub)
-        logprobs = jax.nn.log_softmax(filtered, axis=-1)
-        tok_lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
+            key, sub = jax.random.split(key)
+            tok = sample(filtered, sub)
+            logprobs = jax.nn.log_softmax(filtered, axis=-1)
+            tok_lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
 
-        tok = jnp.where(finished, eot, tok)
-        sum_lp = sum_lp + jnp.where(finished, 0.0, tok_lp)
-        n_sampled = n_sampled + jnp.where(finished, 0, 1)
-        ts_max = jnp.where(
-            (tok >= cfg.timestamp_begin) & ~finished, tok, ts_max)
-        finished = finished | (tok == eot)
+            tok = jnp.where(finished, eot, tok)
+            sum_lp = sum_lp + jnp.where(finished, 0.0, tok_lp)
+            n_sampled = n_sampled + jnp.where(finished, 0, 1)
+            ts_max = jnp.where(
+                (tok >= cfg.timestamp_begin) & ~finished, tok, ts_max)
+            finished = finished | (tok == eot)
 
-        tokens = jax.lax.dynamic_update_slice(
-            tokens, tok[:, None], (0, pos))
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, tok[:, None], (0, pos))
 
-        next_logits, cache = dec_mod.decode_step(
-            params, cfg, tok[:, None], cross_kv, cache, pos,
-            valid_from=pad_len)
-        return (pos + 1, tokens, cache, next_logits[:, 0].astype(jnp.float32),
-                finished, sum_lp, n_sampled, ts_max, key)
+            next_logits, cache = dec_mod.decode_step(
+                params, cfg, tok[:, None], cross_kv, cache, pos,
+                valid_from=pad_len, frozen=frozen)
+            return (pos + 1, tokens, cache,
+                    next_logits[:, 0].astype(jnp.float32),
+                    finished, sum_lp, n_sampled, ts_max, key)
+        return step
 
-    def cond(carry):
-        pos, _, _, _, finished, *_ = carry
-        return (pos < total_len) & ~jnp.all(finished)
+    def make_cond(hi):
+        def cond(carry):
+            pos, _, _, _, finished, *_ = carry
+            return (pos < hi) & ~jnp.all(finished)
+        return cond
 
     init = (
         jnp.int32(prompt_len),
@@ -339,8 +366,38 @@ def greedy_decode_core(
         jnp.full((b,), cfg.timestamp_begin - 1, jnp.int32),
         key,
     )
-    (pos, tokens, cache, _, finished, sum_lp, n_sampled, ts_max, _) = (
-        jax.lax.while_loop(cond, step, init))
+    if not two_level:
+        (pos, tokens, cache, _, finished, sum_lp, n_sampled, ts_max, _) = (
+            jax.lax.while_loop(make_cond(total_len), make_step(None), init))
+        return tokens, sum_lp, n_sampled, no_speech_prob
+
+    # two-level phases: one while_loop per 128-column staging block; the
+    # frozen prefix grows between phases (Python level, inside this jit)
+    carry = init
+    frozen = None
+    for bi, (lo, hi) in enumerate(col_blocks):
+        if bi == 0:
+            if lo > 0:
+                frozen = dec_mod.KVCache(cache.k[..., :lo], cache.v[..., :lo])
+                staging = dec_mod.KVCache(cache.k[..., lo:], cache.v[..., lo:])
+                carry = carry[:2] + (staging,) + carry[3:]
+        else:
+            done = carry[2]  # the completed staging block
+            if frozen is None:
+                frozen = done
+            else:
+                frozen = dec_mod.KVCache(
+                    constrain(jnp.concatenate([frozen.k, done.k], -1),
+                              KV_PSPEC),
+                    constrain(jnp.concatenate([frozen.v, done.v], -1),
+                              KV_PSPEC))
+            # the last block may be narrower than 128 (448 = 3.5 * 128)
+            staging = dec_mod.init_kv_cache(
+                cfg, b, dtype=audio_features.dtype, ctx=hi - lo)
+            carry = carry[:2] + (staging,) + carry[3:]
+        carry = jax.lax.while_loop(
+            make_cond(min(hi, total_len)), make_step(frozen), carry)
+    (pos, tokens, cache, _, finished, sum_lp, n_sampled, ts_max, _) = carry
     return tokens, sum_lp, n_sampled, no_speech_prob
 
 

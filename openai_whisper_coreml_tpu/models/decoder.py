@@ -260,6 +260,53 @@ def attention_dmajor_decode(
     return out.astype(q.dtype)
 
 
+def attention_dmajor_twolevel(
+    q: Array,  # (B, T, H, D)
+    k_frozen: Array,  # (B, H, D, F) — read-only prefix, columns [0, F)
+    v_frozen: Array,
+    k_stage: Array,  # (B, H, D, C) — staging block, columns [F, F+C)
+    v_stage: Array,
+    mask_frozen: Array,  # broadcastable to (B, H, T, F)
+    mask_stage: Array,  # broadcastable to (B, H, T, C)
+) -> Array:
+    """attention_dmajor over a cache split into a frozen prefix + a staging
+    block, with one joint softmax (numerics match the flat formulation up to
+    fp32 summation order).
+
+    Why the split exists: a loop-carried buffer that is both column-written
+    and fully read every decode step pays a per-step whole-buffer layout
+    conversion that scales linearly with its capacity (measured 1.62/3.56/
+    6.87 ms/step at C=128/256/448, B40 large-v3 —
+    benchmarks/cache_write_probe.py). Keeping the writes in a 128-column
+    staging block pins that cost at the C=128 figure; the frozen prefix is
+    loop-invariant inside each phase loop and pays read bandwidth only.
+    """
+    from .layers import matmul_precision
+
+    d = q.shape[-1]
+    scale = d ** -0.25
+    qs = (q * scale).astype(q.dtype)
+    prec = matmul_precision(q.dtype)
+    lg_f = jnp.einsum("bthd,bhds->bhts", qs,
+                      (k_frozen * scale).astype(k_frozen.dtype),
+                      preferred_element_type=jnp.float32, precision=prec)
+    lg_s = jnp.einsum("bthd,bhds->bhts", qs,
+                      (k_stage * scale).astype(k_stage.dtype),
+                      preferred_element_type=jnp.float32, precision=prec)
+    lg = jnp.concatenate(
+        [jnp.where(mask_frozen, lg_f, jnp.float32(-1e30)),
+         jnp.where(mask_stage, lg_s, jnp.float32(-1e30))], axis=-1)
+    w = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
+    f = k_frozen.shape[-1]
+    out = (jnp.einsum("bhts,bhds->bthd", w[..., :f].astype(v_frozen.dtype),
+                      v_frozen, preferred_element_type=jnp.float32,
+                      precision=prec)
+           + jnp.einsum("bhts,bhds->bthd", w[..., f:].astype(v_stage.dtype),
+                        v_stage, preferred_element_type=jnp.float32,
+                        precision=prec))
+    return out.astype(q.dtype)
+
+
 def cross_attention_dmajor(x: Array, p, n_head: int, k: Array, v: Array) -> Array:
     q = split_heads(linear(x, p["q"]), n_head)
     out = attention_dmajor(q, k, v)
@@ -340,6 +387,11 @@ def decode_step(
     # benchmarks/step_ablation.py); requires T == 1 and a bf16 cache.
     write_barrier: bool = False,  # optimization_barrier between the cache
     # column write and its same-step read (see comment at the write site)
+    frozen: Optional[KVCache] = None,  # two-level decode: read-only K/V
+    # prefix holding absolute columns [0, F); `cache` is then a staging
+    # block holding absolute columns [F, F + C) and takes this step's
+    # write at column pos_offset - F. Requires T == 1, lockstep positions,
+    # and a bf16 cache. See attention_dmajor_twolevel for the rationale.
     _ablate: Optional[str] = None,  # benchmark-only: skip one sublayer kind
     # ("self" | "cross" | "mlp" | "self_nowrite" | "self_noattn") to
     # attribute step time on-chip (benchmarks/step_ablation.py); None in
@@ -372,13 +424,26 @@ def decode_step(
     rowpos = getattr(pos_offset, "ndim", 0) == 1  # (B,) per-row positions
     if rowpos and t != 1:
         raise ValueError("per-row pos_offset requires single-token decode")
+    base = 0
+    if frozen is not None:
+        if t != 1 or rowpos or self_kernel or isinstance(cache, QuantKVCache):
+            raise ValueError(
+                "frozen-prefix decode requires single-token lockstep "
+                "positions and a bf16 staging cache")
+        base = frozen.k.shape[-1]  # static: staging covers [base, base+C)
     pos_col = jnp.broadcast_to(jnp.asarray(pos_offset, jnp.int32), (b,))
     q_pos = pos_col[:, None, None] + jnp.arange(t)[None, :, None]  # (B,T,1)
-    k_pos = jnp.arange(c)[None, None, :]  # (1,1,C)
+    k_pos = base + jnp.arange(c)[None, None, :]  # (1,1,C) absolute columns
     # valid_from: scalar or (B,) per-row left-pad bound
     vf = jnp.broadcast_to(jnp.asarray(valid_from, jnp.int32),
                           (b,))[:, None, None]  # (B,1,1)
     mask = ((k_pos <= q_pos) & (k_pos >= vf))[:, None]  # (B,1,T,C)
+    if frozen is not None:
+        kf_pos = jnp.arange(base)[None, None, :]  # (1,1,F)
+        mask_frozen = ((kf_pos <= q_pos) & (kf_pos >= vf))[:, None]
+    # the staging write lands at the block-relative column
+    write_at = (pos_offset if frozen is None
+                else jnp.asarray(pos_offset, jnp.int32) - base)
 
     quant_cross = isinstance(cross_kv, QuantCrossKV)
 
@@ -428,16 +493,16 @@ def decode_step(
             elif _ablate == "self_noattn":
                 # do the writes; skip the attention reads/softmax/out-proj
                 ck_all = _cache_write(ck_all, l, k_new.astype(ck_all.dtype),
-                                      pos_offset, rowpos)
+                                      write_at, rowpos)
                 cv_all = _cache_write(cv_all, l, v_new.astype(cv_all.dtype),
-                                      pos_offset, rowpos)
+                                      write_at, rowpos)
             elif quant_self:
                 kq, ksc = quantize_kv_column(k_new)
                 vq, vsc = quantize_kv_column(v_new)
-                k8_all = _cache_write(k8_all, l, kq, pos_offset, rowpos)
-                ks_all = _cache_write(ks_all, l, ksc, pos_offset, rowpos)
-                v8_all = _cache_write(v8_all, l, vq, pos_offset, rowpos)
-                vs_all = _cache_write(vs_all, l, vsc, pos_offset, rowpos)
+                k8_all = _cache_write(k8_all, l, kq, write_at, rowpos)
+                ks_all = _cache_write(ks_all, l, ksc, write_at, rowpos)
+                v8_all = _cache_write(v8_all, l, vq, write_at, rowpos)
+                vs_all = _cache_write(vs_all, l, vsc, write_at, rowpos)
                 # inline dequant: XLA fuses the convert+scale into the reads
                 k_l = (k8_all[l].astype(jnp.float32)
                        * ks_all[l]).astype(x.dtype)
@@ -445,9 +510,9 @@ def decode_step(
                        * vs_all[l]).astype(x.dtype)
             else:
                 ck_all = _cache_write(ck_all, l, k_new.astype(ck_all.dtype),
-                                      pos_offset, rowpos)
+                                      write_at, rowpos)
                 cv_all = _cache_write(cv_all, l, v_new.astype(cv_all.dtype),
-                                      pos_offset, rowpos)
+                                      write_at, rowpos)
                 if write_barrier:
                     # keep the column write a standalone in-place op: fusing
                     # the dynamic_update_slice into the same-step attention
@@ -459,7 +524,11 @@ def decode_step(
                         (ck_all, cv_all))
                 k_l, v_l = ck_all[l], cv_all[l]
             if k_l is not None:
-                if self_kernel and t == 1 and not quant_self:
+                if frozen is not None:
+                    attn = attention_dmajor_twolevel(
+                        q, frozen.k[l], frozen.v[l], k_l, v_l,
+                        mask_frozen, mask)
+                elif self_kernel and t == 1 and not quant_self:
                     from ..ops.sqa_self import sqa_self
 
                     attn = sqa_self(q[:, 0], k_l, v_l, pos_col,
