@@ -12,18 +12,21 @@ checkpoints emit ~50-150 tokens per window and stop early.
 vs_baseline is value / 150 — the >=150x real-time per chip target from
 BASELINE.md (the reference publishes no numbers; BASELINE.json "published": {}).
 
-Default config (round-2 champion, docs/benchmarks.md "batch ceiling
-re-probe"): int8 weights + int8 cross-KV at B40 — 250 RTFx measured. The
-quantised paths match the fp32 oracle as closely as plain bf16 does on the
-agreement ladder (benchmarks/int8_agreement.py; WER gate on real checkpoints
-pending — tools/validate_real.py). Conservative bf16 reproduction:
+Default config (round-3 champion, docs/benchmarks.md "two-level decode"):
+int8 weights + int8 cross-KV + two-level frozen-prefix decode at B48 —
+276.7 RTFx measured (round-2 flat B40 was 250.2). The quantised paths match
+the fp32 oracle as closely as plain bf16 does on the agreement ladders
+(benchmarks/int8_agreement.py, int8_agreement_trained.py; WER gate on real
+checkpoints pending — tools/validate_real.py). Conservative bf16 repro:
   BENCH_QUANTIZE= BENCH_KV_DTYPE=bf16 BENCH_BATCH=24 python bench.py  # 179.0
 
-Env overrides: BENCH_MODEL (default large-v3), BENCH_BATCH (default 40 — the
-measured ceiling with int8 cross-KV; 44+ OOMs, bf16 caps at 24),
-BENCH_SAMPLE_LEN (default 224), BENCH_REPEATS (default 3), BENCH_QUANTIZE
-(default int8; empty string disables), BENCH_KV_DTYPE / BENCH_CACHE_DTYPE
-(default int8 / bf16 — cache int8 is a measured regression, see docs).
+Env overrides: BENCH_MODEL (default large-v3), BENCH_BATCH (default 48 —
+the measured sweet spot under two-level int8 cross-KV: 40=271, 44=268,
+48=276.7, 56 spills to 34, 64 fails; bf16 caps at 24), BENCH_SAMPLE_LEN
+(default 224), BENCH_REPEATS (default 3), BENCH_QUANTIZE (default int8;
+empty string disables), BENCH_KV_DTYPE / BENCH_CACHE_DTYPE (default
+int8 / bf16 — cache int8 is a measured regression, see docs),
+BENCH_TWO_LEVEL (default on; "0" reverts to the flat decode loop).
 """
 
 from __future__ import annotations
@@ -50,7 +53,7 @@ def main() -> None:
     from openai_whisper_coreml_tpu.tokenizer import get_tokenizer
 
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
-    batch = int(os.environ.get("BENCH_BATCH", "40"))
+    batch = int(os.environ.get("BENCH_BATCH", "48"))
     sample_len = int(os.environ.get("BENCH_SAMPLE_LEN", "224"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     quantize = os.environ.get("BENCH_QUANTIZE", "int8") or None
