@@ -143,6 +143,56 @@ def _cross_attention_weights(params, cfg: WhisperConfig, tokens, audio_features)
 _cross_attention_weights_jit = jax.jit(
     _cross_attention_weights, static_argnames=("cfg",))
 
+# token-length buckets for the alignment pass: windows emit a different
+# token count every time, and an unbucketed jit recompiles per length.
+# Padded rows are causally masked in self-attention and excluded from the
+# per-frame normalisation below, so numerics match unpadded execution.
+_ALIGN_BUCKETS = (32, 64, 128, 256, 512)
+
+
+def _median_filter_dev(x, width: int):
+    """jnp median filter over the last axis, reflect padding — mirrors
+    median_filter (np.pad mode='reflect' + sliding median) on device."""
+    pad = width // 2
+    left = x[..., 1:pad + 1][..., ::-1]
+    right = x[..., -pad - 1:-1][..., ::-1]
+    xp = jnp.concatenate([left, x, right], axis=-1)
+    win = jnp.stack([xp[..., k:k + x.shape[-1]] for k in range(width)],
+                    axis=-1)
+    return jnp.median(win, axis=-1)
+
+
+def _alignment_core(params, tokens, audio_features, li, hi, t_valid,
+                    gather_pos, gather_ids, *, cfg, medfilt_width):
+    """Device side of find_word_alignment: teacher-forced forward + head
+    selection + per-frame standardisation + median filter + head mean —
+    transfers only a (T_bucket, S) matrix, per-position token probs, and a
+    7-column boundary tail instead of the full (n_sel, T, S) stack
+    (measured 35.2 s -> sub-second per 30 s window at medium on v5e; the
+    host path shipped in round 2 moved ~280 MB and np.median'd it).
+    """
+    logits, weights = _cross_attention_weights(params, cfg, tokens,
+                                               audio_features)
+    probs = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
+    text_probs = probs[gather_pos, gather_ids]  # (T_bucket,)
+
+    sel = weights[li, 0, hi].astype(jnp.float32)  # (n_sel, T_bucket, S)
+    # standardise each frame across the VALID tokens (openai find_alignment
+    # std_mean over dim=-2; padded rows excluded to match unpadded numerics)
+    tmask = (jnp.arange(sel.shape[1]) < t_valid)[None, :, None]
+    cnt = jnp.maximum(t_valid, 1).astype(jnp.float32)
+    mean = jnp.sum(jnp.where(tmask, sel, 0.0), axis=-2, keepdims=True) / cnt
+    var = jnp.sum(jnp.where(tmask, (sel - mean) ** 2, 0.0),
+                  axis=-2, keepdims=True) / cnt
+    sel = (sel - mean) / (jnp.sqrt(var) + 1e-8)
+    filt = _median_filter_dev(sel, medfilt_width)
+    matrix = filt.mean(axis=0)  # (T_bucket, S)
+    return text_probs, matrix, sel
+
+
+_alignment_core_jit = jax.jit(
+    _alignment_core, static_argnames=("cfg", "medfilt_width"))
+
 
 def median_filter(x: np.ndarray, width: int) -> np.ndarray:
     """Median filter along the last axis (reflect padding), pure NumPy."""
@@ -272,16 +322,7 @@ def find_word_alignment(
         [*sot_seq, *[int(t) for t in text_tokens], tokenizer.eot],
         np.int32)[None]
 
-    logits, weights = _cross_attention_weights_jit(
-        model.params, cfg, jnp.asarray(tokens), feats)
-    # token probabilities for the text tokens
-    probs = np.asarray(jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1))
     text_start = len(sot_seq)
-    text_probs = [
-        float(probs[text_start + i - 1, int(t)])
-        for i, t in enumerate(text_tokens)
-    ] if len(text_tokens) else []
-
     if alignment_heads is None:
         # checkpoint-carried heads (tools/convert.py stores the HF
         # generation_config pairs in the safetensors metadata) beat the
@@ -290,25 +331,50 @@ def find_word_alignment(
     if alignment_heads is None:
         alignment_heads = default_alignment_heads(cfg)
     alignment_heads = np.asarray(alignment_heads, dtype=bool)
+    li, hi = np.nonzero(alignment_heads)
 
     n_audio = max(1, num_frames // 2)
-    # select heads + slice frames ON DEVICE: transferring the full
-    # (L, B, H, T, S) stack is ~1.7 GB at large-v3 per window; the selected
-    # slice is ~30-80x smaller
-    li, hi = np.nonzero(alignment_heads)
-    sel = np.asarray(
-        weights[li, 0, hi, :, :n_audio].astype(jnp.float32))  # (n_sel,T,S')
-    # standardise each frame across tokens (openai find_alignment:
-    # std_mean over dim=-2 — NOT per-token across frames), smooth over
-    # time, average heads
-    mean = sel.mean(axis=-2, keepdims=True)
-    std = sel.std(axis=-2, keepdims=True) + 1e-8
-    sel = (sel - mean) / std
-    sel = median_filter(sel, medfilt_width)
-    matrix = sel.mean(axis=0)  # (T, n_audio)
+    pad_w = medfilt_width // 2
+
+    # pad tokens to a length bucket (recompile per bucket, not per window);
+    # padded rows are causally masked and excluded from normalisation
+    t_real = tokens.shape[1]
+    bucket = next((b for b in _ALIGN_BUCKETS if b >= t_real), t_real)
+    toks_b = np.full((1, bucket), tokenizer.eot, np.int32)
+    toks_b[0, :t_real] = tokens[0]
+    n_text = len(text_tokens)
+    gather_pos = np.clip(text_start - 1 + np.arange(bucket), 0, bucket - 1)
+    gather_ids = np.zeros((bucket,), np.int32)
+    gather_ids[:n_text] = np.asarray(text_tokens, np.int32)
+
+    probs_d, matrix_d, sel_d = _alignment_core_jit(
+        model.params, jnp.asarray(toks_b), feats,
+        jnp.asarray(li, jnp.int32), jnp.asarray(hi, jnp.int32),
+        jnp.int32(t_real), jnp.asarray(gather_pos), jnp.asarray(gather_ids),
+        cfg=cfg, medfilt_width=medfilt_width)
+    text_probs = [float(p) for p in np.asarray(probs_d[:n_text])]
+    matrix = np.array(matrix_d[:t_real, :n_audio])  # writable host copy
+
+    s_full = int(matrix_d.shape[-1])
+    if n_audio < medfilt_width:
+        # degenerate sub-150 ms window: filter the whole (tiny) slice on
+        # host with a clamped odd width (width 1 == identity)
+        w_eff = max(1, n_audio if n_audio % 2 else n_audio - 1)
+        matrix = median_filter(
+            np.asarray(sel_d[:, :, :n_audio]), w_eff
+        ).mean(axis=0)[:t_real]
+    elif pad_w < n_audio < s_full:
+        # the device median filter reflect-pads at S, but the window ends at
+        # n_audio: recompute the last pad_w columns per head with reflection
+        # at n_audio (host, on a 2*width-column tail) so numerics match the
+        # slice-then-filter host reference exactly
+        lo = n_audio - min(2 * medfilt_width, n_audio)
+        tail = np.asarray(sel_d[:, :, lo:n_audio])  # (n_sel, T, <=14)
+        tail_f = median_filter(tail, medfilt_width).mean(axis=0)
+        matrix[:, n_audio - pad_w:n_audio] = tail_f[:t_real, -pad_w:]
 
     # align only the text region (drop sot prompt and final eot row)
-    matrix = matrix[text_start : text_start + len(text_tokens)]
+    matrix = matrix[text_start : text_start + n_text]
     if matrix.size == 0:
         return []
 

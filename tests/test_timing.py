@@ -160,3 +160,71 @@ def test_split_tokens_on_unicode_multibyte():
     assert "".join(pieces) == " héllo 你好"
     assert all("�" not in p for p in pieces)
     assert [t for g in groups for t in g] == ids
+
+
+def test_device_alignment_matches_host_reference():
+    """The device-side alignment core (bucketed tokens, on-device
+    normalise/medfilt/head-mean, boundary patch) must reproduce the
+    round-2 host reference (transfer-all + NumPy post-processing) to float
+    tolerance — including a short window (num_frames cut mid-filter)."""
+    from openai_whisper_coreml_tpu import timing as T
+
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2, n_audio_ctx=64,
+                           n_text_ctx=96)
+    model = WhisperModel(
+        cfg=cfg, params=init_params(cfg, jax.random.PRNGKey(0)))
+    tok = get_tokenizer(cfg, language="en")
+    rng = np.random.default_rng(4)
+    feats = rng.standard_normal((1, 64, 64)).astype(np.float32)
+    text_tokens = tok.encode(" alpha beta gamma delta")
+    sot_seq = list(tok.sot_sequence_including_notimestamps)
+    tokens = np.asarray([*sot_seq, *text_tokens, tok.eot], np.int32)[None]
+    heads = T.default_alignment_heads(cfg)
+    li, hi = np.nonzero(heads)
+
+    for num_frames in (128, 100):  # full window + mid-filter cut
+        n_audio = max(1, num_frames // 2)
+        # --- host reference (the pre-round-3 implementation) ---
+        import jax.numpy as jnp
+        logits, weights = T._cross_attention_weights_jit(
+            model.params, cfg, jnp.asarray(tokens), jnp.asarray(feats))
+        probs = np.asarray(
+            jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1))
+        ref_probs = [float(probs[len(sot_seq) + i - 1, int(t)])
+                     for i, t in enumerate(text_tokens)]
+        sel = np.asarray(
+            weights[li, 0, hi, :, :n_audio].astype(jnp.float32))
+        mean = sel.mean(axis=-2, keepdims=True)
+        std = sel.std(axis=-2, keepdims=True) + 1e-8
+        sel = (sel - mean) / std
+        sel = T.median_filter(sel, 7)
+        ref_matrix = sel.mean(axis=0)[
+            len(sot_seq):len(sot_seq) + len(text_tokens)]
+        ref_ti, ref_fi = T.dtw_path(-ref_matrix)
+
+        # --- production path ---
+        timings = T.find_word_alignment(
+            model, tok, text_tokens, feats, num_frames=num_frames)
+        # rebuild the production matrix through the public pieces to compare
+        # DTW inputs? find_word_alignment is end-to-end; instead compare the
+        # word boundaries it derives against ones derived from ref matrix
+        jumps = np.diff(ref_ti, prepend=-1) > 0
+        starts = ref_fi[jumps]
+        ends = np.append(starts[1:], ref_fi[-1] + 1)
+        words, word_tokens = T.split_tokens_on_spaces(tok, text_tokens)
+        cursor = 0
+        expected = []
+        for w, toks in zip(words, word_tokens):
+            s = starts[min(cursor, len(starts) - 1)]
+            e = ends[min(cursor + len(toks) - 1, len(ends) - 1)]
+            expected.append((round(float(s) / T.TOKENS_PER_SECOND, 3),
+                             round(float(e) / T.TOKENS_PER_SECOND, 3)))
+            cursor += len(toks)
+        got = [(w.start, w.end) for w in timings]
+        assert got == expected, (num_frames, got, expected)
+        got_probs = [w.probability for w in timings]
+        cursor = 0
+        for (w, toks), gp in zip(zip(words, word_tokens), got_probs):
+            rp = float(np.mean(ref_probs[cursor:cursor + len(toks)]))
+            np.testing.assert_allclose(gp, rp, atol=1e-5)
+            cursor += len(toks)

@@ -98,6 +98,32 @@ def test_two_level_sampled_path(setup):
     np.testing.assert_array_equal(flat[0], two[0])
 
 
+def test_two_level_heterogeneous_pads(setup):
+    """Per-row pad_len (different left-pad per batch row) must survive the
+    frozen/staging mask split: the valid_from bound applies to BOTH the
+    frozen-prefix mask and the staging mask."""
+    cfg, params, feats = setup
+    rng = np.random.default_rng(11)
+    b = feats.shape[0]
+    bucket, sample_len = 32, 140
+    toks = rng.integers(0, cfg.timestamp_begin,
+                        size=(b, bucket)).astype(np.int32)
+    pads = np.asarray([0, 7, 19][:b], np.int32)
+    for i, p in enumerate(pads):
+        toks[i, p] = cfg.sot_token
+    outs = []
+    for tl in (False, True):
+        out = decoding.greedy_decode_core(
+            params, cfg, feats, jnp.asarray(toks),
+            jnp.zeros((cfg.n_vocab,), bool), jnp.zeros((cfg.n_vocab,), bool),
+            jnp.float32(0.0), jax.random.PRNGKey(1), jnp.int32(50),
+            jnp.asarray(pads), jnp.asarray(pads),
+            sample_len=sample_len, use_timestamps=True,
+            prompt_len=bucket, two_level=tl)
+        outs.append([np.asarray(o) for o in out])
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+
+
 def test_two_level_sharded_token_exact():
     """Multi-phase two-level decode under a DP x TP mesh: the frozen-prefix
     concat carries a KV_PSPEC constraint between phases — prove the sharded
