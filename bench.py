@@ -26,7 +26,8 @@ the measured sweet spot under two-level int8 cross-KV: 40=271, 44=268,
 (default 224), BENCH_REPEATS (default 3), BENCH_QUANTIZE (default int8;
 empty string disables), BENCH_KV_DTYPE / BENCH_CACHE_DTYPE (default
 int8 / bf16 — cache int8 is a measured regression, see docs),
-BENCH_TWO_LEVEL (default on; "0" reverts to the flat decode loop).
+BENCH_TWO_LEVEL (default on; "0" reverts to the flat decode loop),
+BENCH_STAGE_WIDTH (two-level staging-block columns, default 128).
 """
 
 from __future__ import annotations
@@ -61,6 +62,7 @@ def main() -> None:
     cache_dtype = os.environ.get("BENCH_CACHE_DTYPE", "bf16")
     # two-level (frozen-prefix) decode; "0" reverts to the flat loop for A/B
     two_level = os.environ.get("BENCH_TWO_LEVEL", "1") not in ("", "0")
+    stage_width = int(os.environ.get("BENCH_STAGE_WIDTH", "128"))
 
     model = wt.load_model(model_name, quantize=quantize)
     cfg = model.cfg
@@ -87,7 +89,8 @@ def main() -> None:
             model.params, cfg, feats, initial_dev, suppress, blank,
             jnp.float32(0.0), key, jnp.int32(50), jnp.int32(1), jnp.int32(2),
             sample_len=sample_len, use_timestamps=True, prompt_len=prompt_len,
-            kv_dtype=kv_dtype, cache_dtype=cache_dtype, two_level=two_level)
+            kv_dtype=kv_dtype, cache_dtype=cache_dtype, two_level=two_level,
+            stage_width=stage_width)
         return tokens
 
     def fence(x):

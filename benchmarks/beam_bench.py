@@ -10,7 +10,11 @@ word-timestamp (DTW alignment) pass had no TPU timing rows. This measures:
     capture + vectorised DTW + per-word splitting, per 30 s window.
 
 Env: BEAM_MODEL (medium), BEAM_BATCH (8), BEAM_SIZE (5), BEAM_SAMPLE_LEN
-(224), BEAM_KV_DTYPE/BEAM_QUANTIZE (champion int8 by default).
+(224), BEAM_KV_DTYPE/BEAM_QUANTIZE (champion int8 by default),
+BEAM_TWO_LEVEL (default on — phased frozen-prefix decode with deferred
+beam reordering; "0" reverts to the per-step full-cache-gather loop),
+BEAM_STAGE_WIDTH (staging columns, default 128), BEAM_SKIP_WTS ("1" skips
+the word-timestamp half for quick decode A/Bs).
 """
 
 from __future__ import annotations
@@ -47,6 +51,9 @@ def main() -> int:
     repeats = int(os.environ.get("BEAM_REPEATS", "3"))
     quantize = os.environ.get("BEAM_QUANTIZE", "int8") or None
     kv_dtype = os.environ.get("BEAM_KV_DTYPE", "int8")
+    two_level = os.environ.get("BEAM_TWO_LEVEL", "1") not in ("", "0")
+    stage_width = int(os.environ.get("BEAM_STAGE_WIDTH", "128"))
+    skip_wts = os.environ.get("BEAM_SKIP_WTS", "") == "1"
 
     model = wt.load_model(model_name, quantize=quantize)
     cfg = model.cfg
@@ -73,7 +80,8 @@ def main() -> int:
             jnp.int32(50), jnp.int32(1), jnp.int32(2),
             sample_len=sample_len, use_timestamps=True,
             prompt_len=prompt_len, beam_size=beam_size,
-            max_candidates=beam_size, kv_dtype=kv_dtype)
+            max_candidates=beam_size, kv_dtype=kv_dtype,
+            two_level=two_level, stage_width=stage_width)
         ranked = rank_sequences(scores, lens, None)
         best = jnp.argmax(ranked, axis=1)
         return jnp.take_along_axis(toks, best[:, None, None], axis=1)[:, 0]
@@ -92,7 +100,10 @@ def main() -> int:
         "metric": f"rtfx_{model_name.replace('-', '_')}"
                   f"_beam{beam_size}_b{batch}",
         "value": round(rtfx, 2), "unit": "audio_sec/sec/chip",
+        "two_level": two_level,
         "vs_baseline": round(rtfx / 150.0, 3)}), flush=True)
+    if skip_wts:
+        return 0
 
     # -- word-timestamp pass ------------------------------------------------
     from openai_whisper_coreml_tpu.timing import add_word_timestamps_to_segments

@@ -38,7 +38,15 @@ from openai_whisper_coreml_tpu.utils.platform import sync_platform_from_env
 sync_platform_from_env()  # honour JAX_PLATFORMS despite sitecustomize
 
 
-def decode_tokens(model, audio_dev, batch, sample_len, kv_dtype):
+def decode_tokens(model, audio_dev, batch, sample_len, kv_dtype,
+                  notimestamps=False):
+    """Greedy decode; notimestamps=True conditions on the
+    sot_sequence_including_notimestamps prompt with the timestamp grammar
+    off — matching train.make_batch's teacher-forcing format (required
+    when evaluating weights trained on that format). Suppression masks are
+    the production defaults — the byte-fallback space-byte collapse that
+    once destroyed trained-weight decodes is fixed in the tokenizer itself
+    (Tokenizer.non_speech_tokens / blank_tokens, is_byte_fallback gate)."""
     import jax
     import jax.numpy as jnp
 
@@ -53,15 +61,21 @@ def decode_tokens(model, audio_dev, batch, sample_len, kv_dtype):
     opts = DecodingOptions(language="en")
     suppress = jnp.asarray(build_suppress_mask(tok, opts))
     blank = jnp.asarray(build_blank_mask(tok))
-    initial = np.tile(
-        np.asarray([[tok.eot, tok.sot, tok.language_token("en"),
-                     tok.transcribe]], np.int32), (batch, 1))
+    if notimestamps:
+        row = [tok.sot, tok.language_token("en"), tok.transcribe,
+               tok.no_timestamps]
+        pad_len, sot_index = 0, 0
+    else:
+        row = [tok.eot, tok.sot, tok.language_token("en"), tok.transcribe]
+        pad_len, sot_index = 1, 2
+    initial = np.tile(np.asarray([row], np.int32), (batch, 1))
     mel = log_mel_spectrogram(audio_dev, n_mels=cfg.n_mels)
     feats = model._encode_jit(model.params, mel=mel)
     tokens, *_ = greedy_decode_core(
         model.params, cfg, feats, jnp.asarray(initial), suppress, blank,
-        jnp.float32(0.0), jax.random.PRNGKey(0), jnp.int32(50), jnp.int32(1),
-        jnp.int32(2), sample_len=sample_len, use_timestamps=True,
+        jnp.float32(0.0), jax.random.PRNGKey(0), jnp.int32(50),
+        jnp.int32(pad_len), jnp.int32(sot_index),
+        sample_len=sample_len, use_timestamps=not notimestamps,
         prompt_len=initial.shape[1], kv_dtype=kv_dtype, cache_dtype="bf16")
     return np.asarray(tokens)[:, initial.shape[1]:]
 

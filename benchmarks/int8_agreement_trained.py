@@ -161,7 +161,7 @@ def main() -> int:
     for label in ("fp32", "bf16", "bf16_kvint8", "wint8_kvint8"):
         model, kv = variant(label)
         toks = decode_tokens(model, eval_audio, args.batch,
-                             args.sample_len, kv)
+                             args.sample_len, kv, notimestamps=True)
         runs[label] = toks
         texts[label] = [
             tok.decode([int(t) for t in row

@@ -35,7 +35,8 @@ NEG_INF = jnp.float32(-1e30)
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "sample_len", "use_timestamps", "prompt_len",
-                     "beam_size", "max_candidates", "kv_dtype", "cache_dtype"),
+                     "beam_size", "max_candidates", "kv_dtype", "cache_dtype",
+                     "two_level", "stage_width"),
 )
 def beam_decode_core(
     params,
@@ -55,10 +56,24 @@ def beam_decode_core(
     max_candidates: int,
     kv_dtype: str = "bf16",
     cache_dtype: str = "bf16",
+    two_level: bool = True,
+    stage_width: int = 128,
 ):
     """Returns (best_tokens (B, P+sample_len), best_sum_logprob (B,),
-    best_len (B,), no_speech_prob (B,))."""
+    best_len (B,), no_speech_prob (B,)).
+
+    two_level: phased frozen-prefix decode (see decoding.greedy_decode_core)
+    adapted to beam search with DEFERRED cache reordering. The flat path
+    gathers the ENTIRE B*K-row cache every step (the per-step "beam
+    reordering via gather"); two-level only gathers the stage_width-column
+    staging block and instead carries a per-row `origin` index — the
+    composed source permutation since the phase began — that the frozen
+    prefix is read through (models.decoder.decode_step frozen_origin). At
+    each phase boundary the frozen prefix is materialised ONCE in current
+    beam order and origin resets to identity. Token-identical to the flat
+    path up to fp32 summation order in the split attention."""
     from .decoding import _apply_logit_rules
+    from .parallel.sharding import KV_PSPEC, constrain
 
     b = audio_features.shape[0]
     k = beam_size
@@ -79,11 +94,21 @@ def beam_decode_core(
         cross_b = dec_mod.precompute_cross_kv(params, cfg, audio_features)
     cross_kv = jax.tree.map(lambda a: jnp.repeat(a, k, axis=1), cross_b)
     cache_len = min(-(-total_len // 128) * 128, cfg.n_text_ctx)
+    two_level = two_level and cache_dtype != "int8"
+    if two_level:
+        col_blocks = []
+        lo = stage_width * (prompt_len // stage_width)
+        while lo < cache_len:
+            col_blocks.append((lo, min(lo + stage_width, cache_len)))
+            lo = col_blocks[-1][1]
+        prefill_ctx = col_blocks[0][1]
+    else:
+        prefill_ctx = cache_len
     if cache_dtype == "int8":
-        cache = dec_mod.init_kv_cache_int8(cfg, bk, ctx=cache_len)
+        cache = dec_mod.init_kv_cache_int8(cfg, bk, ctx=prefill_ctx)
     else:
         cache = dec_mod.init_kv_cache(cfg, bk, dtype=audio_features.dtype,
-                                      ctx=cache_len)
+                                      ctx=prefill_ctx)
 
     tokens = jnp.full((bk, total_len), eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, init, (0, 0))
@@ -101,9 +126,10 @@ def beam_decode_core(
             logits, tokens, pos, cfg, prompt_len, suppress_mask, blank_mask,
             use_timestamps, ts_max, max_initial_ts_index)
 
-    def step(carry):
+    def make_step(frozen):
+      def step(carry):
         (pos, tokens, cache, logits, sum_lp, seq_len, ts_max,
-         fin_scores, fin_tokens, fin_lens) = carry
+         fin_scores, fin_tokens, fin_lens, origin) = carry
         # logits (B*K, V) fp32 for position pos
 
         filtered = apply_rules(logits, tokens, pos, ts_max)
@@ -161,22 +187,30 @@ def beam_decode_core(
             ts_max.reshape(b, k), new_src, axis=1).reshape(bk)
         ts_max = jnp.where(newt >= cfg.timestamp_begin, newt, ts_max_g)
 
+        # the staging block (or, flat path, the whole cache) is physically
+        # reordered; the frozen prefix is reordered LAZILY via origin
         cache = dec_mod.gather_cache(cache, flat_src)
+        origin = jnp.take(origin, flat_src)
 
         next_logits, cache = dec_mod.decode_step(
             params, cfg, newt[:, None], cross_kv, cache, pos,
-            valid_from=pad_len)
+            valid_from=pad_len, frozen=frozen,
+            frozen_origin=origin if frozen is not None else None)
 
         return (pos + 1, tokens, cache, next_logits[:, 0].astype(jnp.float32),
-                sum_lp, seq_len, ts_max, fin_scores, fin_tokens, fin_lens)
+                sum_lp, seq_len, ts_max, fin_scores, fin_tokens, fin_lens,
+                origin)
+      return step
 
-    def cond(carry):
+    def make_cond(hi):
+      def cond(carry):
         (pos, _tokens, _cache, _logits, sum_lp, _seq_len, _ts, fin_scores,
          *_rest) = carry
         best_alive = jnp.max(sum_lp.reshape(b, k), axis=1)
         worst_fin = jnp.min(fin_scores, axis=1)
         improvable = jnp.any(best_alive > worst_fin)
-        return (pos < total_len) & improvable
+        return (pos < hi) & improvable
+      return cond
 
     init_carry = (
         jnp.int32(prompt_len),
@@ -191,9 +225,45 @@ def beam_decode_core(
         jnp.full((b, max_candidates), NEG_INF, jnp.float32),
         jnp.full((b, max_candidates, total_len), eot, jnp.int32),
         jnp.zeros((b, max_candidates), jnp.int32),
+        jnp.arange(bk, dtype=jnp.int32),  # origin (identity at phase start)
     )
+    if not two_level:
+        carry = jax.lax.while_loop(make_cond(total_len), make_step(None),
+                                   init_carry)
+    else:
+        # phased decode: one while_loop per staging block; the frozen
+        # prefix is materialised in CURRENT beam order at each boundary
+        # (composed origin applied once), then origin resets to identity
+        carry = init_carry
+        frozen = None
+        for bi, (lo, hi) in enumerate(col_blocks):
+            if bi == 0:
+                if lo > 0:
+                    frozen = dec_mod.KVCache(cache.k[..., :lo],
+                                             cache.v[..., :lo])
+                    staging = dec_mod.KVCache(cache.k[..., lo:],
+                                              cache.v[..., lo:])
+                    carry = carry[:2] + (staging,) + carry[3:]
+            else:
+                done = carry[2]  # completed staging block, current order
+                origin = carry[10]
+                if frozen is None:
+                    frozen = done
+                else:
+                    frozen = dec_mod.gather_cache(frozen, origin)
+                    frozen = dec_mod.KVCache(
+                        constrain(jnp.concatenate([frozen.k, done.k], -1),
+                                  KV_PSPEC),
+                        constrain(jnp.concatenate([frozen.v, done.v], -1),
+                                  KV_PSPEC))
+                staging = dec_mod.init_kv_cache(
+                    cfg, bk, dtype=audio_features.dtype, ctx=hi - lo)
+                carry = (carry[:2] + (staging,) + carry[3:10]
+                         + (jnp.arange(bk, dtype=jnp.int32),))
+            carry = jax.lax.while_loop(
+                make_cond(min(hi, total_len)), make_step(frozen), carry)
     (pos, tokens, cache, logits, sum_lp, seq_len, _ts, fin_scores,
-     fin_tokens, fin_lens) = jax.lax.while_loop(cond, step, init_carry)
+     fin_tokens, fin_lens, _origin) = carry
 
     # openai finalize semantics: pad the candidate set with the still-alive
     # beams (EOT appended, score unchanged) and let the ranker choose over

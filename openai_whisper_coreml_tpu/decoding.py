@@ -226,7 +226,7 @@ def _apply_logit_rules(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "sample_len", "use_timestamps", "prompt_len",
-                     "kv_dtype", "cache_dtype", "two_level"),
+                     "kv_dtype", "cache_dtype", "two_level", "stage_width"),
 )
 def greedy_decode_core(
     params,
@@ -247,6 +247,7 @@ def greedy_decode_core(
     kv_dtype: str = "bf16",
     cache_dtype: str = "bf16",
     two_level: bool = True,
+    stage_width: int = 128,
 ):
     """Returns (tokens (B, P+sample_len), sum_logprobs, n_sampled,
     no_speech_prob) — all device arrays.
@@ -255,13 +256,15 @@ def greedy_decode_core(
     [pad_len, prompt_len). Bucketing keeps the number of compiled graphs
     bounded while long-form conditioning grows the prompt every window.
 
-    two_level: decode in phases over 128-column blocks of the self-KV
-    cache. Within a phase only a 128-column staging block is loop-carried
+    two_level: decode in phases over `stage_width`-column blocks of the
+    self-KV cache. Within a phase only the staging block is loop-carried
     and written; completed blocks join a read-only frozen prefix between
     phases. This pins the per-step whole-buffer layout-conversion cost
     (linear in live capacity — docs/benchmarks.md round 3) at the
-    128-column figure regardless of context length. Token-identical to the
-    flat path up to fp32 summation order in the split attention.
+    staging-width figure regardless of context length. Token-identical to
+    the flat path up to fp32 summation order in the split attention.
+    stage_width 128 is the measured sweet spot on v5e (docs/benchmarks.md
+    round-3 staging-width sweep); 64/256 are sweepable via BENCH_STAGE_WIDTH.
     """
     b = audio_features.shape[0]
     eot = cfg.eot_token
@@ -278,9 +281,9 @@ def greedy_decode_core(
         # absolute column ranges the staging block sweeps over, phase by
         # phase; the prefill cache only spans the first block
         col_blocks = []
-        lo = 128 * (prompt_len // 128)
+        lo = stage_width * (prompt_len // stage_width)
         while lo < cache_len:
-            col_blocks.append((lo, min(lo + 128, cache_len)))
+            col_blocks.append((lo, min(lo + stage_width, cache_len)))
             lo = col_blocks[-1][1]
         prefill_ctx = col_blocks[0][1]
     else:
@@ -391,7 +394,8 @@ def greedy_decode_core(
                               KV_PSPEC),
                     constrain(jnp.concatenate([frozen.v, done.v], -1),
                               KV_PSPEC))
-            # the last block may be narrower than 128 (448 = 3.5 * 128)
+            # the last block may be narrower (cache_len is 128-rounded,
+            # not stage_width-rounded)
             staging = dec_mod.init_kv_cache(
                 cfg, b, dtype=audio_features.dtype, ctx=hi - lo)
             carry = carry[:2] + (staging,) + carry[3:]

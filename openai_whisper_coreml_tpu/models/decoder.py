@@ -392,6 +392,13 @@ def decode_step(
     # block holding absolute columns [F, F + C) and takes this step's
     # write at column pos_offset - F. Requires T == 1, lockstep positions,
     # and a bf16 cache. See attention_dmajor_twolevel for the rationale.
+    frozen_origin: Optional[Array] = None,  # (B,) int32 — beam search's
+    # DEFERRED cache reordering: row b's frozen prefix lives at frozen row
+    # frozen_origin[b] (the composed beam-source permutation since the
+    # phase started). The staging block is still physically gathered per
+    # step (cheap: stage_width columns); the frozen prefix — the expensive
+    # part of the flat path's full-cache gather — is only read through
+    # this index and materialised once per phase boundary.
     _ablate: Optional[str] = None,  # benchmark-only: skip one sublayer kind
     # ("self" | "cross" | "mlp" | "self_nowrite" | "self_noattn") to
     # attribute step time on-chip (benchmarks/step_ablation.py); None in
@@ -525,9 +532,13 @@ def decode_step(
                 k_l, v_l = ck_all[l], cv_all[l]
             if k_l is not None:
                 if frozen is not None:
+                    if frozen_origin is not None:
+                        kf = jnp.take(frozen.k[l], frozen_origin, axis=0)
+                        vf = jnp.take(frozen.v[l], frozen_origin, axis=0)
+                    else:
+                        kf, vf = frozen.k[l], frozen.v[l]
                     attn = attention_dmajor_twolevel(
-                        q, frozen.k[l], frozen.v[l], k_l, v_l,
-                        mask_frozen, mask)
+                        q, kf, vf, k_l, v_l, mask_frozen, mask)
                 elif self_kernel and t == 1 and not quant_self:
                     from ..ops.sqa_self import sqa_self
 

@@ -343,13 +343,28 @@ class Tokenizer:
 
     # -- suppression sets (openai-compatible) -------------------------------
     @functools.cached_property
+    def is_byte_fallback(self) -> bool:
+        """True for the asset-free vocab (every byte is its own token)."""
+        return all(self.ranks.get(bytes([i])) == i for i in range(256))
+
+    @functools.cached_property
     def non_speech_tokens(self) -> Tuple[int, ...]:
         """Token ids for sound-effect/music annotations and stray symbols that
-        should never be emitted (openai's tokenizer.non_speech_tokens)."""
+        should never be emitted (openai's tokenizer.non_speech_tokens).
+
+        openai's rule adds tokens[0] of MULTI-token encodings for the music
+        symbols ("or symbol in miscellaneous"). That first token is a merged
+        symbol prefix under a real BPE vocab, but under the byte-fallback
+        vocab it collapses to a raw byte: " ♪" -> byte 32 (which would
+        suppress EVERY space for the whole decode) and "♪" -> byte 226 (the
+        UTF-8 lead byte of all of U+0800..U+FFFF — all CJK). In byte-fallback
+        mode only complete single-token symbols are therefore suppressed;
+        real-vocab behaviour is unchanged."""
         symbols = list('"#()*+/:;<=>@[\\]^_`{|}~「」『』')
         symbols += ("<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] "
                     "{{ }} ♪♪ ♪♪♪").split()
         miscellaneous = set("♩♪♫♬♭♮♯")
+        first_token_ok = not self.is_byte_fallback
 
         result = set()
         for t in [self.encode(" -"), self.encode(" '")]:
@@ -357,14 +372,24 @@ class Tokenizer:
                 result.add(t[0])
         for symbol in symbols + list(miscellaneous):
             for tok_seq in [self.encode(symbol), self.encode(" " + symbol)]:
-                if len(tok_seq) == 1 or symbol in miscellaneous:
+                if len(tok_seq) == 1 or (first_token_ok
+                                         and symbol in miscellaneous):
                     if tok_seq:
                         result.add(tok_seq[0])
         return tuple(sorted(result))
 
     @functools.cached_property
     def blank_tokens(self) -> Tuple[int, ...]:
-        """Ids encoding ' ' — suppressed at the first sampling position."""
+        """Ids encoding ' ' — suppressed at the first sampling position.
+
+        Empty in byte-fallback mode: under a real BPE vocab a transcript's
+        first token is a merged space-prefixed word (so a BARE space is
+        degenerate and openai suppresses it), but byte-fallback transcripts
+        legitimately START with the space byte — suppressing it forces every
+        decode off-distribution at step 1 (EOT is still blocked there by
+        decoding.build_blank_mask)."""
+        if self.is_byte_fallback:
+            return ()
         return tuple(self.encode(" "))
 
 

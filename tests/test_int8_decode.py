@@ -85,12 +85,19 @@ def test_int8_cross_kv_matches_dequantised_reference(model, feats):
 
     import openai_whisper_coreml_tpu.models.decoder as dmod
 
+    # greedy_decode_core is jit-cached: a bf16 trace from an earlier test at
+    # these shapes would silently bypass the monkeypatch (the patched
+    # precompute only runs at TRACE time). Clear around the patched call so
+    # the substitution really traces, and again after so later tests do not
+    # inherit the patched graph.
     orig = dmod.precompute_cross_kv
+    greedy_decode_core.clear_cache()
     try:
         dmod.precompute_cross_kv = lambda p, c, f: deq
         toks_ref, lp_ref = _decode(model, feats, kv_dtype="bf16")
     finally:
         dmod.precompute_cross_kv = orig
+        greedy_decode_core.clear_cache()
 
     np.testing.assert_array_equal(toks_int8, toks_ref)
     np.testing.assert_allclose(lp_int8, lp_ref, rtol=1e-5, atol=1e-5)

@@ -152,3 +152,45 @@ def test_get_tokenizer_vocab_json_containing_model_token(tmp_path):
     tok = get_tokenizer(cfg, vocab_path=str(p))
     assert tok.ranks[b"model"] == 11
     assert tok.ranks[b"hello"] == 5
+
+
+def test_byte_fallback_suppression_sets_do_not_collapse():
+    """Regression (round 3): openai's non_speech rule takes tokens[0] of
+    multi-token music-symbol encodings. Under the byte-fallback vocab that
+    collapses to raw bytes — " ♪" -> byte 32 would suppress EVERY space for
+    the whole decode, "♪" -> byte 226 the UTF-8 lead byte of all CJK — and
+    the step-1 blank rule would block the space byte every transcript
+    starts with. Both sets must drop those bytes in byte-fallback mode."""
+    cfg = tiny_test_config()
+    tok = Tokenizer(cfg=cfg, ranks=byte_fallback_ranks(cfg.n_base_tokens))
+    assert tok.is_byte_fallback
+    assert 32 not in tok.non_speech_tokens   # space byte
+    assert 226 not in tok.non_speech_tokens  # UTF-8 lead byte (CJK)
+    assert 35 in tok.non_speech_tokens       # '#' is a complete symbol
+    assert tok.blank_tokens == ()            # space is a legal first byte
+    # the decode-time mask still blocks EOT at the first sampled step
+    from openai_whisper_coreml_tpu.decoding import build_blank_mask
+    mask = build_blank_mask(tok)
+    assert mask[cfg.eot_token] and not mask[32]
+
+
+def test_real_vocab_suppression_sets_unchanged():
+    """A vocab with merged symbol tokens keeps openai behaviour: the blank
+    set is the encoded space, and single-token symbols are suppressed."""
+    cfg = tiny_test_config()
+    ranks = byte_fallback_ranks(cfg.n_base_tokens)
+    # make ' ♪' and '♪' single-token merges like a real vocab (BPE needs
+    # the intermediate pair b'\xe2\x99' to reach the full 3-byte merge)
+    overlays = [b"\xe2\x99", "♪".encode(), " ♪".encode(), b" -"]
+    for i, merge in enumerate(overlays):
+        filler_key = next(k for k, v in ranks.items() if v == 256 + i)
+        del ranks[filler_key]
+        ranks[merge] = 256 + i
+    tok = Tokenizer(cfg=cfg, ranks=ranks)
+    # bytes 0..255 still map to themselves, so is_byte_fallback stays True
+    # and the gated branch applies; COMPLETE single-token encodings are
+    # still suppressed either way:
+    assert 257 in tok.non_speech_tokens  # '♪' now a single token
+    assert 258 in tok.non_speech_tokens  # ' ♪' single token
+    assert 259 in tok.non_speech_tokens  # ' -' single token (explicit rule)
+    assert tok.encode(" hello")[0] == 32  # space byte still legal first

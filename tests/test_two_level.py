@@ -38,7 +38,7 @@ def setup():
 
 
 def _run(cfg, params, feats, *, prompt_bucket, sample_len, two_level,
-         temperature=0.0, seed=1, suppress_eot=False):
+         temperature=0.0, seed=1, suppress_eot=False, stage_width=128):
     pad = 0 if prompt_bucket <= 4 else 4
     rng = np.random.default_rng(11)
     b = feats.shape[0]
@@ -54,7 +54,8 @@ def _run(cfg, params, feats, *, prompt_bucket, sample_len, two_level,
         jnp.float32(temperature), jax.random.PRNGKey(seed), jnp.int32(50),
         jnp.full((b,), pad, jnp.int32), jnp.full((b,), pad, jnp.int32),
         sample_len=sample_len, use_timestamps=True,
-        prompt_len=prompt_bucket, two_level=two_level)
+        prompt_len=prompt_bucket, two_level=two_level,
+        stage_width=stage_width)
     return [np.asarray(o) for o in out]
 
 
@@ -73,6 +74,22 @@ def test_two_level_token_exact(setup, bucket, sample_len):
     np.testing.assert_array_equal(flat[2], two[2])  # n_sampled
     np.testing.assert_allclose(flat[1], two[1], atol=1e-4)  # sum_logprobs
     np.testing.assert_allclose(flat[3], two[3], atol=1e-5)  # no_speech
+
+
+@pytest.mark.parametrize("width", [64, 256])
+def test_two_level_stage_width_token_exact(setup, width):
+    """Non-default staging widths (sweepable via BENCH_STAGE_WIDTH) must
+    stay token-exact vs the flat path: 64 exercises more phases per decode
+    and a narrower-than-cache_len-rounding block; 256 exercises a width
+    that is wider than the 128-column cache_len rounding unit, so the last
+    block is cut short by cache_len itself."""
+    cfg, params, feats = setup
+    flat = _run(cfg, params, feats, prompt_bucket=32, sample_len=150,
+                two_level=False)
+    two = _run(cfg, params, feats, prompt_bucket=32, sample_len=150,
+               two_level=True, stage_width=width)
+    np.testing.assert_array_equal(flat[0], two[0])
+    np.testing.assert_allclose(flat[1], two[1], atol=1e-4)
 
 
 def test_two_level_full_length_three_phases(setup):
