@@ -358,6 +358,72 @@ def attn_variants() -> int:
             vf = jnp.asarray(rngf.standard_normal((L, B, H, D, CF)),
                              jnp.bfloat16)
             timed("wr_twolevel", twolevel, upd, q0, kf, vf)
+
+        # two-level with an INT8 frozen prefix: the frozen blocks are
+        # written once per phase and read every step — the same
+        # write-once/read-many shape that made int8 cross-KV win. Inline
+        # dequant per read (the XLA pattern production cross-KV uses);
+        # per-column scales. If the frozen read is HBM-bound like bf16
+        # cross-KV was (not MXU-ingest-bound), halving its bytes should
+        # show up at these shapes.
+        @jax.jit
+        def twolevel_int8f(upd, q, kf8, kfs, vf8, vfs):
+            ks = jnp.zeros((L, B, H, D, SG), jnp.bfloat16)
+            vs = jnp.zeros((L, B, H, D, SG), jnp.bfloat16)
+
+            def step(carry, i):
+                ks, vs, q = carry
+                pos = i % SG
+                maskf = jnp.ones((1, 1, 1, CF), jnp.bool_)
+                masks = (jnp.arange(SG)[None, None, None, :] <= pos)
+                for l in range(L):
+                    u = (upd[0] * q[:, 0].mean())[..., None]
+                    uv = upd[1][..., None]
+                    ks = jax.lax.dynamic_update_slice(
+                        ks, u[None], (l, 0, 0, 0, pos))
+                    vs = jax.lax.dynamic_update_slice(
+                        vs, uv[None], (l, 0, 0, 0, pos))
+                    kfl = (kf8[l].astype(jnp.float32)
+                           * kfs[l]).astype(jnp.bfloat16)
+                    vfl = (vf8[l].astype(jnp.float32)
+                           * vfs[l]).astype(jnp.bfloat16)
+                    lgf = jnp.einsum(
+                        "bthd,bhds->bhts", q, kfl,
+                        preferred_element_type=jnp.float32) * (D ** -0.5)
+                    lgs = jnp.einsum(
+                        "bthd,bhds->bhts", q, ks[l],
+                        preferred_element_type=jnp.float32) * (D ** -0.5)
+                    lg = jnp.concatenate(
+                        [jnp.where(maskf, lgf, -1e30),
+                         jnp.where(masks, lgs, -1e30)], axis=-1)
+                    w = jax.nn.softmax(lg, axis=-1)
+                    of = jnp.einsum(
+                        "bhts,bhds->bthd",
+                        w[..., :CF].astype(jnp.bfloat16), vfl,
+                        preferred_element_type=jnp.float32)
+                    os_ = jnp.einsum(
+                        "bhts,bhds->bthd",
+                        w[..., CF:].astype(jnp.bfloat16), vs[l],
+                        preferred_element_type=jnp.float32)
+                    q = (q + 0.01 * (of + os_).astype(q.dtype))
+                return (ks, vs, q), None
+
+            (ks, vs, q), _ = jax.lax.scan(step, (ks, vs, q0),
+                                          jnp.arange(iters))
+            return q[:1, 0, 0, :8] + ks[0, 0, 0, 0, :8] + vs[0, 0, 0, 0, :8]
+
+        if which == "int8f":
+            rngf = np.random.default_rng(1)
+            kf8 = jnp.asarray(
+                rngf.integers(-127, 128, (L, B, H, D, CF)), jnp.int8)
+            vf8 = jnp.asarray(
+                rngf.integers(-127, 128, (L, B, H, D, CF)), jnp.int8)
+            kfs = jnp.asarray(0.01 * rngf.random((L, B, H, 1, CF)),
+                              jnp.float32)
+            vfs = jnp.asarray(0.01 * rngf.random((L, B, H, 1, CF)),
+                              jnp.float32)
+            timed("wr_twolevel_int8f", twolevel_int8f,
+                  upd, q0, kf8, kfs, vf8, vfs)
     return 0
 
 

@@ -63,7 +63,11 @@ def main() -> int:
     ap.add_argument("--model", default="tiny")
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--sample-len", type=int, default=48)
+    ap.add_argument("--sample-len", type=int, default=0,
+                    help="0 = auto: longest target + eot + slack (a fixed "
+                    "48 silently TRUNCATED the eot off 49/50-token rows, "
+                    "so the model never learned to stop after the longest "
+                    "phrases)")
     ap.add_argument("--target-loss", type=float, default=0.15)
     ap.add_argument("--save-checkpoint", default="")
     ap.add_argument("--checkpoint", default="",
@@ -93,6 +97,11 @@ def main() -> int:
     cfg = get_config(args.model)
     tok = get_tokenizer(cfg, language="en")
     n_cls = len(PHRASES)
+    sot_len = len(tok.sot_sequence_including_notimestamps)
+    longest = max(len(tok.encode(" " + p.strip())) for p in PHRASES)
+    if args.sample_len <= 0:
+        args.sample_len = longest + 5  # room for eot + a little drift
+    train_len = sot_len + longest + 1  # full target incl. eot, no trunc
 
     # -- 1. train ----------------------------------------------------------
     if args.checkpoint:
@@ -113,7 +122,7 @@ def main() -> int:
             mel = np.asarray(log_mel_spectrogram(audio, n_mels=cfg.n_mels))
             _, tokens, mask = make_batch(cfg, tok, mel,
                                          [PHRASES[c] for c in cls],
-                                         max_len=48)
+                                         max_len=train_len)
             params32, opt_state, metrics = step_fn(
                 params32, opt_state, jnp.asarray(mel), jnp.asarray(tokens),
                 jnp.asarray(mask))

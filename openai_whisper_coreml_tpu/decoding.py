@@ -67,6 +67,10 @@ class DecodingOptions:
     # (orthogonal to kv_dtype; self-KV is the smaller stream — see
     # docs/benchmarks.md "int8 options")
     cache_dtype: str = "bf16"
+    # phased frozen-prefix decode (greedy AND beam; token-exact vs the flat
+    # loop — docs/benchmarks.md round 3). Off only for A/B or debugging.
+    two_level: bool = True
+    stage_width: int = 128  # staging-block columns (measured sweet spot)
 
     def __post_init__(self):
         # the dtype switches compare against "int8" with a bf16 fallback —
@@ -76,6 +80,10 @@ class DecodingOptions:
             if v not in ("bf16", "int8"):
                 raise ValueError(
                     f"{field} must be 'bf16' or 'int8', got {v!r}")
+        if self.stage_width < 8 or self.stage_width % 8:
+            raise ValueError(
+                f"stage_width must be a positive multiple of 8, got "
+                f"{self.stage_width}")
 
 
 @dataclasses.dataclass
@@ -689,6 +697,8 @@ def _decode_impl(
             max_candidates=max_candidates,
             kv_dtype=options.kv_dtype,
             cache_dtype=options.cache_dtype,
+            two_level=options.two_level,
+            stage_width=options.stage_width,
         )
         ranked = rank_sequences(all_scores, all_lens, options.length_penalty)
         best = jnp.argmax(ranked, axis=1)
@@ -728,6 +738,8 @@ def _decode_impl(
             prompt_len=prompt_len,
             kv_dtype=options.kv_dtype,
             cache_dtype=options.cache_dtype,
+            two_level=options.two_level,
+            stage_width=options.stage_width,
         )
         if n_cand > 1:
             tokens = np.asarray(tokens).reshape(b, n_cand, -1)

@@ -251,3 +251,19 @@ def test_per_sample_prompt_wrong_length_rejected(model, mel):
     with pytest.raises(ValueError, match="entries for batch"):
         decode(model, mel, DecodingOptions(
             language="en", sample_len=4, prompt=[[1, 2]]))
+
+
+def test_two_level_option_plumbing(model, mel):
+    """DecodingOptions.two_level / stage_width reach the decode cores: the
+    flat and two-level paths must agree through the public decode() API
+    (greedy AND beam), and invalid widths are rejected up front."""
+    for extra in ({}, {"beam_size": 2}):
+        flat = decode(model, mel, DecodingOptions(
+            language="en", sample_len=10, two_level=False, **extra))
+        two = decode(model, mel, DecodingOptions(
+            language="en", sample_len=10, two_level=True, stage_width=8,
+            **extra))
+        for f, t in zip(flat, two):
+            assert f.tokens == t.tokens
+    with pytest.raises(ValueError, match="stage_width"):
+        DecodingOptions(stage_width=12)
