@@ -13,8 +13,9 @@ vs_baseline is value / 150 — the >=150x real-time per chip target from
 BASELINE.md (the reference publishes no numbers; BASELINE.json "published": {}).
 
 Default config (round-3 champion, docs/benchmarks.md "two-level decode"):
-int8 weights + int8 cross-KV + two-level frozen-prefix decode at B48 —
-276.7 RTFx measured (round-2 flat B40 was 250.2). The quantised paths match
+int8 weights + int8 cross-KV + two-level frozen-prefix decode at B48 with
+64-column staging — 288.4 RTFx measured (round-2 flat B40 was 250.2; B48
+w128 was 276.7). The quantised paths match
 the fp32 oracle as closely as plain bf16 does on the agreement ladders
 (benchmarks/int8_agreement.py, int8_agreement_trained.py; WER gate on real
 checkpoints pending — tools/validate_real.py). Conservative bf16 repro:
@@ -27,7 +28,8 @@ the measured sweet spot under two-level int8 cross-KV: 40=271, 44=268,
 empty string disables), BENCH_KV_DTYPE / BENCH_CACHE_DTYPE (default
 int8 / bf16 — cache int8 is a measured regression, see docs),
 BENCH_TWO_LEVEL (default on; "0" reverts to the flat decode loop),
-BENCH_STAGE_WIDTH (two-level staging-block columns, default 128).
+BENCH_STAGE_WIDTH (two-level staging-block columns, default 64 — the
+measured sweet spot at B48: w64=288.4, w128=276.7, w192 fails).
 """
 
 from __future__ import annotations
@@ -62,7 +64,7 @@ def main() -> None:
     cache_dtype = os.environ.get("BENCH_CACHE_DTYPE", "bf16")
     # two-level (frozen-prefix) decode; "0" reverts to the flat loop for A/B
     two_level = os.environ.get("BENCH_TWO_LEVEL", "1") not in ("", "0")
-    stage_width = int(os.environ.get("BENCH_STAGE_WIDTH", "128"))
+    stage_width = int(os.environ.get("BENCH_STAGE_WIDTH", "64"))
 
     model = wt.load_model(model_name, quantize=quantize)
     cfg = model.cfg

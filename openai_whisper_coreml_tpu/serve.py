@@ -59,6 +59,13 @@ class ServeOptions:
     kv_dtype: str = "bf16"  # "int8": quantised cross-KV (decoding.py)
     cache_dtype: str = "bf16"  # "int8": quantised self-attention cache
 
+    def __post_init__(self):
+        # scalar temperature is valid everywhere transcribe() accepts one
+        # (HTTP clients POST {"temperature": 0.0}); normalise to the ladder
+        # shape the decode loops iterate
+        if isinstance(self.temperature, (int, float)):
+            self.temperature = (float(self.temperature),)
+
 
 @dataclasses.dataclass
 class _Window:
@@ -342,10 +349,12 @@ def _segments_from_result(cfg, r: DecodingResult, time_offset: float,
     window. This is what keeps batched output token-identical to
     transcribe(condition_on_previous_text=False)."""
     from .tokenizer import get_tokenizer
+    from .transcribe import window_segment_spans
 
     tok = get_tokenizer(cfg, language=r.language if cfg.multilingual else None)
-    ts_begin = cfg.timestamp_begin
     tokens = np.asarray(r.tokens, dtype=np.int64)
+    if tokens.size == 0:
+        return []
 
     def seg(start, end, toks):
         text_toks = [int(t) for t in toks if t < tok.eot]
@@ -356,29 +365,6 @@ def _segments_from_result(cfg, r: DecodingResult, time_offset: float,
             compression_ratio=r.compression_ratio,
             no_speech_prob=r.no_speech_prob)
 
-    if tokens.size == 0:
-        return []
-    is_ts = tokens >= ts_begin
-    single_timestamp_ending = (len(is_ts) >= 2 and not is_ts[-2]
-                               and is_ts[-1])
-    consecutive = np.where(is_ts[:-1] & is_ts[1:])[0] + 1
-    segs = []
-    if len(consecutive):
-        slices = consecutive.tolist()
-        if single_timestamp_ending:
-            slices.append(len(tokens))
-        last = 0
-        for cur in slices:
-            sliced = tokens[last:cur]
-            start_pos = int(sliced[0]) - ts_begin
-            end_pos = int(sliced[-1]) - ts_begin
-            segs.append(seg(time_offset + start_pos * 0.02,
-                            time_offset + end_pos * 0.02, sliced))
-            last = cur
-    else:
-        duration = segment_duration
-        ts_in = tokens[is_ts]
-        if len(ts_in) > 0 and int(ts_in[-1]) != ts_begin:
-            duration = (int(ts_in[-1]) - ts_begin) * 0.02
-        segs.append(seg(time_offset, time_offset + duration, tokens))
-    return segs
+    return [seg(start, end, toks) for start, end, toks in
+            window_segment_spans(tokens, cfg.timestamp_begin, time_offset,
+                                 segment_duration)]

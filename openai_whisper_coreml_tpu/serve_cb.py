@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 from collections import deque
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
@@ -506,9 +507,10 @@ class ContinuousBatcher:
                 if self._pool_remaining() == 0:
                     self._encode_pool(pending)
                 count = min(self.refill, len(free), self._pool_remaining())
-                _cb_log.debug("refill %s", _kv(
-                    count=count, free=len(free), pending=len(pending),
-                    pool=self._pool_remaining()))
+                if _cb_log.isEnabledFor(logging.DEBUG):
+                    _cb_log.debug("refill %s", _kv(
+                        count=count, free=len(free), pending=len(pending),
+                        pool=self._pool_remaining()))
                 rows, group = self._draw_from_pool(self.refill, count)
                 idx = np.full(self.refill, bs, np.int32)
                 idx[: len(group)] = free[: len(group)]

@@ -112,17 +112,21 @@ class WhisperHTTPServer:
                     self.metrics.inc("batches_failed")
                     log.error("batch failed %s", kv(
                         requests=len(group), error=f"{type(e).__name__}: {e}"))
-                elapsed = time.monotonic() - t0
-                self.metrics.inc("batches_total")
-                self.metrics.observe("batch_latency_s", elapsed)
-                if audio_s and elapsed > 0:
-                    self.metrics.observe("batch_rtfx", audio_s / elapsed)
+                else:
+                    # success-only observations: a batch that died in 0.5 s
+                    # with 300 s of queued audio must not inject rtfx=600
+                    # into the latency/rtfx reservoirs
+                    elapsed = time.monotonic() - t0
+                    self.metrics.observe("batch_latency_s", elapsed)
+                    if audio_s and elapsed > 0:
+                        self.metrics.observe("batch_rtfx", audio_s / elapsed)
+                    log.info("batch done %s", kv(
+                        requests=len(group), audio_s=round(audio_s, 2),
+                        latency_s=round(elapsed, 3),
+                        rtfx=round(audio_s / elapsed, 1) if elapsed else 0,
+                        ids=",".join(j.request_id for j in group)))
+                self.metrics.inc("batches_total")  # success + failed
                 self.metrics.set_gauge("queue_depth", self._queue.qsize())
-                log.info("batch done %s", kv(
-                    requests=len(group), audio_s=round(audio_s, 2),
-                    latency_s=round(elapsed, 3),
-                    rtfx=round(audio_s / elapsed, 1) if elapsed else 0,
-                    ids=",".join(j.request_id for j in group)))
                 for j in group:
                     j.done.set()
 

@@ -356,14 +356,14 @@ def find_word_alignment(
     matrix = np.array(matrix_d[:t_real, :n_audio])  # writable host copy
 
     s_full = int(matrix_d.shape[-1])
-    if n_audio < medfilt_width:
-        # degenerate sub-150 ms window: filter the whole (tiny) slice on
-        # host with a clamped odd width (width 1 == identity)
-        w_eff = max(1, n_audio if n_audio % 2 else n_audio - 1)
-        matrix = median_filter(
-            np.asarray(sel_d[:, :, :n_audio]), w_eff
-        ).mean(axis=0)[:t_real]
-    elif pad_w < n_audio < s_full:
+    if n_audio <= medfilt_width:
+        # degenerate <=0.15 s window: the host reference's median_filter
+        # passes slices no wider than the filter through UNfiltered (the
+        # x.shape[-1] <= width identity shortcut above), so the matrix is
+        # just the head-mean of the standardised selection — the device
+        # matrix_d (filtered over the full S buffer) must not be used here
+        matrix = np.asarray(sel_d[:, :, :n_audio]).mean(axis=0)[:t_real]
+    elif n_audio < s_full:
         # the device median filter reflect-pads at S, but the window ends at
         # n_audio: recompute the last pad_w columns per head with reflection
         # at n_audio (host, on a 2*width-column tail) so numerics match the

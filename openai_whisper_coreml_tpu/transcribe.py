@@ -71,6 +71,47 @@ def seek_advance(tokens, ts_begin: int, segment_size: int) -> int:
     return segment_size
 
 
+def window_segment_spans(tokens, ts_begin: int, time_offset: float,
+                         segment_duration: float):
+    """openai's in-window segmentation rule: split one window's tokens on
+    consecutive-timestamp pairs into CLOSED segments (plus the final open
+    one when the window ends on a single trailing timestamp); without any
+    consecutive pair, the whole window is one segment whose end comes from
+    the last non-zero timestamp (else segment_duration).
+
+    Shared single source of truth between the sequential loop below and
+    batched serving (serve._segments_from_result) — the counterpart of
+    `seek_advance` for the segment-splitting half of the parity contract.
+    Returns [(start_s, end_s, token_slice)] with token_slice an int64
+    ndarray view including the surrounding timestamp tokens.
+    """
+    tokens = np.asarray(tokens, dtype=np.int64)
+    is_ts = tokens >= ts_begin
+    single_timestamp_ending = (len(is_ts) >= 2
+                               and not is_ts[-2] and is_ts[-1])
+    consecutive = np.where(is_ts[:-1] & is_ts[1:])[0] + 1
+    spans = []
+    if len(consecutive) > 0:
+        slices = consecutive.tolist()
+        if single_timestamp_ending:
+            slices.append(len(tokens))
+        last = 0
+        for cur in slices:
+            sliced = tokens[last:cur]
+            start_pos = int(sliced[0]) - ts_begin
+            end_pos = int(sliced[-1]) - ts_begin
+            spans.append((time_offset + start_pos * 0.02,
+                          time_offset + end_pos * 0.02, sliced))
+            last = cur
+    else:
+        duration = segment_duration
+        ts_in = tokens[is_ts]
+        if len(ts_in) > 0 and int(ts_in[-1]) != ts_begin:
+            duration = (int(ts_in[-1]) - ts_begin) * 0.02
+        spans.append((time_offset, time_offset + duration, tokens))
+    return spans
+
+
 def transcribe(
     model,
     audio: Union[str, np.ndarray],
@@ -226,34 +267,9 @@ def transcribe(
                 no_speech_prob=result.no_speech_prob,
             ))
 
-        timestamp_tokens = tokens >= ts_begin
-        single_timestamp_ending = (
-            len(timestamp_tokens) >= 2
-            and not timestamp_tokens[-2] and timestamp_tokens[-1])
-
-        consecutive = np.where(timestamp_tokens[:-1] & timestamp_tokens[1:])[0] + 1
-        if len(consecutive) > 0:
-            # complete (closed) segments inside this window
-            slices = consecutive.tolist()
-            if single_timestamp_ending:
-                slices.append(len(tokens))
-            last_slice = 0
-            for current_slice in slices:
-                sliced = tokens[last_slice:current_slice]
-                start_pos = int(sliced[0]) - ts_begin
-                end_pos = int(sliced[-1]) - ts_begin
-                new_segment(
-                    time_offset + start_pos * 0.02,
-                    time_offset + end_pos * 0.02,
-                    sliced,
-                )
-                last_slice = current_slice
-        else:
-            duration = segment_duration
-            ts = tokens[timestamp_tokens]
-            if len(ts) > 0 and int(ts[-1]) != ts_begin:
-                duration = (int(ts[-1]) - ts_begin) * 0.02
-            new_segment(time_offset, time_offset + duration, tokens)
+        for span_start, span_end, sliced in window_segment_spans(
+                tokens, ts_begin, time_offset, segment_duration):
+            new_segment(span_start, span_end, sliced)
         # advance by the shared openai rule (also used by batched serving's
         # speculative-seek verification)
         seek += seek_advance(tokens, ts_begin, segment_size)

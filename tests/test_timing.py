@@ -182,7 +182,9 @@ def test_device_alignment_matches_host_reference():
     heads = T.default_alignment_heads(cfg)
     li, hi = np.nonzero(heads)
 
-    for num_frames in (128, 100):  # full window + mid-filter cut
+    # full window, mid-filter cut, n_audio == medfilt_width (identity
+    # shortcut boundary), and an even sub-width window (n_audio = 4)
+    for num_frames in (128, 100, 14, 8):
         n_audio = max(1, num_frames // 2)
         # --- host reference (the pre-round-3 implementation) ---
         import jax.numpy as jnp
