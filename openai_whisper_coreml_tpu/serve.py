@@ -353,8 +353,9 @@ def _segments_from_result(cfg, r: DecodingResult, time_offset: float,
 
     tok = get_tokenizer(cfg, language=r.language if cfg.multilingual else None)
     tokens = np.asarray(r.tokens, dtype=np.int64)
-    if tokens.size == 0:
-        return []
+    # NB: an empty decode still yields one empty-text segment spanning the
+    # window — transcribe()'s loop does the same, and dropping it here would
+    # break batched-vs-sequential parity for windows that EOT immediately.
 
     def seg(start, end, toks):
         text_toks = [int(t) for t in toks if t < tok.eot]

@@ -191,3 +191,43 @@ def test_transcribe_encodes_each_window_once(model, speechy_audio):
     assert calls["n"] == n_windows
     # and word timings were actually produced
     assert any("words" in s for s in res["segments"])
+
+
+def test_window_segment_spans_rules():
+    """The shared in-window segmentation rule (transcribe + batched serve):
+    consecutive-timestamp pairs close segments; a single trailing timestamp
+    closes the final open one; no pair -> one whole-window segment ending at
+    the last non-zero timestamp; empty tokens -> one empty span."""
+    from openai_whisper_coreml_tpu.transcribe import window_segment_spans
+
+    tb = 100  # timestamp_begin for readability
+
+    # two closed segments: <|0.00|> a b <|1.00|><|1.00|> c <|2.00|><|2.00|>
+    toks = np.array([tb, 1, 2, tb + 50, tb + 50, 3, tb + 100, tb + 100])
+    spans = window_segment_spans(toks, tb, time_offset=10.0,
+                                 segment_duration=30.0)
+    assert [(s, e) for s, e, _ in spans] == [(10.0, 11.0), (11.0, 12.0)]
+    assert spans[0][2].tolist() == [tb, 1, 2, tb + 50]
+    # the trailing lone timestamp is NOT emitted as a segment
+    assert spans[1][2].tolist() == [tb + 50, 3, tb + 100]
+
+    # single trailing timestamp closes the open segment
+    toks = np.array([tb, 1, 2, tb + 50, tb + 50, 3, tb + 100])
+    spans = window_segment_spans(toks, tb, 0.0, 30.0)
+    assert [(s, e) for s, e, _ in spans] == [(0.0, 1.0), (1.0, 2.0)]
+
+    # no consecutive pair: end from the last non-zero timestamp
+    toks = np.array([tb, 1, 2, tb + 75])
+    spans = window_segment_spans(toks, tb, 0.0, 30.0)
+    assert [(s, e) for s, e, _ in spans] == [(0.0, 1.5)]
+    assert spans[0][2].tolist() == toks.tolist()
+
+    # no timestamps at all: segment_duration is the end
+    spans = window_segment_spans(np.array([1, 2, 3]), tb, 5.0, 7.5)
+    assert [(s, e) for s, e, _ in spans] == [(5.0, 12.5)]
+
+    # empty decode: one empty span covering the window (parity: transcribe's
+    # loop emits an empty segment, serve must not drop it)
+    spans = window_segment_spans(np.array([], dtype=np.int64), tb, 0.0, 30.0)
+    assert len(spans) == 1 and spans[0][:2] == (0.0, 30.0)
+    assert spans[0][2].size == 0
