@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler device trace here")
     p.add_argument("--no-condition-on-previous-text", action="store_true")
     p.add_argument("--initial-prompt", default=None)
+    p.add_argument("--clip-timestamps", default="0",
+                   help="comma-separated start,end,... offsets (s); only "
+                        "audio inside these clips is transcribed")
+    p.add_argument("--hallucination-silence-threshold", type=float,
+                   default=None,
+                   help="with --word-timestamps: skip silence longer than "
+                        "this (s) around likely hallucinated segments")
     p.add_argument("--compression-ratio-threshold", type=float, default=2.4)
     p.add_argument("--logprob-threshold", type=float, default=-1.0)
     p.add_argument("--no-speech-threshold", type=float, default=0.6)
@@ -77,6 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+
+    # an explicit JAX_PLATFORMS env var must win over the axon
+    # sitecustomize's config force-set (e.g. JAX_PLATFORMS=cpu for a
+    # host-only run while the TPU is busy)
+    from .utils.platform import sync_platform_from_env
+    sync_platform_from_env()
 
     import jax
     import jax.numpy as jnp
@@ -162,6 +175,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 initial_prompt=args.initial_prompt,
                 without_timestamps=args.without_timestamps,
                 word_timestamps=args.word_timestamps,
+                clip_timestamps=args.clip_timestamps,
+                hallucination_silence_threshold=(
+                    args.hallucination_silence_threshold),
                 verbose=args.verbose,
                 beam_size=args.beam_size,
                 patience=args.patience,

@@ -75,6 +75,17 @@ class _Window:
     result: Optional[DecodingResult] = None
 
 
+def _window_mel(mel: np.ndarray, seek: int, content_frames: int) -> np.ndarray:
+    """One window's mel, openai pad_or_trim semantics: slice only up to the
+    content end and ZERO-pad back to N_FRAMES (transcribe()'s loop does the
+    same — the silence-mel columns of the padded audio are not used)."""
+    size = max(0, min(N_FRAMES, content_frames - seek))
+    seg = mel[:, seek : seek + size]
+    if seg.shape[-1] < N_FRAMES:
+        seg = np.pad(seg, ((0, 0), (0, N_FRAMES - seg.shape[-1])))
+    return seg
+
+
 def _windows_for(audio: np.ndarray, n_mels: int, request_id: int,
                  mel: Optional[np.ndarray] = None) -> List[_Window]:
     n = len(audio)
@@ -86,7 +97,8 @@ def _windows_for(audio: np.ndarray, n_mels: int, request_id: int,
     content_frames = -(-n // HOP_LENGTH)  # == mel width minus the 30 s pad
     out = []
     for seek in range(0, max(content_frames, 1), N_FRAMES):
-        out.append(_Window(request_id, seek, mel[:, seek : seek + N_FRAMES]))
+        out.append(_Window(request_id, seek,
+                           _window_mel(mel, seek, content_frames)))
     return out
 
 
@@ -186,7 +198,7 @@ def transcribe_batch(
     decoded: Dict[tuple, DecodingResult] = {}
 
     def window_at(rid: int, seek: int) -> _Window:
-        return _Window(rid, seek, mels[rid][:, seek : seek + N_FRAMES])
+        return _Window(rid, seek, _window_mel(mels[rid], seek, content[rid]))
 
     def walk(rid: int):
         """Follow request rid's seek chain; returns (chain, missing_seek).
@@ -366,6 +378,13 @@ def _segments_from_result(cfg, r: DecodingResult, time_offset: float,
             compression_ratio=r.compression_ratio,
             no_speech_prob=r.no_speech_prob)
 
-    return [seg(start, end, toks) for start, end, toks in
+    segs = [seg(start, end, toks) for start, end, toks in
             window_segment_spans(tokens, cfg.timestamp_begin, time_offset,
                                  segment_duration)]
+    # openai clears instantaneous/text-less segments (transcribe()'s loop
+    # does the same; the cleared tokens also stay out of conditioning there)
+    for s in segs:
+        if s.start == s.end or not s.text.strip():
+            s.text = ""
+            s.tokens = []
+    return segs

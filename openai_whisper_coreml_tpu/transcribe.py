@@ -112,6 +112,50 @@ def window_segment_spans(tokens, ts_begin: int, time_offset: float,
     return spans
 
 
+# openai's hallucination heuristics (transcribe.py v20231117): a word is
+# anomalous when improbable or implausibly short/long; a segment is a
+# likely hallucination when its first non-punctuation words are mostly
+# anomalous. Reimplemented — openai-whisper is not importable here.
+_ANOMALY_PUNCTUATION = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
+
+
+def _word_anomaly_score(word: Dict[str, Any]) -> float:
+    probability = word.get("probability", 0.0)
+    duration = word["end"] - word["start"]
+    score = 0.0
+    if probability < 0.15:
+        score += 1.0
+    if duration < 0.133:
+        score += (0.133 - duration) * 15
+    if duration > 2.0:
+        score += duration - 2.0
+    return score
+
+
+def _is_segment_anomaly(segment) -> bool:
+    if segment is None or not getattr(segment, "words", None):
+        return False
+    words = [w for w in segment.words
+             if w["word"] not in _ANOMALY_PUNCTUATION][:8]
+    if not words:
+        return False
+    score = sum(_word_anomaly_score(w) for w in words)
+    return score >= 3 or score + 0.01 >= len(words)
+
+
+def _next_words_segment(segments):
+    return next((s for s in segments if getattr(s, "words", None)), None)
+
+
+def _get_end(segments) -> Optional[float]:
+    """Timestamp of the last spoken word, else the last segment end."""
+    return next(
+        (w["end"] for s in reversed(segments)
+         for w in reversed(getattr(s, "words", None) or [])),
+        segments[-1].end if segments else None,
+    )
+
+
 def transcribe(
     model,
     audio: Union[str, np.ndarray],
@@ -126,6 +170,8 @@ def transcribe(
     initial_prompt: Optional[str] = None,
     without_timestamps: bool = False,
     word_timestamps: bool = False,
+    clip_timestamps: Union[str, Sequence[float]] = "0",
+    hallucination_silence_threshold: Optional[float] = None,
     verbose: Optional[bool] = None,
     **decode_options,
 ) -> Dict[str, Any]:
@@ -133,6 +179,16 @@ def transcribe(
 
     Returns {"text", "segments", "language"} in the openai/whisper result
     schema.
+
+    clip_timestamps: comma-separated string or list of start,end,start,end,…
+    offsets in seconds — only audio inside these clips is transcribed (an
+    odd count gets the content end appended; offsets are clamped to the
+    audio). hallucination_silence_threshold (requires word_timestamps):
+    when a decoded segment looks like a hallucination by openai's
+    word-anomaly score, skip over surrounding silence longer than this many
+    seconds instead of keeping the segment. Both follow openai/whisper
+    transcribe.py (v20231117) semantics, reimplemented — openai-whisper is
+    not importable in this environment.
     """
     cfg = model.cfg
 
@@ -222,15 +278,46 @@ def transcribe(
         assert result is not None
         return result
 
-    seek = 0
     # one timestamp token step = 0.02 s = 2 mel frames (input stride)
     ts_begin = cfg.timestamp_begin
 
-    while seek < content_frames:
+    # --- clip windows (openai clip_timestamps semantics) ------------------
+    if isinstance(clip_timestamps, str):
+        clip_list = [float(ts) for ts in
+                     (clip_timestamps.split(",") if clip_timestamps else [])]
+    else:
+        clip_list = [float(ts) for ts in clip_timestamps]
+    seek_points = [
+        min(max(0, round(ts * FRAMES_PER_SECOND)), content_frames)
+        for ts in clip_list]
+    if len(seek_points) == 0:
+        seek_points = [0]
+    if len(seek_points) % 2 == 1:
+        seek_points.append(content_frames)
+    seek_clips = list(zip(seek_points[::2], seek_points[1::2]))
+
+    clip_idx = 0
+    seek = seek_clips[0][0]
+    last_speech_timestamp = 0.0
+
+    while clip_idx < len(seek_clips):
+        seek_clip_start, seek_clip_end = seek_clips[clip_idx]
+        if seek < seek_clip_start:
+            seek = seek_clip_start
+        if seek >= seek_clip_end:
+            clip_idx += 1
+            if clip_idx < len(seek_clips):
+                seek = seek_clips[clip_idx][0]
+            continue
         time_offset = seek / FRAMES_PER_SECOND
-        segment_mel = mel[:, seek : seek + N_FRAMES]
-        segment_size = min(N_FRAMES, content_frames - seek)
+        window_end_time = (seek + N_FRAMES) / FRAMES_PER_SECOND
+        segment_size = min(N_FRAMES, content_frames - seek,
+                           seek_clip_end - seek)
         segment_duration = segment_size / FRAMES_PER_SECOND
+        # openai slices the window at segment_size and ZERO-pads the mel
+        # back to N_FRAMES (pad_or_trim): a final partial window decodes
+        # against zero mel columns, NOT the silence-mel of the padded audio
+        segment_mel = mel[:, seek : seek + segment_size]
         if segment_mel.shape[-1] < N_FRAMES:
             segment_mel = np.pad(
                 segment_mel, ((0, 0), (0, N_FRAMES - segment_mel.shape[-1])))
@@ -273,6 +360,9 @@ def transcribe(
         # advance by the shared openai rule (also used by batched serving's
         # speculative-seek verification)
         seek += seek_advance(tokens, ts_begin, segment_size)
+        is_ts = tokens >= ts_begin
+        single_timestamp_ending = (
+            len(is_ts) >= 2 and not is_ts[-2] and is_ts[-1])
 
         if word_timestamps and current_segments:
             from .timing import add_word_timestamps_to_segments
@@ -281,11 +371,90 @@ def transcribe(
             add_word_timestamps_to_segments(
                 model, tokenizer, current_segments, segment_feats,
                 num_frames=segment_size, time_offset=time_offset)
+            if not single_timestamp_ending:
+                last_word_end = _get_end(current_segments)
+                if last_word_end is not None and last_word_end > time_offset:
+                    # the last word's end is a better seek point than the
+                    # last timestamp token (openai)
+                    seek = round(last_word_end * FRAMES_PER_SECOND)
+
+            # skip silence around likely hallucinations (openai rules)
+            if hallucination_silence_threshold is not None:
+                threshold = hallucination_silence_threshold
+                if not single_timestamp_ending:
+                    last_word_end = _get_end(current_segments)
+                    if (last_word_end is not None
+                            and last_word_end > time_offset):
+                        remaining = window_end_time - last_word_end
+                        if remaining > threshold:
+                            seek = round(last_word_end * FRAMES_PER_SECOND)
+                        else:
+                            seek = previous_seek + segment_size
+
+                # a hallucinated FIRST segment: drop the window and
+                # re-decode past the leading silence
+                first_segment = _next_words_segment(current_segments)
+                if (first_segment is not None
+                        and _is_segment_anomaly(first_segment)):
+                    gap = first_segment.start - time_offset
+                    if gap > threshold:
+                        seek = previous_seek + max(
+                            1, round(gap * FRAMES_PER_SECOND))
+                        continue
+
+                # a hallucination surrounded by silence (or by more
+                # hallucinations): re-seek to it, drop it and the tail
+                hal_last_end = last_speech_timestamp
+                for si, segment in enumerate(current_segments):
+                    if not getattr(segment, "words", None):
+                        continue
+                    if _is_segment_anomaly(segment):
+                        next_seg = _next_words_segment(
+                            current_segments[si + 1:])
+                        if next_seg is not None:
+                            hal_next_start = next_seg.words[0]["start"]
+                        else:
+                            hal_next_start = time_offset + segment_duration
+                        silence_before = (
+                            segment.start - hal_last_end > threshold
+                            or segment.start < threshold
+                            or segment.start - time_offset < 2.0)
+                        silence_after = (
+                            hal_next_start - segment.end > threshold
+                            or _is_segment_anomaly(next_seg)
+                            or window_end_time - segment.end < 2.0)
+                        if silence_before and silence_after:
+                            seek = round(
+                                max(time_offset + 1, segment.start)
+                                * FRAMES_PER_SECOND)
+                            if content_duration - segment.end < threshold:
+                                seek = content_frames
+                            del current_segments[si:]
+                            break
+                    hal_last_end = segment.end
+
+            last_word_end = _get_end(current_segments)
+            if last_word_end is not None:
+                last_speech_timestamp = last_word_end
+
+        if seek <= previous_seek:
+            # stall guard (openai has none and can re-decode the same
+            # window forever at temperature 0 when a word-end refinement
+            # rounds back to the window start): fall back to full advance
+            seek = previous_seek + segment_size
 
         if verbose:
             for seg in current_segments:
                 print(f"[{_fmt_time(seg.start)} --> {_fmt_time(seg.end)}]"
                       f" {seg.text}")
+
+        # openai: instantaneous or text-less segments are kept but emptied
+        # — their tokens must not condition later windows
+        for seg in current_segments:
+            if seg.start == seg.end or not seg.text.strip():
+                seg.text = ""
+                seg.tokens = []
+                seg.words = [] if word_timestamps else None
 
         all_segments.extend(current_segments)
         for seg in current_segments:

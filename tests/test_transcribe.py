@@ -231,3 +231,88 @@ def test_window_segment_spans_rules():
     spans = window_segment_spans(np.array([], dtype=np.int64), tb, 0.0, 30.0)
     assert len(spans) == 1 and spans[0][:2] == (0.0, 30.0)
     assert spans[0][2].size == 0
+
+
+def test_clip_timestamps_limits_transcription(model, speechy_audio):
+    """Only audio inside the clips is decoded; openai clip semantics
+    (string and list forms; odd count = open-ended final clip)."""
+    kw = dict(language="en", temperature=0.0, sample_len=12,
+              no_speech_threshold=None, logprob_threshold=None,
+              compression_ratio_threshold=None)
+    r = transcribe(model, speechy_audio, clip_timestamps="31,45", **kw)
+    assert r["segments"], "clip decoded nothing"
+    for seg in r["segments"]:
+        # window starts are clamped into the clip
+        assert seg["seek"] >= 3100 and seg["seek"] < 4500
+        assert seg["start"] >= 31.0 - 1e-6
+
+    # list form, open-ended (odd count): starts at 40 s, runs to the end
+    r2 = transcribe(model, speechy_audio, clip_timestamps=[40.0], **kw)
+    assert r2["segments"]
+    assert all(s["seek"] >= 4000 for s in r2["segments"])
+
+    # default clip == whole audio: identical to not passing clips
+    r3 = transcribe(model, speechy_audio, clip_timestamps="0", **kw)
+    r4 = transcribe(model, speechy_audio, **kw)
+    assert [s["tokens"] for s in r3["segments"]] == [
+        s["tokens"] for s in r4["segments"]]
+
+
+def test_hallucination_anomaly_helpers():
+    from openai_whisper_coreml_tpu.transcribe import (
+        Segment, _get_end, _is_segment_anomaly, _next_words_segment,
+        _word_anomaly_score)
+
+    def seg(words):
+        s = Segment(id=0, seek=0, start=0.0, end=1.0, text="x", tokens=[1],
+                    temperature=0.0, avg_logprob=-0.1, compression_ratio=1.0,
+                    no_speech_prob=0.0)
+        s.words = words
+        return s
+
+    def w(word, start, end, p):
+        return {"word": word, "start": start, "end": end, "probability": p}
+
+    # confident, normal-duration words: not anomalous
+    good = seg([w(" hello", 0.0, 0.4, 0.9), w(" world", 0.4, 0.9, 0.8)])
+    assert not _is_segment_anomaly(good)
+    # improbable + too-short words: anomalous (score >= len - 0.01)
+    bad = seg([w(" uh", 0.0, 0.05, 0.05), w(" uh", 0.05, 0.1, 0.05)])
+    assert _is_segment_anomaly(bad)
+    # punctuation-only words are excluded from scoring
+    assert not _is_segment_anomaly(seg([w(".", 0.0, 0.01, 0.01)]))
+    assert _is_segment_anomaly(None) is False
+
+    # per-word score components
+    assert _word_anomaly_score(w(" a", 0.0, 0.5, 0.5)) == 0.0
+    assert _word_anomaly_score(w(" a", 0.0, 0.5, 0.1)) == 1.0
+    assert _word_anomaly_score(w(" a", 0.0, 3.0, 0.5)) == pytest.approx(1.0)
+    short = _word_anomaly_score(w(" a", 0.0, 0.033, 0.5))
+    assert short == pytest.approx((0.133 - 0.033) * 15)
+
+    nosw = seg([])
+    nosw.words = None
+    assert _next_words_segment([nosw, good]) is good
+    assert _get_end([nosw, good]) == 0.9
+    assert _get_end([]) is None
+    # segments without words fall back to the last segment end
+    assert _get_end([nosw]) == 1.0
+
+
+@pytest.mark.parametrize("threshold", [None, 1.0])
+def test_word_timestamps_with_hallucination_threshold(model, speechy_audio,
+                                                      threshold):
+    """The word-timestamp seek refinement + hallucination skipping paths
+    terminate and produce schema-valid output on a multi-window file (random
+    weights make anomaly detection arbitrary — this pins the control flow,
+    incl. the stall guard; exact scoring is unit-tested above)."""
+    r = transcribe(model, speechy_audio[: 16000 * 35], language="en",
+                   temperature=0.0, sample_len=8, word_timestamps=True,
+                   hallucination_silence_threshold=threshold,
+                   no_speech_threshold=None, logprob_threshold=None,
+                   compression_ratio_threshold=None)
+    assert isinstance(r["text"], str)
+    for seg in r["segments"]:
+        assert "words" in seg
+        for word in seg["words"]:
+            assert word["end"] >= word["start"]
