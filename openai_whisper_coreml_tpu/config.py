@@ -170,6 +170,19 @@ CONFIGS = {
     "large-v3-turbo": _cfg("large-v3-turbo", 128, 51866, 1280, 20, 32, t_layer=4,
                            langs=100),
     "turbo": _cfg("turbo", 128, 51866, 1280, 20, 32, t_layer=4, langs=100),
+    # distil-whisper family (huggingface.co/distil-whisper): the teacher's
+    # encoder with a 2-layer decoder — the decode loop unrolls per t_layer,
+    # so these specialise to very short decode chains (same mechanism the
+    # turbo configs use). Checkpoints load through tools/convert.py's HF
+    # path (dims auto-detected and checked against this table).
+    "distil-large-v3": _cfg("distil-large-v3", 128, 51866, 1280, 20, 32,
+                            t_layer=2, langs=100),
+    "distil-large-v2": _cfg("distil-large-v2", 80, 51865, 1280, 20, 32,
+                            t_layer=2),
+    "distil-medium.en": _cfg("distil-medium.en", 80, 51864, 1024, 16, 24,
+                             t_layer=2, multilingual=False),
+    "distil-small.en": _cfg("distil-small.en", 80, 51864, 768, 12, 12,
+                            t_layer=4, multilingual=False),
 }
 
 

@@ -183,3 +183,43 @@ def test_flash_plus_mesh_loads():
 
     m = load_model("tiny", mesh=make_mesh(n_model=2), flash=True)
     assert m.flash and m.mesh is not None
+
+
+def test_all_named_configs_validate():
+    """Every CONFIGS entry (incl. the distil-whisper family) passes the
+    vocab-layout validation and exposes a coherent decode geometry."""
+    from openai_whisper_coreml_tpu.config import CONFIGS, get_config
+
+    for name in CONFIGS:
+        cfg = get_config(name)
+        assert cfg.n_text_layer >= 1
+        assert cfg.n_text_state == cfg.n_audio_state
+        if name.startswith("distil-"):
+            # distillation shrinks only the decoder
+            assert cfg.n_text_layer < cfg.n_audio_layer
+
+
+def test_distil_config_decodes():
+    """A distil-shaped config (deep encoder, 2-layer decoder) runs the full
+    jitted greedy decode path — the unrolled decode_step specialises on
+    n_text_layer, so asymmetric depth must not be assumed equal anywhere."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from openai_whisper_coreml_tpu.config import tiny_test_config
+    from openai_whisper_coreml_tpu.decoding import DecodingOptions, decode
+    from openai_whisper_coreml_tpu.models.whisper import WhisperModel
+    from openai_whisper_coreml_tpu.params import init_params
+
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=4,
+                           n_audio_ctx=64, n_text_ctx=96)
+    cfg = dataclasses.replace(cfg, n_text_layer=2)
+    cfg.validate()
+    model = WhisperModel(cfg=cfg, params=init_params(cfg, jax.random.PRNGKey(0)))
+    feats = np.random.default_rng(0).standard_normal(
+        (2, 64, 64)).astype(np.float32)
+    res = decode(model, feats, DecodingOptions(language="en", sample_len=8),
+                 from_features=True)
+    assert len(res) == 2 and all(len(r.tokens) >= 0 for r in res)
