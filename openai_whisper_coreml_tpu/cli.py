@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler device trace here")
     p.add_argument("--no-condition-on-previous-text", action="store_true")
     p.add_argument("--initial-prompt", default=None)
+    p.add_argument("--carry-initial-prompt", action="store_true",
+                   help="prepend --initial-prompt to every window's prompt "
+                        "instead of only the first")
     p.add_argument("--clip-timestamps", default="0",
                    help="comma-separated start,end,... offsets (s); only "
                         "audio inside these clips is transcribed")
@@ -173,6 +176,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 no_speech_threshold=args.no_speech_threshold,
                 condition_on_previous_text=not args.no_condition_on_previous_text,
                 initial_prompt=args.initial_prompt,
+                carry_initial_prompt=args.carry_initial_prompt,
                 without_timestamps=args.without_timestamps,
                 word_timestamps=args.word_timestamps,
                 clip_timestamps=args.clip_timestamps,

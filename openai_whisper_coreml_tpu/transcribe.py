@@ -168,6 +168,7 @@ def transcribe(
     no_speech_threshold: Optional[float] = 0.6,
     condition_on_previous_text: bool = True,
     initial_prompt: Optional[str] = None,
+    carry_initial_prompt: bool = False,
     without_timestamps: bool = False,
     word_timestamps: bool = False,
     clip_timestamps: Union[str, Sequence[float]] = "0",
@@ -179,6 +180,11 @@ def transcribe(
 
     Returns {"text", "segments", "language"} in the openai/whisper result
     schema.
+
+    carry_initial_prompt: prepend initial_prompt to EVERY window's prompt
+    (openai v20240930) instead of conditioning only the first window; the
+    carried prefix plus the rolling context are bounded to the decoder's
+    n_text_ctx//2 - 1 prompt budget.
 
     clip_timestamps: comma-separated string or list of start,end,start,end,…
     offsets in seconds — only audio inside these clips is transcribed (an
@@ -235,9 +241,11 @@ def transcribe(
     all_segments: List[Segment] = []
     prompt_reset_since = 0
 
+    remaining_prompt_length = cfg.n_text_ctx // 2 - 1
     if initial_prompt is not None:
         initial_prompt_tokens = tokenizer.encode(" " + initial_prompt.strip())
         all_tokens.extend(initial_prompt_tokens)
+        remaining_prompt_length -= len(initial_prompt_tokens)
     else:
         initial_prompt_tokens = []
 
@@ -247,16 +255,25 @@ def transcribe(
         it (round-2 verdict: the old mel-in signature re-ran the encoder per
         retry and again for word timestamps)."""
         result: Optional[DecodingResult] = None
+        if carry_initial_prompt:
+            # openai v20240930: the initial prompt rides along in EVERY
+            # window, ahead of a budget-bounded rolling context tail
+            nignored = max(len(initial_prompt_tokens), prompt_reset_since)
+            remaining = (all_tokens[nignored:][-remaining_prompt_length:]
+                         if remaining_prompt_length > 0 else [])
+            prompt = initial_prompt_tokens + remaining
+        else:
+            # always the tail since the last reset (openai): with
+            # conditioning OFF the reset advances after every window,
+            # so the initial_prompt conditions only window 1 — re-
+            # feeding it to every window diverges from openai
+            prompt = all_tokens[prompt_reset_since:]
         for t in temperatures:
             opts = DecodingOptions(
                 task=task,
                 language=language if cfg.multilingual else None,
                 temperature=float(t),
-                # always the tail since the last reset (openai): with
-                # conditioning OFF the reset advances after every window,
-                # so the initial_prompt conditions only window 1 — re-
-                # feeding it to every window diverges from openai
-                prompt=all_tokens[prompt_reset_since:] or None,
+                prompt=prompt or None,
                 without_timestamps=without_timestamps,
                 **decode_options,
             )

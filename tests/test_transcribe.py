@@ -316,3 +316,44 @@ def test_word_timestamps_with_hallucination_threshold(model, speechy_audio,
         assert "words" in seg
         for word in seg["words"]:
             assert word["end"] >= word["start"]
+
+
+def test_carry_initial_prompt(model, speechy_audio, monkeypatch):
+    """carry_initial_prompt=True feeds the initial prompt to EVERY window
+    (bounded to the n_text_ctx//2-1 budget); False conditions window 1
+    only. Verified by intercepting the prompts decode() receives."""
+    from openai_whisper_coreml_tpu import decoding as D
+    from openai_whisper_coreml_tpu.tokenizer import get_tokenizer
+
+    tok = get_tokenizer(model.cfg, language="en")
+    initial = tok.encode(" glossary: TPU, XLA")
+    seen_prompts = []
+    real_decode = D.decode
+
+    def spy(model_, feats, opts, **kw):
+        seen_prompts.append(list(opts.prompt) if opts.prompt else [])
+        return real_decode(model_, feats, opts, **kw)
+
+    monkeypatch.setattr("openai_whisper_coreml_tpu.transcribe.decode", spy)
+    kw = dict(language="en", temperature=0.0, sample_len=8,
+              initial_prompt="glossary: TPU, XLA",
+              no_speech_threshold=None, logprob_threshold=None,
+              compression_ratio_threshold=None)
+    audio = speechy_audio[: 16000 * 65]  # 3 windows
+
+    transcribe(model, audio, carry_initial_prompt=True, **kw)
+    carried = list(seen_prompts)
+    seen_prompts.clear()
+    transcribe(model, audio, carry_initial_prompt=False, **kw)
+    plain = list(seen_prompts)
+
+    budget = model.cfg.n_text_ctx // 2 - 1
+    assert len(carried) >= 2 and len(plain) >= 2
+    for p in carried:
+        assert p[: len(initial)] == initial  # every window starts with it
+        assert len(p) <= budget
+    # non-carried: window 1's prompt is exactly the initial prompt; later
+    # windows get the unbounded rolling tail (which may grow past budget —
+    # decoding truncates internally)
+    assert plain[0] == initial
+    assert all(len(p) >= len(plain[0]) for p in plain[1:])
