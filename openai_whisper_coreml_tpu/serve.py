@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Any, Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -58,6 +58,10 @@ class ServeOptions:
     refill_size: Optional[int] = None  # default: batch_size // 4
     kv_dtype: str = "bf16"  # "int8": quantised cross-KV (decoding.py)
     cache_dtype: str = "bf16"  # "int8": quantised self-attention cache
+    # attach per-word timings to every segment (device-side alignment core,
+    # timing.py): windows are re-encoded in batched encoder calls after the
+    # seek chains are verified, then aligned per window
+    word_timestamps: bool = False
 
     def __post_init__(self):
         # scalar temperature is valid everywhere transcribe() accepts one
@@ -65,6 +69,10 @@ class ServeOptions:
         # shape the decode loops iterate
         if isinstance(self.temperature, (int, float)):
             self.temperature = (float(self.temperature),)
+        if self.word_timestamps and self.without_timestamps:
+            raise ValueError(
+                "word_timestamps requires timestamps (without_timestamps "
+                "must be False)")
 
 
 @dataclasses.dataclass
@@ -243,7 +251,8 @@ def transcribe_batch(
             break
 
     chains = [walk(rid)[0] for rid in range(len(arrays))]
-    return _reassemble(model, arrays, chains, options)
+    return _reassemble(model, arrays, chains, options, mels=mels,
+                       content=content)
 
 
 def _decode_windows_static(model, windows: List[_Window],
@@ -308,15 +317,20 @@ def _window_skipped(r: DecodingResult, options: ServeOptions) -> bool:
                      and r.avg_logprob > options.logprob_threshold))
 
 
-def _reassemble(model, arrays, chains, options) -> List[Dict[str, Any]]:
+def _reassemble(model, arrays, chains, options,
+                mels: Optional[List[np.ndarray]] = None,
+                content: Optional[List[int]] = None) -> List[Dict[str, Any]]:
     """Stitch each request's verified seek chain into per-request outputs.
 
     chains[rid]: ordered (seek, DecodingResult, segment_size) entries from
     the speculative-seek walk — the same windows transcribe() would decode.
+    mels/content back the optional word-timestamp pass (windows are
+    re-encoded in batched encoder calls, then aligned per window on device).
     """
     out: List[Dict[str, Any]] = []
     for rid, arr in enumerate(arrays):
         segs: List[Segment] = []
+        align_jobs: List[Tuple[List[Segment], int, int]] = []
         language_votes: Dict[str, float] = {}
         for seek, r, seg_size in chains[rid]:
             if r is None:
@@ -333,14 +347,20 @@ def _reassemble(model, arrays, chains, options) -> List[Dict[str, Any]]:
             if _window_skipped(r, options):
                 continue
             time_offset = seek / FRAMES_PER_SECOND
-            segs.extend(_segments_from_result(
+            win_segs = _segments_from_result(
                 model.cfg, r, time_offset, seek,
-                segment_duration=seg_size / FRAMES_PER_SECOND))
+                segment_duration=seg_size / FRAMES_PER_SECOND)
+            segs.extend(win_segs)
+            if options.word_timestamps and win_segs:
+                align_jobs.append((win_segs, seek, seg_size))
         for i, s in enumerate(segs):
             s.id = i
         language = (options.language
                     or (max(language_votes, key=language_votes.get)
                         if language_votes else "en"))
+        if align_jobs and mels is not None:
+            _align_words(model, align_jobs, mels[rid],
+                         content[rid], language, options)
         out.append({
             "text": "".join(s.text for s in segs),
             "segments": [s.to_dict() for s in segs],
@@ -348,6 +368,33 @@ def _reassemble(model, arrays, chains, options) -> List[Dict[str, Any]]:
             "duration": len(arr) / 16_000,
         })
     return out
+
+
+def _align_words(model, align_jobs, mel: np.ndarray, content_frames: int,
+                 language: str, options: ServeOptions) -> None:
+    """Word-timestamp pass for one request: re-encode its decoded windows
+    in fixed-size batched encoder calls (the decode rounds do not retain
+    features — at large-v3 that would hold ~7 MB bf16 per in-flight window),
+    then run the device-side alignment core per window
+    (timing.add_word_timestamps_to_segments)."""
+    from .timing import add_word_timestamps_to_segments
+    from .tokenizer import get_tokenizer
+
+    tok = get_tokenizer(
+        model.cfg, language=language if model.cfg.multilingual else None)
+    bs = options.batch_size
+    for start in range(0, len(align_jobs), bs):
+        chunk = align_jobs[start : start + bs]
+        stack = np.stack([_window_mel(mel, seek, content_frames)
+                          for _, seek, _ in chunk], axis=0)
+        if len(chunk) < bs:  # repeat-pad: one compiled encoder graph
+            pad = np.repeat(stack[-1:], bs - len(chunk), axis=0)
+            stack = np.concatenate([stack, pad], axis=0)
+        feats = model.encode(stack)
+        for i, (win_segs, seek, seg_size) in enumerate(chunk):
+            add_word_timestamps_to_segments(
+                model, tok, win_segs, feats[i], num_frames=seg_size,
+                time_offset=seek / FRAMES_PER_SECOND)
 
 
 def _segments_from_result(cfg, r: DecodingResult, time_offset: float,

@@ -319,6 +319,8 @@ class WhisperHTTPServer:
                     options["sample_len"] = int(qs["sample_len"])
                 if qs.get("without_timestamps") in ("1", "true"):
                     options["without_timestamps"] = True
+                if qs.get("word_timestamps") in ("1", "true"):
+                    options["word_timestamps"] = True
                 if "no_speech_threshold" in qs:
                     v = qs["no_speech_threshold"]
                     options["no_speech_threshold"] = (None if v == "none"

@@ -119,3 +119,47 @@ def test_transcribe_batch_multi_request(model):
     # segment ended)
     seeks = {s["seek"] for s in results[1]["segments"]}
     assert len(seeks) >= 2 and max(seeks) > 0
+
+
+def test_transcribe_batch_word_timestamps(model):
+    """ServeOptions(word_timestamps=True): every non-empty segment carries
+    monotone per-word timings inside its window; timings match running the
+    alignment core on the same window directly (windows are re-encoded in
+    batched encoder calls — the decode rounds drop features)."""
+    from openai_whisper_coreml_tpu.serve import ServeOptions, transcribe_batch
+
+    rng = np.random.default_rng(3)
+    audios = [
+        (0.2 * rng.standard_normal(16000 * 3)).astype(np.float32),
+        (0.2 * rng.standard_normal(16000 * 33)).astype(np.float32),
+    ]
+    opts = dict(batch_size=2, language="en", sample_len=8,
+                no_speech_threshold=None, logprob_threshold=None,
+                compression_ratio_threshold=None, temperature=(0.0,))
+    results = transcribe_batch(model, audios,
+                               ServeOptions(word_timestamps=True, **opts))
+    plain = transcribe_batch(model, audios, ServeOptions(**opts))
+
+    n_words = 0
+    for r, p in zip(results, plain):
+        # decode itself is unchanged by the alignment pass
+        assert [s["tokens"] for s in r["segments"]] == [
+            s["tokens"] for s in p["segments"]]
+        for seg in r["segments"]:
+            if not seg["text"]:
+                continue
+            assert "words" in seg, seg
+            window_start = seg["seek"] / 100.0
+            for w in seg["words"]:
+                n_words += 1
+                assert w["end"] >= w["start"] >= window_start
+        for seg in p["segments"]:
+            assert "words" not in seg
+    assert n_words > 0
+
+
+def test_serve_options_word_timestamps_validation():
+    from openai_whisper_coreml_tpu.serve import ServeOptions
+
+    with pytest.raises(ValueError, match="word_timestamps"):
+        ServeOptions(word_timestamps=True, without_timestamps=True)
