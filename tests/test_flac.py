@@ -9,6 +9,7 @@ the native decoder. Real-corpus validation additionally joins
 tools/validate_real.py once LibriSpeech assets exist.
 """
 
+import os
 import numpy as np
 import pytest
 
@@ -405,3 +406,54 @@ def test_flac_huge_total_samples_header(tmp_path):
     p.write_bytes(out)
     dec = _decode(str(p))
     np.testing.assert_allclose(dec, pcm / 32768.0, atol=1e-7)
+
+
+def test_flac_mutation_fuzz_no_crash(tmp_path, rng):
+    """Byte-mutation fuzz: mutated/truncated FLAC files may be rejected but
+    must never crash the process (the decoder runs in a SUBPROCESS so a
+    segfault/abort in native code fails this test instead of killing
+    pytest). Guards the class of bugs behind the round-2 advisor findings
+    (partition-order underflow, unclamped STREAMINFO reserve)."""
+    _native()
+    pcm = (rng.integers(-32768, 32768, 4096)).astype(np.int64)
+    seeds = {
+        "verbatim": _encode_flac_mono(pcm, 16_000, 1024, "verbatim"),
+        "fixed2": _encode_flac_mono(pcm, 16_000, 1024, "fixed2"),
+    }
+    paths = []
+    n_per_seed = 40
+    for name, raw in seeds.items():
+        raw = bytearray(raw)
+        for i in range(n_per_seed):
+            mutated = bytearray(raw)
+            for _ in range(int(rng.integers(1, 8))):
+                pos = int(rng.integers(0, len(mutated)))
+                mutated[pos] = int(rng.integers(0, 256))
+            if i % 5 == 0:  # also truncate sometimes
+                mutated = mutated[: int(rng.integers(8, len(mutated)))]
+            p = tmp_path / f"fuzz_{name}_{i}.flac"
+            p.write_bytes(bytes(mutated))
+            paths.append(str(p))
+
+    code = (
+        "import sys\n"
+        "from openai_whisper_coreml_tpu.utils.audio_io import load_audio\n"
+        "ok = rej = 0\n"
+        "for p in sys.argv[1:]:\n"
+        "    try:\n"
+        "        load_audio(p)\n"
+        "        ok += 1\n"
+        "    except Exception:\n"
+        "        rej += 1\n"
+        "print(f'fuzz done ok={ok} rejected={rej}')\n"
+    )
+    import subprocess
+    import sys
+
+    proc = subprocess.run([sys.executable, "-c", code, *paths],
+                          capture_output=True, text=True, timeout=600,
+                          cwd=os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))))
+    assert proc.returncode == 0, (
+        f"decoder crashed (rc={proc.returncode}):\n{proc.stderr[-2000:]}")
+    assert "fuzz done" in proc.stdout
