@@ -61,6 +61,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compression-ratio-threshold", type=float, default=2.4)
     p.add_argument("--logprob-threshold", type=float, default=-1.0)
     p.add_argument("--no-speech-threshold", type=float, default=0.6)
+    p.add_argument("--highlight-words", action="store_true",
+                   help="srt/vtt: one cue per word, active word underlined "
+                        "(needs --word-timestamps)")
+    p.add_argument("--max-line-width", type=int, default=None,
+                   help="srt/vtt: wrap subtitle lines at this many chars "
+                        "(needs --word-timestamps)")
+    p.add_argument("--max-line-count", type=int, default=None,
+                   help="srt/vtt: max lines per subtitle")
+    p.add_argument("--max-words-per-line", type=int, default=None,
+                   help="srt/vtt: max words per line")
     p.add_argument("--output-dir", "-o", default=".")
     p.add_argument("--output-format", "-f", default="txt",
                    choices=("txt", "srt", "vtt", "tsv", "json", "all"))
@@ -190,7 +200,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                 cache_dtype=args.cache_dtype,
             )
         elapsed = time.time() - t0
-        out = write_result(result, path, args.output_dir, args.output_format)
+        out = write_result(result, path, args.output_dir, args.output_format,
+                           highlight_words=args.highlight_words,
+                           max_line_width=args.max_line_width,
+                           max_line_count=args.max_line_count,
+                           max_words_per_line=args.max_words_per_line)
         rtfx = duration / elapsed if elapsed > 0 else float("inf")
         print(f"{path}: {duration:.1f}s audio in {elapsed:.1f}s "
               f"({rtfx:.1f}x realtime) -> {out}", file=sys.stderr)

@@ -357,3 +357,45 @@ def test_carry_initial_prompt(model, speechy_audio, monkeypatch):
     # decoding truncates internally)
     assert plain[0] == initial
     assert all(len(p) >= len(plain[0]) for p in plain[1:])
+
+
+def test_writer_word_level_subtitles():
+    """srt/vtt word-level options (openai utils.py semantics): line wrap at
+    max_line_width, subtitle close at max_line_count, per-word highlight
+    cues with <u>."""
+    result = {
+        "text": " alpha beta gamma delta",
+        "segments": [{
+            "id": 0, "seek": 0, "start": 0.0, "end": 2.0,
+            "text": " alpha beta gamma delta", "tokens": [],
+            "words": [
+                {"word": " alpha", "start": 0.0, "end": 0.5, "probability": 0.9},
+                {"word": " beta", "start": 0.5, "end": 1.0, "probability": 0.9},
+                {"word": " gamma", "start": 1.0, "end": 1.5, "probability": 0.9},
+                {"word": " delta", "start": 1.5, "end": 2.0, "probability": 0.9},
+            ],
+        }],
+        "language": "en", "duration": 2.0,
+    }
+    buf = io.StringIO()
+    writers.write_srt(result, buf, max_line_width=10, max_line_count=2)
+    cues = buf.getvalue().strip().split("\n\n")
+    # line 1 "alpha beta" (10 ch), line 2 "gamma"; " delta" overflows with
+    # line_count at max_line_count -> new subtitle
+    assert len(cues) == 2
+    assert "alpha beta\ngamma" in cues[0]
+    assert "delta" in cues[1]
+
+    buf = io.StringIO()
+    writers.write_vtt(result, buf, highlight_words=True)
+    out = buf.getvalue()
+    # one cue per word, each with exactly one underlined word
+    assert out.count("<u>") == 4
+    assert "<u>beta</u>" in out
+    # timestamps advance word by word
+    assert "00:00:00.500 --> 00:00:01.000" in out
+
+    # without word options the writer is segment-level (back-compat)
+    buf = io.StringIO()
+    writers.write_srt(result, buf)
+    assert buf.getvalue().count("-->") == 1
