@@ -168,13 +168,31 @@ def load_model(
                                   restored["params"])
         else:
             params = load_params(checkpoint, cfg=cfg, dtype=dtype)
+        prequantized = None
         if checkpoint.endswith(".safetensors"):
             meta = read_metadata(checkpoint)
+            prequantized = meta.get("quantized")
             if meta.get("alignment_heads"):
                 from ..timing import load_alignment_heads
 
                 alignment_heads = load_alignment_heads(
                     meta["alignment_heads"], cfg)
+        if prequantized:
+            # int8 serving checkpoint (tools/convert --quantize int8 or
+            # checkpoint.save_params on a quantized tree): already in w_q/
+            # scale form — requesting quantize="int8" is satisfied, and
+            # re-quantizing must be skipped
+            if quantize not in (None, prequantized):
+                raise ValueError(
+                    f"checkpoint is pre-quantized ({prequantized}); "
+                    f"quantize={quantize!r} cannot apply")
+            if mesh is not None:
+                raise ValueError(
+                    "pre-quantized checkpoints cannot be TP-sharded (param "
+                    "shardings are defined on the float tree; load the "
+                    "float checkpoint with quantize='int8' instead — "
+                    "shard-then-quantize keeps w_q/scale sharded)")
+            quantize = None
     else:
         params = init_params(cfg, jax.random.PRNGKey(seed), dtype=dtype)
     if mesh is not None:

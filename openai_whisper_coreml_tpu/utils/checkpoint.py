@@ -54,6 +54,10 @@ def save_params(params: Params, path: str, *, model_name: str = "",
     flat = {k: (v.astype(np.float32) if v.dtype == jnp.bfloat16 else v)
             for k, v in flat.items()}
     meta = {"format": "whisper-tpu-v1", "model": model_name}
+    if any(k.endswith("/w_q") for k in flat):
+        # int8 serving checkpoint (quantize.quantize_params tree): loaders
+        # must keep w_q int8 and skip re-quantization
+        meta["quantized"] = "int8"
     meta.update(extra_meta or {})
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     save_file(flat, path, metadata=meta)
@@ -69,12 +73,23 @@ def read_metadata(path: str) -> Dict[str, str]:
 
 
 def load_params(path: str, *, cfg=None, dtype=jnp.float32) -> Params:
-    """Load a checkpoint saved by save_params (or convert via tools/convert)."""
+    """Load a checkpoint saved by save_params (or convert via tools/convert).
+
+    Quantized (int8) checkpoints round-trip: `w_q` stays int8 and the
+    per-channel `scale` stays fp32 regardless of the requested compute
+    dtype — only float weights/biases are cast."""
     from safetensors.numpy import load_file
 
-    flat = load_file(path)
-    params = unflatten_params(dict(flat))
-    params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    flat = {}
+    for k, v in load_file(path).items():
+        if k.endswith("/w_q"):
+            arr = jnp.asarray(v)  # int8
+        elif k.endswith("/scale"):
+            arr = jnp.asarray(v, jnp.float32)
+        else:
+            arr = jnp.asarray(v, dtype)
+        flat[k] = arr
+    params = unflatten_params(flat)
     if cfg is not None:
         _validate_shapes(params, cfg)
     return params
@@ -86,7 +101,8 @@ def _validate_shapes(params: Params, cfg) -> None:
         raise ValueError(
             f"checkpoint/config mismatch: token_embedding {emb.shape} != "
             f"({cfg.n_vocab}, {cfg.n_text_state}) for model {cfg.name!r}")
-    n_layers = params["decoder"]["blocks"]["attn"]["q"]["w"].shape[0]
+    q = params["decoder"]["blocks"]["attn"]["q"]
+    n_layers = (q["w"] if "w" in q else q["w_q"]).shape[0]
     if n_layers != cfg.n_text_layer:
         raise ValueError(
             f"checkpoint has {n_layers} decoder layers, config expects "

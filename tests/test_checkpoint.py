@@ -223,3 +223,94 @@ def test_distil_config_decodes():
     res = decode(model, feats, DecodingOptions(language="en", sample_len=8),
                  from_features=True)
     assert len(res) == 2 and all(len(r.tokens) >= 0 for r in res)
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    """int8 serving checkpoints round-trip bit-exactly: w_q stays int8,
+    scales stay fp32, metadata marks the file, and load_model skips
+    re-quantization (teacher-forced logits identical to quantize-at-load)."""
+    import jax.numpy as jnp
+
+    from openai_whisper_coreml_tpu.models.whisper import load_model
+    from openai_whisper_coreml_tpu.quantize import quantize_params
+    from openai_whisper_coreml_tpu.utils.checkpoint import (
+        load_params, read_metadata, save_params)
+
+    # float tiny checkpoint on disk
+    base = load_model("tiny", dtype=jnp.float32, seed=7)
+    fpath = str(tmp_path / "tiny_f32.safetensors")
+    save_params(base.params, fpath, model_name="tiny")
+    assert "quantized" not in read_metadata(fpath)
+
+    # quantized checkpoint written from the same weights
+    qparams = quantize_params(base.params)
+    qpath = str(tmp_path / "tiny_int8.safetensors")
+    save_params(qparams, qpath, model_name="tiny")
+    assert read_metadata(qpath)["quantized"] == "int8"
+
+    loaded = load_params(qpath, cfg=base.cfg, dtype=jnp.float32)
+    qleaf = loaded["decoder"]["blocks"]["attn"]["q"]
+    assert qleaf["w_q"].dtype == jnp.int8
+    assert qleaf["scale"].dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(qleaf["w_q"]),
+        np.asarray(qparams["decoder"]["blocks"]["attn"]["q"]["w_q"]))
+
+    # load_model: prequantized checkpoint == quantize-at-load, exactly
+    m_pre = load_model("tiny", dtype=jnp.float32, checkpoint=qpath,
+                       quantize="int8")  # satisfied by the checkpoint
+    m_live = load_model("tiny", dtype=jnp.float32, checkpoint=fpath,
+                        quantize="int8")
+    toks = np.array([[m_pre.cfg.sot_token, 1, 2]], np.int32)
+    feats = np.random.default_rng(0).standard_normal(
+        (1, 1500, base.cfg.n_audio_state)).astype(np.float32) * 0.1
+    lg_pre = np.asarray(m_pre.logits(toks, feats))
+    lg_live = np.asarray(m_live.logits(toks, feats))
+    np.testing.assert_array_equal(lg_pre, lg_live)
+
+    # conflicting / unsupported combinations are rejected
+    with pytest.raises(ValueError, match="pre-quantized"):
+        load_model("tiny", checkpoint=qpath, quantize="fp4")
+    from openai_whisper_coreml_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="TP-sharded"):
+        load_model("tiny", checkpoint=qpath, mesh=mesh)
+
+
+def test_convert_tool_native_requantize(tmp_path):
+    """convert.py accepts this framework's own float checkpoints as input
+    (whisper-tpu-v1 metadata sniff) so an int8 serving checkpoint can be
+    produced without the original torch source; double-quantize is refused."""
+    from openai_whisper_coreml_tpu.models.whisper import load_model
+    from openai_whisper_coreml_tpu.utils.checkpoint import read_metadata
+
+    base = load_model("tiny", dtype=jnp.float32, seed=11)
+    fpath = str(tmp_path / "tiny_f.safetensors")
+    save_params(base.params, fpath, model_name="tiny")
+
+    out = str(tmp_path / "tiny_q.safetensors")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "convert.py"),
+         "--input", fpath, "--output", out, "--quantize", "int8"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    assert read_metadata(out)["quantized"] == "int8"
+
+    m_conv = load_model("tiny", dtype=jnp.float32, checkpoint=out,
+                        quantize="int8")
+    m_live = load_model("tiny", dtype=jnp.float32, checkpoint=fpath,
+                        quantize="int8")
+    toks = np.array([[base.cfg.sot_token, 1, 2]], np.int32)
+    feats = np.random.default_rng(1).standard_normal(
+        (1, 1500, base.cfg.n_audio_state)).astype(np.float32) * 0.1
+    np.testing.assert_array_equal(np.asarray(m_conv.logits(toks, feats)),
+                                  np.asarray(m_live.logits(toks, feats)))
+
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "convert.py"),
+         "--input", out, "--output", str(tmp_path / "x.safetensors"),
+         "--quantize", "int8"],
+        capture_output=True, text=True, env=env)
+    assert r2.returncode != 0 and "already an int8" in r2.stderr

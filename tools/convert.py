@@ -11,6 +11,8 @@ Supported inputs:
   * openai/whisper .pt files (the dict with "dims" and "model_state_dict")
   * HuggingFace checkpoints: a directory containing model.safetensors (or
     pytorch_model.bin) for Whisper* models
+  * this framework's own float checkpoints (whisper-tpu-v1 safetensors),
+    e.g. to re-write one as an int8 serving checkpoint via --quantize
 
 Usage:
   python tools/convert.py --input small.pt --output ckpts/small.safetensors
@@ -74,6 +76,14 @@ def load_state_dict(path: str):
         raise FileNotFoundError(f"no model weights found under {path}")
 
     if path.endswith(".safetensors"):
+        from openai_whisper_coreml_tpu.utils.checkpoint import read_metadata
+
+        meta = read_metadata(path)
+        if meta.get("format") == "whisper-tpu-v1":
+            # already in this framework's format (e.g. re-converting a float
+            # checkpoint to an int8 serving checkpoint): load as-is
+            return meta, meta.get("model") or None, "native"
+
         from safetensors.torch import load_file
 
         sd = load_file(path)
@@ -107,6 +117,10 @@ def main(argv=None) -> int:
     ap.add_argument("--output", required=True, help="output .safetensors path")
     ap.add_argument("--dtype", choices=("float32", "bfloat16"),
                     default="float32")
+    ap.add_argument("--quantize", choices=("int8",), default=None,
+                    help="write an int8 serving checkpoint (w_q + per-"
+                         "channel scales; ~4x smaller than fp32, no "
+                         "quantization work at load time)")
     args = ap.parse_args(argv)
 
     from openai_whisper_coreml_tpu.utils.platform import sync_platform_from_env
@@ -139,12 +153,22 @@ def main(argv=None) -> int:
     cfg = get_config(name)
     dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
 
-    if fmt == "hf":
+    if fmt == "native":
+        from openai_whisper_coreml_tpu.utils.checkpoint import load_params
+
+        if sd.get("quantized"):
+            raise SystemExit(
+                f"{args.input} is already an int8 serving checkpoint; "
+                "re-convert from the float checkpoint instead")
+        params = load_params(args.input, cfg=cfg, dtype=dtype)
+    elif fmt == "hf":
         params = params_from_hf_state_dict(cfg, sd, dtype=dtype)
     else:
         params = params_from_openai_state_dict(cfg, sd, dtype=dtype)
 
     extra = {"source_format": fmt, "dtype": args.dtype}
+    if fmt == "native" and sd.get("alignment_heads"):
+        extra["alignment_heads"] = sd["alignment_heads"]
     # HF checkpoints ship per-model alignment heads (word-timestamp quality)
     # in generation_config.json — carry them into the checkpoint metadata
     if os.path.isdir(args.input):
@@ -157,9 +181,15 @@ def main(argv=None) -> int:
             if gc.get("alignment_heads"):
                 extra["alignment_heads"] = json.dumps(gc["alignment_heads"])
 
+    if args.quantize == "int8":
+        from openai_whisper_coreml_tpu.quantize import quantize_params
+
+        params = quantize_params(params)
+
     save_params(params, args.output, model_name=name, extra_meta=extra)
     print(f"wrote {args.output}: {name} ({count_params(params)/1e6:.1f}M "
-          f"params, {fmt} source)")
+          f"params, {fmt} source"
+          + (", int8-quantized" if args.quantize else "") + ")")
     return 0
 
 
