@@ -35,10 +35,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="language code; default: auto-detect")
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--temperature-increment-on-fallback", type=float, default=0.2)
+    p.add_argument("--best-of", type=int, default=None,
+                   help="number of sampling candidates at temperature > 0")
     p.add_argument("--beam-size", type=int, default=None)
     p.add_argument("--patience", type=float, default=None)
     p.add_argument("--length-penalty", type=float, default=None)
+    p.add_argument("--suppress-tokens", default="-1",
+                   help="comma-separated token ids to suppress; "
+                        "'-1' = openai non-speech set")
     p.add_argument("--without-timestamps", action="store_true")
+    p.add_argument("--prepend-punctuations",
+                   default="\"'\u201c\u00bf([{-",
+                   help="punctuation merged with the NEXT word "
+                        "(word timestamps)")
+    p.add_argument("--append-punctuations",
+                   default="\"'.\u3002,\uff0c!\uff01?\uff1f:\uff1a\u201d)]}\u3001",
+                   help="punctuation merged with the PREVIOUS word "
+                        "(word timestamps)")
     p.add_argument("--word-timestamps", action="store_true",
                    help="attach per-word timings via cross-attention DTW")
     p.add_argument("--stream", action="store_true",
@@ -189,13 +202,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                 carry_initial_prompt=args.carry_initial_prompt,
                 without_timestamps=args.without_timestamps,
                 word_timestamps=args.word_timestamps,
+                prepend_punctuations=args.prepend_punctuations,
+                append_punctuations=args.append_punctuations,
                 clip_timestamps=args.clip_timestamps,
                 hallucination_silence_threshold=(
                     args.hallucination_silence_threshold),
                 verbose=args.verbose,
+                best_of=args.best_of,
                 beam_size=args.beam_size,
                 patience=args.patience,
                 length_penalty=args.length_penalty,
+                suppress_tokens=args.suppress_tokens,
                 kv_dtype=args.kv_dtype,
                 cache_dtype=args.cache_dtype,
             )

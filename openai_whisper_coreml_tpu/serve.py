@@ -383,6 +383,7 @@ def _align_words(model, align_jobs, mel: np.ndarray, content_frames: int,
     tok = get_tokenizer(
         model.cfg, language=language if model.cfg.multilingual else None)
     bs = options.batch_size
+    last_speech = 0.0
     for start in range(0, len(align_jobs), bs):
         chunk = align_jobs[start : start + bs]
         stack = np.stack([_window_mel(mel, seek, content_frames)
@@ -394,7 +395,12 @@ def _align_words(model, align_jobs, mel: np.ndarray, content_frames: int,
         for i, (win_segs, seek, seg_size) in enumerate(chunk):
             add_word_timestamps_to_segments(
                 model, tok, win_segs, feats[i], num_frames=seg_size,
-                time_offset=seek / FRAMES_PER_SECOND)
+                time_offset=seek / FRAMES_PER_SECOND,
+                language=language if model.cfg.multilingual else None,
+                last_speech_timestamp=last_speech)
+            ends = [w["end"] for s in win_segs for w in (s.words or [])]
+            if ends:  # silence-gap heuristic threads across windows,
+                last_speech = ends[-1]  # matching sequential transcribe()
 
 
 def _segments_from_result(cfg, r: DecodingResult, time_offset: float,

@@ -31,6 +31,15 @@ from .tokenizer import Tokenizer
 
 TOKENS_PER_SECOND = 50  # audio positions per second (1500 / 30s)
 
+# openai/whisper transcribe defaults: punctuation that attaches to the next
+# word (opening quotes/brackets, inverted marks) vs the previous word
+# (closing quotes/brackets, terminal marks, CJK fullwidth forms)
+PREPEND_PUNCTUATIONS = "\"'\u201c\u00bf([{-"
+APPEND_PUNCTUATIONS = "\"'.\u3002,\uff0c!\uff01?\uff1f:\uff1a\u201d)]}\u3001"
+
+# languages written without spaces: word = minimal unicode-complete piece
+_UNICODE_SPLIT_LANGUAGES = {"zh", "ja", "th", "lo", "my", "yue"}
+
 
 @dataclass
 class WordTiming:
@@ -279,26 +288,67 @@ def split_tokens_on_unicode(tokenizer: Tokenizer, tokens: Sequence[int]
 
 def split_tokens_on_spaces(tokenizer: Tokenizer, tokens: Sequence[int]
                            ) -> Tuple[List[str], List[List[int]]]:
-    """Group text tokens into words (split on leading spaces/punctuation)."""
+    """Group text tokens into words, splitting on leading spaces and on
+    punctuation pieces (openai semantics: a piece whose stripped text is a
+    single ASCII punctuation char becomes its OWN word here; attachment to
+    a neighbour happens later in merge_punctuations, driven by the
+    configurable prepend/append sets)."""
     words: List[str] = []
     word_tokens: List[List[int]] = []
     for piece, toks in zip(*split_tokens_on_unicode(tokenizer, tokens)):
-        starts_new = (piece.startswith(" ") or not words
-                      or (piece.strip() and piece.strip()[0] in
-                          string.punctuation and words[-1].strip()))
-        punct_only = piece.strip() and all(
-            c in string.punctuation for c in piece.strip())
-        if words and punct_only and not piece.startswith(" "):
-            # attach trailing punctuation to the previous word
-            words[-1] += piece
-            word_tokens[-1].extend(toks)
-        elif starts_new:
+        is_punct = piece.strip() in string.punctuation
+        if piece.startswith(" ") or is_punct or not words:
             words.append(piece)
             word_tokens.append(list(toks))
         else:
             words[-1] += piece
             word_tokens[-1].extend(toks)
     return words, word_tokens
+
+
+def split_to_word_tokens(tokenizer: Tokenizer, tokens: Sequence[int],
+                         language: Optional[str] = None
+                         ) -> Tuple[List[str], List[List[int]]]:
+    """Language-aware word split: scripts written without spaces (zh, ja,
+    th, lo, my, yue) use minimal unicode-complete pieces as words; all
+    other languages split on spaces/punctuation."""
+    if language in _UNICODE_SPLIT_LANGUAGES:
+        return split_tokens_on_unicode(tokenizer, tokens)
+    return split_tokens_on_spaces(tokenizer, tokens)
+
+
+def merge_punctuations(timings: List[WordTiming], prepended: str,
+                       appended: str) -> None:
+    """Fold punctuation-only words into their neighbours, in place.
+
+    A word consisting of a leading space plus a char from `prepended`
+    (opening quote/bracket, inverted mark) is glued onto the FOLLOWING
+    word; a word from `appended` (closing quote, terminal mark) with no
+    space of its own is glued onto the PREVIOUS word. Absorbed entries
+    keep their slot with empty word/tokens so token-count bookkeeping
+    (segment distribution) stays aligned."""
+    # backward pass: " “" + "word" -> " “word"
+    follow = len(timings) - 1
+    for i in range(len(timings) - 2, -1, -1):
+        cur = timings[i]
+        if cur.word.startswith(" ") and cur.word.strip() in prepended:
+            nxt = timings[follow]
+            nxt.word = cur.word + nxt.word
+            nxt.tokens = cur.tokens + nxt.tokens
+            cur.word, cur.tokens = "", []
+        else:
+            follow = i
+    # forward pass: "word" + "." -> "word."
+    prev = 0
+    for j in range(1, len(timings)):
+        cur = timings[j]
+        before = timings[prev]
+        if not before.word.endswith(" ") and cur.word in appended:
+            before.word = before.word + cur.word
+            before.tokens = before.tokens + cur.tokens
+            cur.word, cur.tokens = "", []
+        else:
+            prev = j
 
 
 def find_word_alignment(
@@ -310,6 +360,7 @@ def find_word_alignment(
     *,
     medfilt_width: int = 7,
     alignment_heads: Optional[np.ndarray] = None,
+    language: Optional[str] = None,
 ) -> List[WordTiming]:
     """Align one window's text tokens to time; returns per-word timings."""
     cfg = model.cfg
@@ -385,7 +436,8 @@ def find_word_alignment(
     token_start_frames = fi[jumps]
     token_end_frames = np.append(token_start_frames[1:], fi[-1] + 1)
 
-    words, word_tokens = split_tokens_on_spaces(tokenizer, text_tokens)
+    words, word_tokens = split_to_word_tokens(tokenizer, text_tokens,
+                                              language)
     timings: List[WordTiming] = []
     cursor = 0
     for word, toks in zip(words, word_tokens):
@@ -405,6 +457,9 @@ def find_word_alignment(
     return timings
 
 
+_SENTENCE_END_MARKS = ".。!！?？"
+
+
 def add_word_timestamps_to_segments(
     model,
     tokenizer: Tokenizer,
@@ -412,28 +467,90 @@ def add_word_timestamps_to_segments(
     audio_features,
     num_frames: int,
     time_offset: float,
+    *,
+    language: Optional[str] = None,
+    prepend_punctuations: str = PREPEND_PUNCTUATIONS,
+    append_punctuations: str = APPEND_PUNCTUATIONS,
+    last_speech_timestamp: float = 0.0,
 ) -> None:
-    """Attach .words to each segment of a window (in place)."""
+    """Attach .words to each segment of a window (in place), then refine
+    both word and segment boundaries with openai's heuristics:
+
+      * words longer than 2x the (0.7 s-capped) median word duration are
+        truncated at sentence boundaries;
+      * punctuation from the configurable prepend/append sets is folded
+        into neighbouring words (merge_punctuations);
+      * an overlong first word following >4 medians of silence is clipped;
+      * segment start/end snap to the first/last word unless the word
+        itself is implausibly stretched past the segment boundary, in
+        which case the word snaps to the segment instead.
+
+    `last_speech_timestamp` is the absolute end time of the previous
+    window's speech (threads the silence-gap heuristic across windows)."""
     text_tokens = [t for seg in segments for t in seg.tokens
                    if t < tokenizer.eot]
     if not text_tokens:
         return
     timings = find_word_alignment(model, tokenizer, text_tokens,
-                                  audio_features, num_frames)
+                                  audio_features, num_frames,
+                                  language=language)
+
+    durations = [t.end - t.start for t in timings if t.end > t.start]
+    median_duration = (min(0.7, float(np.median(durations)))
+                       if durations else 0.0)
+    max_duration = 2.0 * median_duration
+    if durations:
+        # truncate implausibly long words that sit at a sentence boundary
+        for prev_t, cur_t in zip(timings, timings[1:]):
+            if cur_t.end - cur_t.start > max_duration:
+                if cur_t.word in _SENTENCE_END_MARKS:
+                    cur_t.end = cur_t.start + max_duration
+                elif prev_t.word in _SENTENCE_END_MARKS:
+                    cur_t.start = cur_t.end - max_duration
+
+    merge_punctuations(timings, prepend_punctuations, append_punctuations)
+
     idx = 0
     for seg in segments:
         seg_n = sum(1 for t in seg.tokens if t < tokenizer.eot)
         words = []
         consumed = 0
-        for wt in timings[idx:]:
-            if consumed >= seg_n:
-                break
-            words.append({
-                "word": wt.word,
-                "start": round(time_offset + wt.start, 3),
-                "end": round(time_offset + wt.end, 3),
-                "probability": wt.probability,
-            })
+        while idx < len(timings) and consumed < seg_n:
+            wt = timings[idx]
+            if wt.word:  # punctuation absorbed by merge keeps empty slots
+                words.append({
+                    "word": wt.word,
+                    "start": round(time_offset + wt.start, 3),
+                    "end": round(time_offset + wt.end, 3),
+                    "probability": wt.probability,
+                })
             consumed += len(wt.tokens)
-        idx += len(words)
+            idx += 1
+        if words:
+            w0, w1 = words[0], words[1] if len(words) > 1 else None
+            # an overlong first word right after a long silence gap is an
+            # alignment artifact: clip it to max_duration
+            if (w0["end"] - last_speech_timestamp > median_duration * 4
+                    and (w0["end"] - w0["start"] > max_duration
+                         or (w1 is not None
+                             and w1["end"] - w0["start"] > max_duration * 2))):
+                if w1 is not None and w1["end"] - w1["start"] > max_duration:
+                    boundary = round(
+                        max(w1["end"] / 2, w1["end"] - max_duration), 3)
+                    w0["end"] = w1["start"] = boundary
+                w0["start"] = round(max(0.0, w0["end"] - max_duration), 3)
+            # segment start wins over a stretched first word; otherwise the
+            # word's aligned start becomes the segment's
+            if seg.start < w0["end"] and seg.start - 0.5 > w0["start"]:
+                w0["start"] = round(
+                    max(0.0, min(w0["end"] - median_duration, seg.start)), 3)
+            else:
+                seg.start = w0["start"]
+            wl = words[-1]
+            if seg.end > wl["start"] and seg.end + 0.5 < wl["end"]:
+                wl["end"] = round(
+                    max(wl["start"] + median_duration, seg.end), 3)
+            else:
+                seg.end = wl["end"]
+            last_speech_timestamp = seg.end
         seg.words = words

@@ -171,6 +171,8 @@ def transcribe(
     carry_initial_prompt: bool = False,
     without_timestamps: bool = False,
     word_timestamps: bool = False,
+    prepend_punctuations: str = "\"'\u201c\u00bf([{-",
+    append_punctuations: str = "\"'.\u3002,\uff0c!\uff01?\uff1f:\uff1a\u201d)]}\u3001",
     clip_timestamps: Union[str, Sequence[float]] = "0",
     hallucination_silence_threshold: Optional[float] = None,
     verbose: Optional[bool] = None,
@@ -269,13 +271,21 @@ def transcribe(
             # feeding it to every window diverges from openai
             prompt = all_tokens[prompt_reset_since:]
         for t in temperatures:
+            # openai ladder semantics: beam search only on the greedy rung
+            # (t=0); the sampled rungs use best_of candidates instead
+            rung_options = dict(decode_options)
+            if t > 0:
+                rung_options.pop("beam_size", None)
+                rung_options.pop("patience", None)
+            else:
+                rung_options.pop("best_of", None)
             opts = DecodingOptions(
                 task=task,
                 language=language if cfg.multilingual else None,
                 temperature=float(t),
                 prompt=prompt or None,
                 without_timestamps=without_timestamps,
-                **decode_options,
+                **rung_options,
             )
             result = decode(model, segment_feats, opts, from_features=True,
                             tokenizer=None)[0]
@@ -387,7 +397,11 @@ def transcribe(
             # reuse the window's features — no duplicate encoder pass
             add_word_timestamps_to_segments(
                 model, tokenizer, current_segments, segment_feats,
-                num_frames=segment_size, time_offset=time_offset)
+                num_frames=segment_size, time_offset=time_offset,
+                language=language,
+                prepend_punctuations=prepend_punctuations,
+                append_punctuations=append_punctuations,
+                last_speech_timestamp=last_speech_timestamp)
             if not single_timestamp_ending:
                 last_word_end = _get_end(current_segments)
                 if last_word_end is not None and last_word_end > time_offset:

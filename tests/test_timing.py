@@ -230,3 +230,99 @@ def test_device_alignment_matches_host_reference():
             rp = float(np.mean(ref_probs[cursor:cursor + len(toks)]))
             np.testing.assert_allclose(gp, rp, atol=1e-5)
             cursor += len(toks)
+
+
+def test_split_makes_punctuation_its_own_word():
+    """openai split semantics: an ASCII punctuation piece is its own word
+    at split time (attachment is merge_punctuations' job, not the
+    splitter's)."""
+    cfg = tiny_test_config()
+    tok = get_tokenizer(cfg)
+    ids = tok.encode(" hello world, again")
+    words, word_tokens = split_tokens_on_spaces(tok, ids)
+    assert "," in words
+    assert "".join(words) == " hello world, again"
+    assert sum(len(w) for w in word_tokens) == len(ids)
+
+
+def test_split_to_word_tokens_unicode_languages():
+    """zh/ja/th/lo/my/yue split per unicode piece, not on spaces."""
+    from openai_whisper_coreml_tpu.timing import split_to_word_tokens
+
+    cfg = tiny_test_config()
+    tok = get_tokenizer(cfg)
+    ids = tok.encode("你好世界")
+    words_zh, _ = split_to_word_tokens(tok, ids, "zh")
+    assert words_zh == ["你", "好", "世", "界"]
+    words_en, _ = split_to_word_tokens(tok, ids, "en")
+    assert len(words_en) == 1  # no spaces: one word under space splitting
+
+
+def test_merge_punctuations():
+    from openai_whisper_coreml_tpu.timing import WordTiming, merge_punctuations
+
+    def wt(word, toks, s, e):
+        return WordTiming(word=word, tokens=toks, start=s, end=e,
+                          probability=0.5)
+
+    # " \u201c" prepends to the following word; "," and "." append to the
+    # previous; timings of absorbed slots are emptied but stay in place
+    timings = [wt(" \u201c", [1], 0.0, 0.1), wt("Hello", [2], 0.1, 0.4),
+               wt(",", [3], 0.4, 0.45), wt(" world", [4], 0.5, 0.9),
+               wt(".", [5], 0.9, 1.0)]
+    merge_punctuations(timings, "\"'\u201c\u00bf([{-",
+                       "\"'.\u3002,\uff0c!\uff01?\uff1f:\uff1a\u201d)]}\u3001")
+    assert [t.word for t in timings] == ["", " \u201cHello,", "", " world.", ""]
+    assert timings[1].tokens == [1, 2, 3]
+    assert timings[3].tokens == [4, 5]
+    # merged words keep the original anchor word's start/end (openai)
+    assert (timings[1].start, timings[1].end) == (0.1, 0.4)
+    # token conservation for segment distribution bookkeeping
+    assert sum(len(t.tokens) for t in timings) == 5
+
+    # custom (restricted) sets are honoured: nothing merges
+    timings2 = [wt(" (", [1], 0.0, 0.1), wt("x", [2], 0.1, 0.2)]
+    merge_punctuations(timings2, "", "")
+    assert [t.word for t in timings2] == [" (", "x"]
+
+
+def test_word_segment_boundary_refinement(monkeypatch):
+    """openai add_word_timestamps heuristics: long-word truncation at
+    sentence marks, first-word-after-silence clipping, and segment
+    start/end snapping to word boundaries."""
+    from openai_whisper_coreml_tpu import timing as T
+    from openai_whisper_coreml_tpu.transcribe import Segment
+
+    cfg = tiny_test_config()
+    tok = get_tokenizer(cfg)
+    text = " aa bb. cc"
+    ids = tok.encode(text)
+    words, word_tokens = split_tokens_on_spaces(tok, ids)
+    # words: " aa", " bb", ".", " cc" — craft timings: normal, normal,
+    # sentence mark, then an implausibly stretched word after the mark
+    spans = {" aa": (0.0, 0.3), " bb": (0.35, 0.65), ".": (0.65, 0.7),
+             " cc": (0.7, 5.0)}
+    fake = [T.WordTiming(word=w, tokens=list(tk), start=spans[w][0],
+                         end=spans[w][1], probability=0.9)
+            for w, tk in zip(words, word_tokens)]
+
+    monkeypatch.setattr(T, "find_word_alignment",
+                        lambda *a, **k: [T.WordTiming(t.word, list(t.tokens),
+                                                      t.start, t.end,
+                                                      t.probability)
+                                         for t in fake])
+    seg = Segment(id=0, seek=0, start=0.0, end=1.0, text=text.strip(),
+                  tokens=ids + [tok.eot], temperature=0.0, avg_logprob=-0.1,
+                  compression_ratio=1.0, no_speech_prob=0.0)
+    T.add_word_timestamps_to_segments(
+        None, tok, [seg], None, num_frames=128, time_offset=0.0)
+    ws = seg.words
+    assert [w["word"] for w in ws] == [" aa", " bb.", " cc"]
+    # durations 0.3/0.3/(4.3): median 0.3, max 0.6 -> " cc" follows the
+    # sentence mark and is truncated to its last max_duration seconds
+    cc = ws[-1]
+    assert cc["end"] - cc["start"] == pytest.approx(0.6, abs=1e-6)
+    # segment end snaps to the (refined) last word end
+    assert seg.end == cc["end"]
+    # segment start snaps to the first word start
+    assert seg.start == ws[0]["start"]
