@@ -13,6 +13,11 @@ from .config import CONFIGS, WhisperConfig, get_config  # noqa: F401
 from .audio import load_audio, log_mel_spectrogram, pad_or_trim  # noqa: F401
 
 
+def available_models():
+    """Names accepted by load_model (openai whisper.available_models parity)."""
+    return sorted(CONFIGS)
+
+
 def __getattr__(name):
     # lazy heavyweight imports so `import openai_whisper_coreml_tpu` stays fast
     if name == "DecodingOptions":

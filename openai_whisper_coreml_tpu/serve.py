@@ -62,6 +62,10 @@ class ServeOptions:
     # timing.py): windows are re-encoded in batched encoder calls after the
     # seek chains are verified, then aligned per window
     word_timestamps: bool = False
+    # conditions each request's FIRST window (openai initial_prompt with
+    # conditioning off — batched serving never conditions on previous text);
+    # static scheduler + greedy/sampled only (per-row prompt machinery)
+    initial_prompt: Optional[str] = None
 
     def __post_init__(self):
         # scalar temperature is valid everywhere transcribe() accepts one
@@ -180,6 +184,13 @@ def transcribe_batch(
     if options.scheduler not in ("static", "continuous"):
         raise ValueError(f"unknown scheduler {options.scheduler!r}")
     use_cb = options.scheduler == "continuous" and options.beam_size is None
+    if options.initial_prompt:
+        if use_cb or options.beam_size is not None:
+            raise ValueError(
+                "initial_prompt in batched serving requires the static "
+                "scheduler with greedy/sampled decoding (per-row prompts "
+                "are not available under continuous batching or beam "
+                "search)")
 
     def decode_round(wins: List[_Window]) -> None:
         if use_cb:
@@ -259,6 +270,15 @@ def _decode_windows_static(model, windows: List[_Window],
                            options: ServeOptions) -> None:
     """Fixed-size batches + per-window temperature-fallback ladder."""
     bs = options.batch_size
+    prompt_tokens: Optional[List[int]] = None
+    if options.initial_prompt:
+        from .tokenizer import get_tokenizer
+
+        tok = get_tokenizer(
+            model.cfg,
+            language=options.language if model.cfg.multilingual else None)
+        # openai encoding rule: " " + stripped prompt text
+        prompt_tokens = tok.encode(" " + options.initial_prompt.strip())
     base_opts = dict(
         task=options.task,
         language=options.language,
@@ -277,13 +297,24 @@ def _decode_windows_static(model, windows: List[_Window],
             pad = np.repeat(batch_mels[-1:], bs - len(chunk), axis=0)
             batch_mels = np.concatenate([batch_mels, pad], axis=0)
 
+        chunk_opts = dict(base_opts)
+        if prompt_tokens is not None:
+            # per-row prompts: only each request's FIRST window (offset 0)
+            # is conditioned, matching transcribe(initial_prompt=...,
+            # condition_on_previous_text=False); pad rows get None
+            rows = [prompt_tokens if w.offset_frames == 0 else None
+                    for w in chunk]
+            rows += [None] * (bs - len(chunk))
+            if any(r is not None for r in rows):
+                chunk_opts["prompt"] = rows
+
         results: List[Optional[DecodingResult]] = [None] * len(chunk)
         pending = list(range(len(chunk)))
         for t in options.temperature:
             if not pending:
                 break
             res = decode(model, batch_mels,
-                         DecodingOptions(temperature=float(t), **base_opts))
+                         DecodingOptions(temperature=float(t), **chunk_opts))
             still: List[int] = []
             for i in pending:
                 r = res[i]

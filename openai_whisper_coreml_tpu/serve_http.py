@@ -5,6 +5,11 @@ POST /transcribe   body: WAV bytes (or float32 PCM with X-Raw-Audio: 1)
 POST /detect       body: WAV bytes -> {"language": ..., "probs": {...}}
 POST /stream       incremental: audio in (chunked transfer-encoding or a
                    plain body), confirmed-text NDJSON lines out (chunked)
+POST /v1/audio/transcriptions   OpenAI-compatible: multipart/form-data with
+POST /v1/audio/translations     file (WAV/FLAC), model, language, prompt,
+                   temperature, response_format (json|text|srt|verbose_json|
+                   vtt), timestamp_granularities[] (segment|word) — drop-in
+                   for OpenAI SDK audio clients pointed at this base URL
 GET  /healthz      -> {"ok": true, "model": ..., "backend": ...}
 
 Requests are micro-batched: a background worker drains the queue every
@@ -275,10 +280,153 @@ class WhisperHTTPServer:
                     emit({"error": str(e), "final": True})
                 self.wfile.write(b"0\r\n\r\n")
 
+            # -- OpenAI-compatible audio API ------------------------------
+
+            def _oa_error(self, code: int, message: str) -> None:
+                self._json(code, {"error": {
+                    "message": message, "type": "invalid_request_error"}})
+
+            def _parse_multipart(self):
+                """Returns (fields: dict[str, list[str]], file_bytes,
+                filename) from a multipart/form-data body."""
+                from email import policy
+                from email.parser import BytesParser
+
+                ctype = self.headers.get("Content-Type", "")
+                n = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(n)
+                msg = BytesParser(policy=policy.default).parsebytes(
+                    b"Content-Type: " + ctype.encode("latin-1")
+                    + b"\r\nMIME-Version: 1.0\r\n\r\n" + body)
+                if not msg.is_multipart():
+                    raise ValueError("multipart/form-data body required")
+                fields: Dict[str, list] = {}
+                file_bytes, filename = None, ""
+                for part in msg.iter_parts():
+                    name = part.get_param(
+                        "name", header="content-disposition")
+                    if name == "file":
+                        file_bytes = part.get_payload(decode=True)
+                        filename = part.get_filename() or ""
+                    elif name:
+                        raw = part.get_payload(decode=True) or b""
+                        fields.setdefault(name, []).append(
+                            raw.decode("utf-8"))
+                return fields, file_bytes, filename
+
+            def _decode_upload(self, data: bytes,
+                               filename: str) -> np.ndarray:
+                """WAV directly from bytes; FLAC via the native decoder
+                (path-based API) through a temp file."""
+                if data[:4] == b"fLaC" or filename.lower().endswith(".flac"):
+                    import os
+                    import tempfile
+
+                    from .utils.audio_io import load_audio
+
+                    fd, path = tempfile.mkstemp(suffix=".flac")
+                    try:
+                        with os.fdopen(fd, "wb") as f:
+                            f.write(data)
+                        return load_audio(path)
+                    finally:
+                        os.unlink(path)
+                from .utils.audio_io import decode_wav_bytes
+
+                return decode_wav_bytes(data)
+
+            def _do_openai_audio(self, task: str) -> None:
+                try:
+                    fields, file_bytes, filename = self._parse_multipart()
+                except Exception as e:
+                    self._oa_error(400, f"could not parse form: {e}")
+                    return
+                if file_bytes is None:
+                    self._oa_error(400, "'file' form field is required")
+                    return
+                try:
+                    audio = self._decode_upload(file_bytes, filename)
+                except Exception as e:
+                    self._oa_error(400, f"could not decode audio: {e}")
+                    return
+
+                def first(key, default=None):
+                    return fields.get(key, [default])[0]
+
+                response_format = first("response_format", "json")
+                if response_format not in ("json", "text", "srt",
+                                           "verbose_json", "vtt"):
+                    self._oa_error(
+                        400, f"unknown response_format {response_format!r}")
+                    return
+                grans = (fields.get("timestamp_granularities[]", [])
+                         + fields.get("timestamp_granularities", []))
+                options: Dict[str, Any] = {"task": task}
+                if first("language"):
+                    options["language"] = first("language")
+                if first("prompt"):
+                    options["initial_prompt"] = first("prompt")
+                if first("temperature") is not None:
+                    options["temperature"] = float(first("temperature"))
+                if "word" in grans:
+                    options["word_timestamps"] = True
+
+                server.metrics.inc("openai_requests_total")
+                job = server.submit(audio, options)
+                if job.error:
+                    self._json(500, {"error": {"message": job.error,
+                                               "type": "server_error"}})
+                    return
+                result = job.result
+                if response_format == "text":
+                    body = (result["text"].strip() + "\n").encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif response_format in ("srt", "vtt"):
+                    import io
+
+                    from .utils.writers import write_srt, write_vtt
+
+                    buf = io.StringIO()
+                    (write_srt if response_format == "srt"
+                     else write_vtt)(result, buf)
+                    body = buf.getvalue().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif response_format == "verbose_json":
+                    out = {
+                        "task": task,
+                        "language": result.get("language"),
+                        "duration": round(len(audio) / 16_000.0, 3),
+                        "text": result["text"],
+                        "segments": result["segments"],
+                    }
+                    if "word" in grans:
+                        out["words"] = [
+                            w for s in result["segments"]
+                            for w in s.get("words", [])]
+                    self._json(200, out)
+                else:  # json
+                    self._json(200, {"text": result["text"]})
+
             def do_POST(self):
                 parsed = urllib.parse.urlparse(self.path)
                 qs = {k: v[0] for k, v in
                       urllib.parse.parse_qs(parsed.query).items()}
+                if parsed.path == "/v1/audio/transcriptions":
+                    self._do_openai_audio("transcribe")
+                    return
+                if parsed.path == "/v1/audio/translations":
+                    self._do_openai_audio("translate")
+                    return
                 if parsed.path == "/stream":
                     server.metrics.inc("streams_total")
                     self._do_stream(qs)

@@ -163,3 +163,33 @@ def test_serve_options_word_timestamps_validation():
 
     with pytest.raises(ValueError, match="word_timestamps"):
         ServeOptions(word_timestamps=True, without_timestamps=True)
+
+
+def test_transcribe_batch_initial_prompt_parity(model):
+    """ServeOptions(initial_prompt=...) conditions each request's FIRST
+    window via per-row prompts, matching sequential
+    transcribe(initial_prompt=..., condition_on_previous_text=False)
+    token-exactly; CB/beam combinations are rejected."""
+    from openai_whisper_coreml_tpu.serve import ServeOptions, transcribe_batch
+    from openai_whisper_coreml_tpu.transcribe import transcribe
+
+    rng = np.random.default_rng(7)
+    audio = (0.2 * rng.standard_normal(16000 * 2)).astype(np.float32)
+    kw = dict(language="en", sample_len=8, no_speech_threshold=None,
+              logprob_threshold=None, compression_ratio_threshold=None)
+    seq = transcribe(model, audio, initial_prompt="glossary: kappa",
+                     condition_on_previous_text=False, temperature=0.0, **kw)
+    bat = transcribe_batch(
+        model, [audio],
+        ServeOptions(batch_size=2, temperature=(0.0,),
+                     initial_prompt="glossary: kappa", **kw))[0]
+    assert [s["tokens"] for s in bat["segments"]] == \
+        [s["tokens"] for s in seq["segments"]]
+
+    with pytest.raises(ValueError, match="initial_prompt"):
+        transcribe_batch(model, [audio],
+                         ServeOptions(scheduler="continuous",
+                                      initial_prompt="x", **kw))
+    with pytest.raises(ValueError, match="initial_prompt"):
+        transcribe_batch(model, [audio],
+                         ServeOptions(beam_size=2, initial_prompt="x", **kw))

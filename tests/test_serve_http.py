@@ -241,3 +241,117 @@ def test_obs_logger_and_metrics_unit():
     assert snap["summaries"]["lat"]["count"] == 4
     assert 1.0 <= snap["summaries"]["lat"]["p50"] <= 3.0
     assert snap["summaries"]["lat"]["p95"] == 10.0
+
+
+def _multipart(fields, file_bytes=None, filename="a.wav"):
+    bound = "whispertpuboundary42"
+    body = b""
+    for k, vals in fields.items():
+        for v in (vals if isinstance(vals, list) else [vals]):
+            body += (f"--{bound}\r\nContent-Disposition: form-data; "
+                     f"name=\"{k}\"\r\n\r\n{v}\r\n").encode()
+    if file_bytes is not None:
+        body += (f"--{bound}\r\nContent-Disposition: form-data; "
+                 f"name=\"file\"; filename=\"{filename}\"\r\n"
+                 "Content-Type: application/octet-stream\r\n\r\n").encode()
+        body += file_bytes + b"\r\n"
+    body += f"--{bound}--\r\n".encode()
+    return body, {"Content-Type": f"multipart/form-data; boundary={bound}"}
+
+
+def _post_raw(server, path, body, headers):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}", data=body,
+        headers=headers, method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return r.status, r.headers.get("Content-Type", ""), r.read()
+
+
+@pytest.fixture(scope="module")
+def oa_server():
+    """Server with deterministic defaults for the OpenAI-compatible API
+    (random weights: disable quality thresholds, cap decode length)."""
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2)
+    model = WhisperModel(cfg=cfg,
+                         params=init_params(cfg, jax.random.PRNGKey(0)))
+    srv = WhisperHTTPServer(
+        model, port=0, batch_size=2, batch_window_ms=20,
+        default_options={"no_speech_threshold": None,
+                         "logprob_threshold": None,
+                         "compression_ratio_threshold": None,
+                         "sample_len": 6})
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_openai_transcriptions_json(oa_server, rng):
+    audio = (0.2 * rng.standard_normal(16000 * 2)).astype(np.float32)
+    body, headers = _multipart(
+        {"model": "whisper-1", "language": "en", "temperature": "0"},
+        _wav_bytes(audio))
+    status, ctype, raw = _post_raw(oa_server, "/v1/audio/transcriptions",
+                                   body, headers)
+    assert status == 200 and ctype.startswith("application/json")
+    out = json.loads(raw)
+    assert set(out) == {"text"} and isinstance(out["text"], str)
+
+
+def test_openai_transcriptions_verbose_words(oa_server, rng):
+    audio = (0.2 * rng.standard_normal(16000 * 2)).astype(np.float32)
+    body, headers = _multipart(
+        {"model": "whisper-1", "language": "en",
+         "response_format": "verbose_json",
+         "timestamp_granularities[]": ["segment", "word"]},
+        _wav_bytes(audio))
+    status, _, raw = _post_raw(oa_server, "/v1/audio/transcriptions",
+                               body, headers)
+    assert status == 200
+    out = json.loads(raw)
+    assert out["task"] == "transcribe" and out["language"] == "en"
+    assert abs(out["duration"] - 2.0) < 0.01
+    assert isinstance(out["segments"], list)
+    assert "words" in out
+    for w in out["words"]:
+        assert set(w) == {"word", "start", "end", "probability"}
+
+
+def test_openai_transcriptions_srt_and_text(oa_server, rng):
+    audio = (0.2 * rng.standard_normal(16000 * 2)).astype(np.float32)
+    for fmt in ("srt", "text", "vtt"):
+        body, headers = _multipart(
+            {"language": "en", "response_format": fmt}, _wav_bytes(audio))
+        status, ctype, raw = _post_raw(
+            oa_server, "/v1/audio/transcriptions", body, headers)
+        assert status == 200 and ctype.startswith("text/plain")
+        if fmt == "srt":
+            assert b"-->" in raw or raw.strip() == b""
+        if fmt == "vtt":
+            assert raw.startswith(b"WEBVTT")
+
+
+def test_openai_translations_and_prompt(oa_server, rng):
+    audio = (0.2 * rng.standard_normal(16000 * 2)).astype(np.float32)
+    body, headers = _multipart(
+        {"language": "en", "prompt": "glossary: kappa",
+         "response_format": "verbose_json"}, _wav_bytes(audio))
+    status, _, raw = _post_raw(oa_server, "/v1/audio/translations",
+                               body, headers)
+    assert status == 200
+    assert json.loads(raw)["task"] == "translate"
+
+
+def test_openai_bad_requests(oa_server, rng):
+    # missing file
+    body, headers = _multipart({"language": "en"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_raw(oa_server, "/v1/audio/transcriptions", body, headers)
+    assert e.value.code == 400
+    assert "file" in json.loads(e.value.read())["error"]["message"]
+    # unknown response_format
+    body, headers = _multipart(
+        {"response_format": "yaml"},
+        _wav_bytes((0.1 * rng.standard_normal(16000)).astype(np.float32)))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_raw(oa_server, "/v1/audio/transcriptions", body, headers)
+    assert e.value.code == 400
