@@ -16,6 +16,8 @@ from typing import List, Optional
 
 import numpy as np
 
+from .config import APPEND_PUNCTUATIONS, PREPEND_PUNCTUATIONS
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -44,12 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated token ids to suppress; "
                         "'-1' = openai non-speech set")
     p.add_argument("--without-timestamps", action="store_true")
-    p.add_argument("--prepend-punctuations",
-                   default="\"'\u201c\u00bf([{-",
+    p.add_argument("--prepend-punctuations", default=PREPEND_PUNCTUATIONS,
                    help="punctuation merged with the NEXT word "
                         "(word timestamps)")
-    p.add_argument("--append-punctuations",
-                   default="\"'.\u3002,\uff0c!\uff01?\uff1f:\uff1a\u201d)]}\u3001",
+    p.add_argument("--append-punctuations", default=APPEND_PUNCTUATIONS,
                    help="punctuation merged with the PREVIOUS word "
                         "(word timestamps)")
     p.add_argument("--word-timestamps", action="store_true",

@@ -29,6 +29,12 @@ N_FRAMES = N_SAMPLES // HOP_LENGTH  # 3000 mel frames per chunk
 FRAMES_PER_SECOND = SAMPLE_RATE // HOP_LENGTH  # 100 mel frames / s
 TOKENS_PER_SECOND = FRAMES_PER_SECOND // 2  # 50 audio tokens / s
 
+# Word-timestamp punctuation defaults (openai/whisper transcribe):
+# prepended chars glue onto the FOLLOWING word, appended onto the PREVIOUS.
+# Single source of truth for timing.py / transcribe() / the CLI flags.
+PREPEND_PUNCTUATIONS = "\"'\u201c\u00bf([{-"
+APPEND_PUNCTUATIONS = "\"'.\u3002,\uff0c!\uff01?\uff1f:\uff1a\u201d)]}\u3001"
+
 
 @dataclasses.dataclass(frozen=True)
 class WhisperConfig:

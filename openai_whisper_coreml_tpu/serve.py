@@ -313,8 +313,14 @@ def _decode_windows_static(model, windows: List[_Window],
         for t in options.temperature:
             if not pending:
                 break
+            # openai ladder rung semantics (matches transcribe()): beam
+            # search runs only on the greedy t=0 rung; t>0 rungs fall back
+            # to sampling so a degenerate beam result can actually change
+            rung = dict(chunk_opts)
+            if t > 0:
+                rung["beam_size"] = None
             res = decode(model, batch_mels,
-                         DecodingOptions(temperature=float(t), **chunk_opts))
+                         DecodingOptions(temperature=float(t), **rung))
             still: List[int] = []
             for i in pending:
                 r = res[i]

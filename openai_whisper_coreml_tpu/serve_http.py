@@ -361,13 +361,28 @@ class WhisperHTTPServer:
                     return
                 grans = (fields.get("timestamp_granularities[]", [])
                          + fields.get("timestamp_granularities", []))
+                if "word" in grans and response_format != "verbose_json":
+                    # OpenAI semantics — and the alignment pass is real
+                    # device work whose output only verbose_json serialises
+                    self._oa_error(400, "timestamp_granularities[]=word "
+                                        "requires response_format="
+                                        "verbose_json")
+                    return
                 options: Dict[str, Any] = {"task": task}
                 if first("language"):
                     options["language"] = first("language")
                 if first("prompt"):
                     options["initial_prompt"] = first("prompt")
+                    # per-row prompts need the static scheduler; a server
+                    # default of continuous must not 500 valid OpenAI
+                    # requests (request options override server defaults)
+                    options["scheduler"] = "static"
                 if first("temperature") is not None:
-                    options["temperature"] = float(first("temperature"))
+                    try:
+                        options["temperature"] = float(first("temperature"))
+                    except ValueError:
+                        self._oa_error(400, "temperature must be a number")
+                        return
                 if "word" in grans:
                     options["word_timestamps"] = True
 

@@ -31,11 +31,8 @@ from .tokenizer import Tokenizer
 
 TOKENS_PER_SECOND = 50  # audio positions per second (1500 / 30s)
 
-# openai/whisper transcribe defaults: punctuation that attaches to the next
-# word (opening quotes/brackets, inverted marks) vs the previous word
-# (closing quotes/brackets, terminal marks, CJK fullwidth forms)
-PREPEND_PUNCTUATIONS = "\"'\u201c\u00bf([{-"
-APPEND_PUNCTUATIONS = "\"'.\u3002,\uff0c!\uff01?\uff1f:\uff1a\u201d)]}\u3001"
+# canonical defaults live in config.py (light module importable from the CLI)
+from .config import APPEND_PUNCTUATIONS, PREPEND_PUNCTUATIONS  # noqa: F401,E402
 
 # languages written without spaces: word = minimal unicode-complete piece
 _UNICODE_SPLIT_LANGUAGES = {"zh", "ja", "th", "lo", "my", "yue"}

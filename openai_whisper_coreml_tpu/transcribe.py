@@ -18,10 +18,12 @@ import numpy as np
 
 from .audio import load_audio, log_mel_spectrogram, pad_or_trim
 from .config import (
+    APPEND_PUNCTUATIONS,
     FRAMES_PER_SECOND,
     HOP_LENGTH,
     N_FRAMES,
     N_SAMPLES,
+    PREPEND_PUNCTUATIONS,
     SAMPLE_RATE,
 )
 from .decoding import DecodingOptions, DecodingResult, decode
@@ -171,8 +173,8 @@ def transcribe(
     carry_initial_prompt: bool = False,
     without_timestamps: bool = False,
     word_timestamps: bool = False,
-    prepend_punctuations: str = "\"'\u201c\u00bf([{-",
-    append_punctuations: str = "\"'.\u3002,\uff0c!\uff01?\uff1f:\uff1a\u201d)]}\u3001",
+    prepend_punctuations: str = PREPEND_PUNCTUATIONS,
+    append_punctuations: str = APPEND_PUNCTUATIONS,
     clip_timestamps: Union[str, Sequence[float]] = "0",
     hallucination_silence_threshold: Optional[float] = None,
     verbose: Optional[bool] = None,

@@ -80,11 +80,16 @@ def load_params(path: str, *, cfg=None, dtype=jnp.float32) -> Params:
     dtype — only float weights/biases are cast."""
     from safetensors.numpy import load_file
 
+    raw = load_file(path)
     flat = {}
-    for k, v in load_file(path).items():
+    for k, v in raw.items():
         if k.endswith("/w_q"):
             arr = jnp.asarray(v)  # int8
-        elif k.endswith("/scale"):
+        elif (k.endswith("/scale")
+              and k[: -len("scale")] + "w_q" in raw):
+            # the quantization scale paired with a w_q leaf stays fp32;
+            # LayerNorm "scale" leaves (no w_q sibling) follow the compute
+            # dtype like every other float weight
             arr = jnp.asarray(v, jnp.float32)
         else:
             arr = jnp.asarray(v, dtype)

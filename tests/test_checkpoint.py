@@ -314,3 +314,25 @@ def test_convert_tool_native_requantize(tmp_path):
          "--quantize", "int8"],
         capture_output=True, text=True, env=env)
     assert r2.returncode != 0 and "already an int8" in r2.stderr
+
+
+def test_layernorm_scale_follows_compute_dtype(tmp_path):
+    """Only quantization scales (w_q siblings) are pinned fp32 by
+    load_params; LayerNorm 'scale' leaves follow the requested dtype
+    (code-review regression: an endswith('/scale') match caught them)."""
+    from openai_whisper_coreml_tpu.models.whisper import load_model
+    from openai_whisper_coreml_tpu.quantize import quantize_params
+
+    base = load_model("tiny", dtype=jnp.float32, seed=5)
+    fpath = str(tmp_path / "f.safetensors")
+    save_params(base.params, fpath, model_name="tiny")
+    loaded = load_params(fpath, cfg=base.cfg, dtype=jnp.bfloat16)
+    ln = loaded["encoder"]["blocks"]["attn_ln"]
+    assert ln["scale"].dtype == jnp.bfloat16
+
+    qpath = str(tmp_path / "q.safetensors")
+    save_params(quantize_params(base.params), qpath, model_name="tiny")
+    qloaded = load_params(qpath, cfg=base.cfg, dtype=jnp.bfloat16)
+    assert qloaded["encoder"]["blocks"]["attn_ln"]["scale"].dtype == jnp.bfloat16
+    q = qloaded["decoder"]["blocks"]["attn"]["q"]
+    assert q["w_q"].dtype == jnp.int8 and q["scale"].dtype == jnp.float32

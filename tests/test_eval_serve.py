@@ -193,3 +193,31 @@ def test_transcribe_batch_initial_prompt_parity(model):
     with pytest.raises(ValueError, match="initial_prompt"):
         transcribe_batch(model, [audio],
                          ServeOptions(beam_size=2, initial_prompt="x", **kw))
+
+
+def test_static_ladder_drops_beam_on_hot_rungs(model, monkeypatch):
+    """t>0 fallback rungs re-decode with sampling, not beam search (openai
+    ladder semantics; a degenerate beam result repeats identically at any
+    temperature, so the ladder could never escape)."""
+    from openai_whisper_coreml_tpu import serve as S
+
+    seen = []
+    real_decode = S.decode
+
+    def spy(model_, mels, opts, **kw):
+        seen.append((opts.temperature, opts.beam_size))
+        return real_decode(model_, mels, opts, **kw)
+
+    monkeypatch.setattr(S, "decode", spy)
+    rng = np.random.default_rng(3)
+    audio = (0.2 * rng.standard_normal(16000 * 2)).astype(np.float32)
+    S.transcribe_batch(
+        model, [audio],
+        S.ServeOptions(batch_size=2, language="en", sample_len=6,
+                       beam_size=2, temperature=(0.0, 0.7),
+                       logprob_threshold=10.0,  # unmeetable: full ladder
+                       no_speech_threshold=None,
+                       compression_ratio_threshold=None))
+    assert (0.0, 2) in seen
+    assert (0.7, None) in seen
+    assert all(bs is None for t, bs in seen if t > 0)

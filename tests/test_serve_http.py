@@ -355,3 +355,46 @@ def test_openai_bad_requests(oa_server, rng):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post_raw(oa_server, "/v1/audio/transcriptions", body, headers)
     assert e.value.code == 400
+
+
+def test_openai_validation_errors(oa_server, rng):
+    wav = _wav_bytes((0.1 * rng.standard_normal(16000)).astype(np.float32))
+    # word granularity without verbose_json -> 400 (OpenAI semantics; also
+    # avoids paying the alignment pass for output that is never serialised)
+    body, headers = _multipart(
+        {"timestamp_granularities[]": "word"}, wav)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_raw(oa_server, "/v1/audio/transcriptions", body, headers)
+    assert e.value.code == 400
+    # malformed temperature -> 400, not a dropped connection
+    body, headers = _multipart({"temperature": "abc"}, wav)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_raw(oa_server, "/v1/audio/transcriptions", body, headers)
+    assert e.value.code == 400
+    assert "temperature" in json.loads(e.value.read())["error"]["message"]
+
+
+def test_openai_prompt_overrides_continuous_scheduler(rng):
+    """A server deployed with --scheduler continuous must still serve
+    OpenAI requests that carry a prompt (per-request static fallback)."""
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2)
+    model = WhisperModel(cfg=cfg,
+                         params=init_params(cfg, jax.random.PRNGKey(0)))
+    srv = WhisperHTTPServer(
+        model, port=0, batch_size=2, batch_window_ms=20,
+        default_options={"scheduler": "continuous",
+                         "no_speech_threshold": None,
+                         "logprob_threshold": None,
+                         "compression_ratio_threshold": None,
+                         "sample_len": 6})
+    srv.start()
+    try:
+        audio = (0.2 * rng.standard_normal(16000)).astype(np.float32)
+        body, headers = _multipart(
+            {"language": "en", "prompt": "hello"}, _wav_bytes(audio))
+        status, _, raw = _post_raw(srv, "/v1/audio/transcriptions",
+                                   body, headers)
+        assert status == 200
+        assert "text" in json.loads(raw)
+    finally:
+        srv.stop()
