@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip-timestamps", default="0",
                    help="comma-separated start,end,... offsets (s); only "
                         "audio inside these clips is transcribed")
+    p.add_argument("--vad-filter", action="store_true",
+                   help="skip non-speech via the adaptive energy VAD "
+                        "(vad.py) before decoding")
     p.add_argument("--hallucination-silence-threshold", type=float,
                    default=None,
                    help="with --word-timestamps: skip silence longer than "
@@ -205,6 +208,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 prepend_punctuations=args.prepend_punctuations,
                 append_punctuations=args.append_punctuations,
                 clip_timestamps=args.clip_timestamps,
+                vad_filter=args.vad_filter,
                 hallucination_silence_threshold=(
                     args.hallucination_silence_threshold),
                 verbose=args.verbose,

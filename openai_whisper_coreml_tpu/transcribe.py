@@ -177,6 +177,8 @@ def transcribe(
     append_punctuations: str = APPEND_PUNCTUATIONS,
     clip_timestamps: Union[str, Sequence[float]] = "0",
     hallucination_silence_threshold: Optional[float] = None,
+    vad_filter: bool = False,
+    vad_parameters=None,  # vad.VadOptions
     verbose: Optional[bool] = None,
     **decode_options,
 ) -> Dict[str, Any]:
@@ -207,6 +209,26 @@ def transcribe(
     audio = np.asarray(audio, dtype=np.float32)
     if audio.ndim != 1:
         raise ValueError(f"transcribe expects mono audio, got {audio.shape}")
+
+    if vad_filter:
+        # energy VAD (vad.py) -> the standard clip_timestamps machinery:
+        # only detected speech spans reach the decode loop
+        if clip_timestamps != "0":
+            raise ValueError(
+                "vad_filter computes clip_timestamps itself; pass either "
+                "vad_filter=True or explicit clip_timestamps, not both")
+        from .vad import VadOptions, speech_clip_timestamps
+
+        clips = speech_clip_timestamps(
+            audio, options=vad_parameters or VadOptions())
+        if not clips:
+            return {"text": "", "segments": [],
+                    "language": language or "en"}
+        clip_timestamps = clips
+        if verbose:
+            spans = ", ".join(f"{clips[i]:.2f}-{clips[i+1]:.2f}"
+                              for i in range(0, len(clips), 2))
+            print(f"VAD speech spans: {spans}")
 
     # Full-length mel plus one window of trailing padding (so the final
     # window is always complete), openai semantics. The device length is
