@@ -67,12 +67,18 @@ class StreamingTranscriber:
         temperature: float = 0.0,
         beam_size: Optional[int] = None,
         max_tokens_per_second: Optional[float] = 8.0,
+        vad_gate: bool = False,
     ) -> None:
         """max_tokens_per_second bounds each tick's decode horizon by the
         audio actually buffered (dense English speech is ~3-4 BPE tokens/s;
         8/s is a 2x margin). A 2 s buffer then decodes <=32 tokens instead of
         the full 224-token horizon — the dominant per-tick latency term at
-        batch 1. None disables the cap (always decode the full horizon)."""
+        batch 1. None disables the cap (always decode the full horizon).
+
+        vad_gate: skip a due decode tick entirely when the rolling buffer
+        contains no speech by the energy VAD (vad.py) — a silent buffer
+        costs a full device round-trip only to decode hallucination fuel.
+        The tick fires as soon as speech appears."""
         if agreement < 1:
             raise ValueError("agreement must be >= 1")
         self.model = model
@@ -80,6 +86,7 @@ class StreamingTranscriber:
         self.agreement = agreement
         self.decode_interval = decode_interval
         self.max_tokens_per_second = max_tokens_per_second
+        self.vad_gate = vad_gate
         self.opts = dict(
             language=language,
             temperature=temperature,
@@ -214,11 +221,21 @@ class StreamingTranscriber:
         events: List[StreamEvent] = []
         if self._since_decode >= self.decode_interval * SAMPLE_RATE:
             self._since_decode = 0
+            if self._vad_skip():
+                return events
             ev = self._make_event(self._confirm())
             if ev:
                 events.append(ev)
             self._maybe_trim()
         return events
+
+    def _vad_skip(self) -> bool:
+        """True when vad_gate is on and the buffer holds no speech."""
+        if not self.vad_gate or not len(self._buffer):
+            return False
+        from .vad import detect_speech
+
+        return not detect_speech(self._buffer)
 
     def finish(self) -> List[StreamEvent]:
         """Flush: decode once more and emit everything unconfirmed.
@@ -265,7 +282,8 @@ class MultiStreamTranscriber:
                  decode_interval: float = 1.0,
                  sample_len: Optional[int] = None,
                  max_tokens_per_second: Optional[float] = 8.0,
-                 condition_on_committed_text: bool = True) -> None:
+                 condition_on_committed_text: bool = True,
+                 vad_gate: bool = False) -> None:
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
         self.model = model
@@ -275,7 +293,8 @@ class MultiStreamTranscriber:
             StreamingTranscriber(
                 model, language=language, agreement=agreement,
                 decode_interval=decode_interval, sample_len=sample_len,
-                max_tokens_per_second=max_tokens_per_second)
+                max_tokens_per_second=max_tokens_per_second,
+                vad_gate=vad_gate)
             for _ in range(n_streams)
         ]
 
@@ -290,9 +309,16 @@ class MultiStreamTranscriber:
         from .decoding import decode as _decode
 
         sr = SAMPLE_RATE
-        due = [i for i, st in enumerate(self.streams)
-               if st._since_decode >= st.decode_interval * sr
-               and len(st._buffer)]
+        due = []
+        for i, st in enumerate(self.streams):
+            if (st._since_decode >= st.decode_interval * sr
+                    and len(st._buffer)):
+                if st._vad_skip():
+                    # silent stream: do not burn a batch row on it this
+                    # tick (its clock is reset so speech re-arms the tick)
+                    st._since_decode = 0
+                    continue
+                due.append(i)
         if not due:
             return {}
         # shared decode horizon: the largest due stream's duration cap

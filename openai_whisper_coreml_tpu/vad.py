@@ -35,6 +35,11 @@ class VadOptions:
     # where "floor + onset" would label dither as speech
     onset_db: float = 9.0
     absolute_floor_db: float = -55.0
+    # frames above this are speech regardless of the adaptive threshold: a
+    # buffer that is ALL speech has its "noise floor" at speech level, and
+    # floor+onset would then classify everything as silence (found by the
+    # streaming vad_gate test on a constant tone)
+    absolute_speech_db: float = -33.0
     min_speech_ms: int = 150  # shorter bursts are clicks/pops
     min_silence_ms: int = 400  # shorter gaps merge into one span
     pad_ms: int = 150  # widen every span (unclipped onsets/tails)
@@ -74,7 +79,7 @@ def detect_speech(audio: np.ndarray, sample_rate: int = SAMPLE_RATE,
     noise_floor = float(np.percentile(energy, 15))
     threshold = max(noise_floor + options.onset_db,
                     options.absolute_floor_db)
-    active = energy > threshold
+    active = (energy > threshold) | (energy > options.absolute_speech_db)
     if not active.any():
         return []
 

@@ -215,3 +215,59 @@ def test_multistream_per_stream_conditioning(model):
     mst_off.feed(1, audio)
     mst_off.poll()
     assert mst_off.streams[0]._hyps[-1] != hyp0
+
+
+def test_vad_gate_skips_silent_ticks(model, monkeypatch):
+    """vad_gate=True: a due tick on a speechless buffer costs zero decodes;
+    speech re-arms the tick and decoding resumes."""
+    from openai_whisper_coreml_tpu.stream import StreamingTranscriber
+
+    st = StreamingTranscriber(model, language="en", decode_interval=0.5,
+                              vad_gate=True)
+    calls = []
+    real = st._decode_window
+    monkeypatch.setattr(st, "_decode_window",
+                        lambda: calls.append(1) or real())
+
+    rng = np.random.default_rng(0)
+    silence = (1e-6 * rng.standard_normal(8000)).astype(np.float32)
+    for _ in range(4):  # 2 s of near-silence across 4 due ticks
+        st.feed(silence)
+    assert calls == [], "silent ticks must not decode"
+
+    t = np.arange(16000) / 16000
+    tone = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    st.feed(tone.copy())
+    assert len(calls) >= 1, "speech must re-arm decoding"
+
+
+def test_multistream_vad_gate_drops_silent_rows(model, monkeypatch):
+    """A silent stream is excluded from the batched poll() while a speech
+    stream still decodes."""
+    from openai_whisper_coreml_tpu.stream import MultiStreamTranscriber
+
+    mst = MultiStreamTranscriber(model, n_streams=2, language="en",
+                                 decode_interval=0.25, vad_gate=True)
+    rng = np.random.default_rng(1)
+    t = np.arange(8000) / 16000
+    speech = (0.3 * np.sin(2 * np.pi * 180 * t)).astype(np.float32)
+    silence = (1e-6 * rng.standard_normal(8000)).astype(np.float32)
+
+    decoded_rows = []
+    from openai_whisper_coreml_tpu import stream as stream_mod
+    from openai_whisper_coreml_tpu.decoding import decode as real_decode
+
+    def spy(model_, mel, opts, **kw):
+        decoded_rows.append(mel.shape[0])
+        return real_decode(model_, mel, opts, **kw)
+
+    monkeypatch.setattr(
+        "openai_whisper_coreml_tpu.decoding.decode", spy)
+
+    mst.feed(0, speech)
+    mst.feed(1, silence)
+    mst.poll()
+    # stream 1 was due but silent: its tick clock was reset, no decode row
+    assert mst.streams[1]._since_decode == 0
+    # stream 0 decoded (poll ran at least one batch)
+    assert decoded_rows, "speech stream must decode"

@@ -106,3 +106,12 @@ def test_transcribe_vad_filter_skips_silence(model):
 
     with pytest.raises(ValueError, match="vad_filter"):
         model.transcribe(audio, vad_filter=True, clip_timestamps="1,2", **kw)
+
+
+def test_detect_speech_all_loud_buffer():
+    """A buffer that is entirely speech must not read as silence (the
+    adaptive floor sits at speech level there; the absolute_speech_db
+    rail catches it — streaming vad_gate regression)."""
+    spans = detect_speech(_tone(1.0, amp=0.3))
+    assert spans and spans[0][0] == pytest.approx(0.0, abs=0.2)
+    assert spans[-1][1] == pytest.approx(1.0, abs=0.2)
