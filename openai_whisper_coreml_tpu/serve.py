@@ -66,6 +66,11 @@ class ServeOptions:
     # conditioning off — batched serving never conditions on previous text);
     # static scheduler + greedy/sampled only (per-row prompt machinery)
     initial_prompt: Optional[str] = None
+    # energy-VAD window gating (vad.py): 30 s windows whose audio holds no
+    # detected speech never reach the decoder — they act exactly like an
+    # openai no-speech skip (full advance, no segments). Throughput win on
+    # sparse audio; opt-in because an energy VAD can drop very quiet speech
+    vad_filter: bool = False
 
     def __post_init__(self):
         # scalar temperature is valid everywhere transcribe() accepts one
@@ -235,6 +240,29 @@ def transcribe_batch(
                 seek += seek_advance(r.tokens, ts_begin, seg_size)
         return chain, None
 
+    speech_spans = None
+    if options.vad_filter:
+        from .vad import detect_speech
+
+        speech_spans = [detect_speech(a) for a in arrays]
+
+    def _window_is_silent(w: _Window) -> bool:
+        if speech_spans is None:
+            return False
+        ws = w.offset_frames / FRAMES_PER_SECOND
+        we = ws + min(N_FRAMES, content[w.request_id]
+                      - w.offset_frames) / FRAMES_PER_SECOND
+        return not any(s < we and e > ws
+                       for s, e in speech_spans[w.request_id])
+
+    # a VAD-gated window behaves exactly like an openai no-speech skip:
+    # high no_speech_prob (skipped under the default threshold -> full
+    # advance), low avg_logprob, no tokens (empty segment if thresholds off)
+    silent_result = DecodingResult(
+        tokens=[], text="", language=options.language or "en",
+        language_probs=None, avg_logprob=-10.0, no_speech_prob=1.0,
+        temperature=0.0, compression_ratio=0.0)
+
     pending_windows = [w for rid in range(len(arrays))
                        for w in (_windows_for(arrays[rid], model.cfg.n_mels,
                                               rid, mel=mels[rid]))]
@@ -243,7 +271,16 @@ def transcribe_batch(
     # the extra batched rounds and log the truncation instead of crawling)
     max_extra = 16 * len(arrays) + 256
     while pending_windows:
-        decode_round(pending_windows)
+        to_decode = pending_windows
+        if speech_spans is not None:
+            to_decode = []
+            for w in pending_windows:
+                if _window_is_silent(w):
+                    w.result = silent_result
+                else:
+                    to_decode.append(w)
+        if to_decode:
+            decode_round(to_decode)
         for w in pending_windows:
             decoded[(w.request_id, w.offset_frames)] = w.result
         pending_windows = []

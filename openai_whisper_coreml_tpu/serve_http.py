@@ -484,6 +484,8 @@ class WhisperHTTPServer:
                     options["without_timestamps"] = True
                 if qs.get("word_timestamps") in ("1", "true"):
                     options["word_timestamps"] = True
+                if qs.get("vad") in ("1", "true"):
+                    options["vad_filter"] = True
                 if "no_speech_threshold" in qs:
                     v = qs["no_speech_threshold"]
                     options["no_speech_threshold"] = (None if v == "none"

@@ -221,3 +221,49 @@ def test_static_ladder_drops_beam_on_hot_rungs(model, monkeypatch):
     assert (0.0, 2) in seen
     assert (0.7, None) in seen
     assert all(bs is None for t, bs in seen if t > 0)
+
+
+def test_transcribe_batch_vad_filter(model, monkeypatch):
+    """ServeOptions(vad_filter=True): windows without detected speech are
+    never decoded (openai no-speech-skip behaviour), and speech-dense
+    audio is unaffected (token parity with vad off)."""
+    from openai_whisper_coreml_tpu import serve as S
+
+    t = np.arange(16000 * 3) / 16000
+    speech3s = (0.3 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    rng = np.random.default_rng(9)
+    sparse = np.concatenate([
+        speech3s, (1e-6 * rng.standard_normal(16000 * 62)).astype(np.float32)])
+
+    kw = dict(batch_size=2, language="en", sample_len=6, temperature=(0.0,),
+              logprob_threshold=None, compression_ratio_threshold=None)
+
+    decoded_batches = []
+    real_decode = S.decode
+
+    def spy(model_, mels, opts, **k):
+        decoded_batches.append(mels.shape[0])
+        return real_decode(model_, mels, opts, **k)
+
+    monkeypatch.setattr(S, "decode", spy)
+
+    # default no_speech_threshold: the silent window is SKIPPED (no segment)
+    res = S.transcribe_batch(model, [sparse],
+                             S.ServeOptions(vad_filter=True, **kw))[0]
+    n_vad_decodes = len(decoded_batches)
+    assert all(s["seek"] < 3000 for s in res["segments"]), \
+        "the silent 30s window must contribute no decoded segments"
+
+    decoded_batches.clear()
+    S.transcribe_batch(model, [sparse], S.ServeOptions(**kw))
+    assert len(decoded_batches) > n_vad_decodes, \
+        "vad off must decode strictly more windows"
+
+    # parity on speech-dense audio
+    decoded_batches.clear()
+    dense = speech3s
+    a = S.transcribe_batch(model, [dense],
+                           S.ServeOptions(vad_filter=True, **kw))[0]
+    b = S.transcribe_batch(model, [dense], S.ServeOptions(**kw))[0]
+    assert [s["tokens"] for s in a["segments"]] == \
+        [s["tokens"] for s in b["segments"]]
