@@ -53,13 +53,18 @@ class _Job:
 class WhisperHTTPServer:
     def __init__(self, model, host: str = "127.0.0.1", port: int = 8090,
                  *, batch_size: int = 8, batch_window_ms: int = 50,
+                 max_body_bytes: int = 512 * 1024 * 1024,
                  default_options: Optional[Dict[str, Any]] = None):
         """default_options: server-level ServeOptions fields (scheduler,
-        kv_dtype, ...) applied under every request's own query options."""
+        kv_dtype, ...) applied under every request's own query options.
+        max_body_bytes caps request bodies (413 beyond it): ~512 MB is over
+        4 hours of 16-bit 16 kHz WAV — bigger uploads are almost certainly
+        abuse, and reading them would hold gigabytes per handler thread."""
         self.model = model
         self.default_options = dict(default_options or {})
         self.batch_size = batch_size
         self.batch_window_ms = batch_window_ms
+        self.max_body_bytes = max_body_bytes
         self.metrics = Metrics()
         self._queue: "queue.Queue[_Job]" = queue.Queue()
         self._stop = threading.Event()
@@ -202,7 +207,20 @@ class WhisperHTTPServer:
                                      "model": server.model.cfg.name,
                                      "backend": jax.default_backend()})
                 elif self.path.startswith("/metrics"):
-                    self._json(200, server.metrics.snapshot())
+                    q = urllib.parse.urlparse(self.path).query
+                    accept = self.headers.get("Accept", "")
+                    if ("format=prometheus" in q
+                            or "text/plain" in accept
+                            or "openmetrics" in accept):
+                        body = server.metrics.prometheus().encode()
+                        self.send_response(200)
+                        self.send_header("Content-Type",
+                                         "text/plain; version=0.0.4")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    else:
+                        self._json(200, server.metrics.snapshot())
                 else:
                     self._json(404, {"error": "not found"})
 
@@ -436,6 +454,14 @@ class WhisperHTTPServer:
                 parsed = urllib.parse.urlparse(self.path)
                 qs = {k: v[0] for k, v in
                       urllib.parse.parse_qs(parsed.query).items()}
+                n_body = int(self.headers.get("Content-Length") or 0)
+                if n_body > server.max_body_bytes:
+                    # drain nothing; close after responding (the client is
+                    # mid-upload of a too-large body)
+                    self.close_connection = True
+                    self._json(413, {"error": f"body {n_body} bytes exceeds "
+                                              f"limit {server.max_body_bytes}"})
+                    return
                 if parsed.path == "/v1/audio/transcriptions":
                     self._do_openai_audio("transcribe")
                     return

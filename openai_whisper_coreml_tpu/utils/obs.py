@@ -116,3 +116,27 @@ class Metrics:
                 },
             }
         return out
+
+    def prometheus(self, prefix: str = "whisper_tpu") -> str:
+        """Prometheus text exposition format (one scrape target per server;
+        quantiles exported as {quantile=...} summary series)."""
+        snap = self.snapshot()
+        lines = []
+
+        def emit(name, value, labels=""):
+            lines.append(f"{prefix}_{name}{labels} {value}")
+
+        emit("uptime_seconds", snap["uptime_s"])
+        for name, v in sorted(snap["counters"].items()):
+            lines.append(f"# TYPE {prefix}_{name}_total counter")
+            emit(f"{name}_total", v)
+        for name, v in sorted(snap["gauges"].items()):
+            lines.append(f"# TYPE {prefix}_{name} gauge")
+            emit(name, v)
+        for name, s in sorted(snap["summaries"].items()):
+            lines.append(f"# TYPE {prefix}_{name} summary")
+            emit(f"{name}_count", s["count"])
+            for q in (0.50, 0.95):
+                emit(name, s[f"p{int(q * 100)}"],
+                     labels=f'{{quantile="{q}"}}')
+        return "\n".join(lines) + "\n"

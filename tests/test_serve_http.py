@@ -398,3 +398,43 @@ def test_openai_prompt_overrides_continuous_scheduler(rng):
         assert "text" in json.loads(raw)
     finally:
         srv.stop()
+
+
+def test_metrics_prometheus_format(server, rng):
+    # generate at least one request so counters exist
+    audio = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+    _post(server,
+          "/transcribe?language=en&sample_len=4&no_speech_threshold=none"
+          "&logprob_threshold=none&compression_ratio_threshold=none",
+          _wav_bytes(audio))
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/metrics?format=prometheus")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert "whisper_tpu_requests_total" in text
+    assert "whisper_tpu_uptime_seconds" in text
+    assert 'quantile="0.5"' in text
+    # JSON by default, unchanged
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/metrics", timeout=30) as r:
+        assert "counters" in json.loads(r.read())
+
+
+def test_body_size_limit_413(rng):
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2)
+    model = WhisperModel(cfg=cfg,
+                         params=init_params(cfg, jax.random.PRNGKey(0)))
+    srv = WhisperHTTPServer(model, port=0, batch_size=2,
+                            max_body_bytes=1024)
+    srv.start()
+    try:
+        big = b"\0" * 4096
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/transcribe", data=big,
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 413
+    finally:
+        srv.stop()
