@@ -37,13 +37,50 @@ class TrainConfig:
     eps: float = 1e-6
     max_grad_norm: float = 1.0
     remat: bool = True
+    # selective fine-tuning: regex over slash-joined param paths (e.g.
+    # "^decoder" trains only the decoder; "ln|bias" is BitFit-style).
+    # Frozen leaves keep their values bit-exactly AND allocate no AdamW
+    # moments — at whisper scale, decoder-only tuning drops ~2/3 of the
+    # optimizer HBM. None = full fine-tune.
+    trainable: Optional[str] = None
 
 
-def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+def _param_path_labels(params: Params, pattern: str) -> Params:
+    """'train'/'freeze' label per leaf by regex over 'decoder/blocks/...'
+    paths (the flatten_params naming used across checkpoints/sharding)."""
+    import re
+
+    rx = re.compile(pattern)
+
+    def path_str(path) -> str:
+        return "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: "train" if rx.search(path_str(path)) else "freeze",
+        params)
+    if not any(v == "train" for v in jax.tree.leaves(labels)):
+        raise ValueError(
+            f"trainable pattern {pattern!r} matches no parameters")
+    return labels
+
+
+def make_optimizer(tc: TrainConfig,
+                   params: Optional[Params] = None
+                   ) -> optax.GradientTransformation:
+    adamw = optax.adamw(tc.learning_rate, b1=tc.b1, b2=tc.b2, eps=tc.eps,
+                       weight_decay=tc.weight_decay)
+    if tc.trainable is not None:
+        if params is None:
+            raise ValueError("trainable pattern needs the params tree to "
+                             "derive labels (pass params=)")
+        labels = _param_path_labels(params, tc.trainable)
+        adamw = optax.multi_transform(
+            {"train": adamw, "freeze": optax.set_to_zero()},
+            param_labels=labels)
     return optax.chain(
         optax.clip_by_global_norm(tc.max_grad_norm),
-        optax.adamw(tc.learning_rate, b1=tc.b1, b2=tc.b2, eps=tc.eps,
-                    weight_decay=tc.weight_decay),
+        adamw,
     )
 
 
@@ -83,14 +120,23 @@ def make_train_step(
     params/opt_state TP-sharded and the batch DP-sharded; XLA inserts the
     gradient all-reduce over "data" and the TP collectives over "model".
     """
-    optimizer = make_optimizer(tc)
+    # the optimizer is built on first use: trainable-pattern labels need
+    # the params TREE (structure only — label derivation never reads values,
+    # so tracing through step_fn is fine)
+    _opt_cell: Dict[str, optax.GradientTransformation] = {}
+
+    def _optimizer(params) -> optax.GradientTransformation:
+        if "opt" not in _opt_cell:
+            _opt_cell["opt"] = make_optimizer(tc, params=params)
+        return _opt_cell["opt"]
+
     pspecs = param_pspecs(cfg)
     pshard = param_shardings(cfg, mesh)
     batch_sharding = NamedSharding(mesh, P(AXIS_DATA))
     rep = NamedSharding(mesh, P())
 
     def init_opt_state(params: Params):
-        return optimizer.init(params)
+        return _optimizer(params).init(params)
 
     @functools.partial(
         jax.jit,
@@ -103,7 +149,8 @@ def make_train_step(
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, cfg, mel, tokens, loss_mask,
                                    remat=tc.remat)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates, opt_state = _optimizer(params).update(
+            grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 

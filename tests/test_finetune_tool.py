@@ -41,3 +41,51 @@ def test_finetune_runs_and_saves(corpus, tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "loss=" in proc.stdout
     assert os.path.exists(out + "-final.safetensors")
+
+
+def test_selective_finetune_freezes_pattern_complement():
+    """TrainConfig(trainable=...): frozen leaves stay bit-exact through an
+    optimizer step, trained leaves move, and a no-match pattern raises."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from openai_whisper_coreml_tpu.config import tiny_test_config
+    from openai_whisper_coreml_tpu.params import init_params
+    from openai_whisper_coreml_tpu.parallel import make_mesh
+    from openai_whisper_coreml_tpu.tokenizer import get_tokenizer
+    from openai_whisper_coreml_tpu.train import (
+        TrainConfig, make_batch, make_train_step)
+
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2,
+                           n_audio_ctx=32, n_text_ctx=32)
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    params0 = init_params(cfg, jax.random.PRNGKey(0))
+    before = jax.tree.map(np.asarray, params0)
+
+    init_fn, step_fn = make_train_step(
+        cfg, mesh, TrainConfig(learning_rate=1e-2, trainable="^decoder",
+                               remat=False))
+    params, opt_state = init_fn(params0)
+    tok = get_tokenizer(cfg)
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((2, cfg.n_mels, 64)).astype(np.float32)
+    mel, tokens, mask = make_batch(cfg, tok, mel, ["a b", "c d"], max_len=12)
+    params, opt_state, metrics = step_fn(
+        params, opt_state, jnp.asarray(mel), jnp.asarray(tokens),
+        jnp.asarray(mask))
+    assert np.isfinite(float(metrics["loss"]))
+
+    after = jax.tree.map(np.asarray, params)
+    np.testing.assert_array_equal(
+        after["encoder"]["blocks"]["attn"]["q"]["w"],
+        before["encoder"]["blocks"]["attn"]["q"]["w"])
+    assert not np.array_equal(
+        after["decoder"]["blocks"]["attn"]["q"]["w"],
+        before["decoder"]["blocks"]["attn"]["q"]["w"])
+
+    with pytest.raises(ValueError, match="matches no parameters"):
+        ifn, _ = make_train_step(
+            cfg, mesh, TrainConfig(trainable="nonexistent_leaf_zz"))
+        ifn(init_params(cfg, jax.random.PRNGKey(1)))

@@ -65,6 +65,10 @@ def main(argv=None) -> int:
     ap.add_argument("--max-len", type=int, default=None,
                     help="token sequence cap (default: longest in batch)")
     ap.add_argument("--save-every", type=int, default=0)
+    ap.add_argument("--trainable", default=None,
+                    help="regex over param paths to fine-tune selectively "
+                         "(e.g. '^decoder', 'ln|bias'); frozen leaves "
+                         "allocate no optimizer state")
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -94,8 +98,15 @@ def main(argv=None) -> int:
     tokenizer = get_tokenizer(cfg, language="en" if cfg.multilingual else None)
 
     mesh = make_mesh(n_model=args.mesh_model)
+    n_data = mesh.shape["data"]
+    if args.batch_size % n_data:
+        rounded = -(-args.batch_size // n_data) * n_data
+        print(f"batch size {args.batch_size} -> {rounded} "
+              f"(the {n_data}-way data axis shards dimension 0)")
+        args.batch_size = rounded
     init_fn, step_fn = make_train_step(
-        cfg, mesh, TrainConfig(learning_rate=args.learning_rate))
+        cfg, mesh, TrainConfig(learning_rate=args.learning_rate,
+                               trainable=args.trainable))
     params, opt_state = init_fn(model.params)
 
     it = data_iterator(utts, args.batch_size, cfg, tokenizer, seed=args.seed,
