@@ -52,6 +52,14 @@ def linear(x: Array, p) -> Array:
         y = jnp.dot(x, p["w"].astype(x.dtype),
                     preferred_element_type=jnp.float32,
                     precision=matmul_precision(x.dtype))
+    if "lora_a" in p:
+        # LoRA adapter (lora.py): rank-r bottleneck, negligible FLOPs next
+        # to the base matmul; works on float AND int8 (w_q) bases
+        xa = jnp.dot(x, p["lora_a"].astype(x.dtype),
+                     precision=matmul_precision(x.dtype))
+        y = y + jnp.dot(xa, p["lora_b"].astype(x.dtype),
+                        preferred_element_type=jnp.float32,
+                        precision=matmul_precision(x.dtype))
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype)

@@ -111,10 +111,30 @@ def param_pspecs(cfg: WhisperConfig) -> Params:
     }
 
 
-def param_shardings(cfg: WhisperConfig, mesh: Mesh) -> Params:
+def align_pspecs(pspecs: Params, params: Params) -> Params:
+    """Mirror `params`' exact structure: keys the static spec tree does not
+    know (LoRA adapters, quantization scales, future extras) fall back to
+    fully-replicated specs — small tensors where GSPMD's inserted
+    collectives cost nothing, and replication is always shape-valid."""
+    if not isinstance(params, dict):
+        return pspecs
+    out: Params = {}
+    for k, v in params.items():
+        if isinstance(pspecs, dict) and k in pspecs:
+            out[k] = align_pspecs(pspecs[k], v)
+        else:
+            out[k] = jax.tree.map(lambda _: P(), v)
+    return out
+
+
+def param_shardings(cfg: WhisperConfig, mesh: Mesh,
+                    params: Params = None) -> Params:
+    specs = param_pspecs(cfg)
+    if params is not None:
+        specs = align_pspecs(specs, params)
     return jax.tree.map(
         lambda spec: NamedSharding(mesh, spec),
-        param_pspecs(cfg),
+        specs,
         is_leaf=lambda x: isinstance(x, P),
     )
 
@@ -126,5 +146,5 @@ def shard_params(params: Params, cfg: WhisperConfig, mesh: Mesh) -> Params:
     (/root/reference/Whisper/Whisper/Whisper.swift:17-21) with explicit,
     inspectable device layouts.
     """
-    shardings = param_shardings(cfg, mesh)
+    shardings = param_shardings(cfg, mesh, params=params)
     return jax.tree.map(jax.device_put, params, shardings)

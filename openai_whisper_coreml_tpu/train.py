@@ -23,7 +23,7 @@ from .config import WhisperConfig
 from .models import decoder as dec_mod
 from .models import encoder as enc_mod
 from .parallel.mesh import AXIS_DATA, AXIS_MODEL
-from .parallel.sharding import param_pspecs, param_shardings
+from .parallel.sharding import param_shardings
 
 Params = Dict[str, Any]
 
@@ -123,39 +123,51 @@ def make_train_step(
     # the optimizer is built on first use: trainable-pattern labels need
     # the params TREE (structure only — label derivation never reads values,
     # so tracing through step_fn is fine)
-    _opt_cell: Dict[str, optax.GradientTransformation] = {}
+    _opt_cell: Dict[str, Any] = {}
 
     def _optimizer(params) -> optax.GradientTransformation:
         if "opt" not in _opt_cell:
             _opt_cell["opt"] = make_optimizer(tc, params=params)
         return _opt_cell["opt"]
 
-    pspecs = param_pspecs(cfg)
-    pshard = param_shardings(cfg, mesh)
     batch_sharding = NamedSharding(mesh, P(AXIS_DATA))
     rep = NamedSharding(mesh, P())
 
     def init_opt_state(params: Params):
         return _optimizer(params).init(params)
 
-    @functools.partial(
-        jax.jit,
-        in_shardings=(pshard, None, batch_sharding, batch_sharding,
-                      batch_sharding),
-        out_shardings=(pshard, None, rep),
-        donate_argnums=(0, 1),
-    )
+    def _build_step(params):
+        # shardings are aligned to the ACTUAL params tree (extra leaves like
+        # LoRA adapters get replicated specs), so the jitted step is built
+        # on first use rather than at make_train_step time
+        pshard = param_shardings(cfg, mesh, params=params)
+
+        @functools.partial(
+            jax.jit,
+            in_shardings=(pshard, None, batch_sharding, batch_sharding,
+                          batch_sharding),
+            out_shardings=(pshard, None, rep),
+            donate_argnums=(0, 1),
+        )
+        def step(params, opt_state, mel, tokens, loss_mask):
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, cfg, mel, tokens, loss_mask,
+                                       remat=tc.remat)
+            updates, opt_state = _optimizer(params).update(
+                grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        return step
+
     def step_fn(params, opt_state, mel, tokens, loss_mask):
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, cfg, mel, tokens, loss_mask,
-                                   remat=tc.remat)
-        updates, opt_state = _optimizer(params).update(
-            grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, metrics
+        if "step" not in _opt_cell:
+            _opt_cell["step"] = _build_step(params)
+        return _opt_cell["step"](params, opt_state, mel, tokens, loss_mask)
 
     def init_fn(params: Params):
-        params = jax.device_put(params, pshard)
+        params = jax.device_put(
+            params, param_shardings(cfg, mesh, params=params))
         opt_state = jax.jit(init_opt_state)(params)
         return params, opt_state
 

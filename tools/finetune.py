@@ -65,6 +65,16 @@ def main(argv=None) -> int:
     ap.add_argument("--max-len", type=int, default=None,
                     help="token sequence cap (default: longest in batch)")
     ap.add_argument("--save-every", type=int, default=0)
+    ap.add_argument("--lora-rank", type=int, default=0,
+                    help="train LoRA adapters of this rank instead of the "
+                         "full model (0 = full fine-tune); composes with "
+                         "int8-quantized bases and TP meshes")
+    ap.add_argument("--lora-alpha", type=float, default=16.0)
+    ap.add_argument("--lora-targets", default=None,
+                    help="regex over linear paths (default: attention q/v)")
+    ap.add_argument("--no-merge-lora", action="store_true",
+                    help="save the final checkpoint with adapters separate "
+                         "instead of merged into the base weights")
     ap.add_argument("--trainable", default=None,
                     help="regex over param paths to fine-tune selectively "
                          "(e.g. '^decoder', 'ln|bias'); frozen leaves "
@@ -97,6 +107,20 @@ def main(argv=None) -> int:
     cfg = model.cfg
     tokenizer = get_tokenizer(cfg, language="en" if cfg.multilingual else None)
 
+    start_params = model.params
+    trainable = args.trainable
+    if args.lora_rank > 0:
+        from openai_whisper_coreml_tpu.lora import add_lora, count_lora_params
+
+        lora_kw = {"rank": args.lora_rank, "alpha": args.lora_alpha}
+        if args.lora_targets:
+            lora_kw["targets"] = args.lora_targets
+        start_params = add_lora(start_params, **lora_kw)
+        trainable = trainable or "lora_"
+        print(f"LoRA rank {args.lora_rank}: "
+              f"{count_lora_params(start_params)/1e6:.2f}M trainable "
+              f"adapter params")
+
     mesh = make_mesh(n_model=args.mesh_model)
     n_data = mesh.shape["data"]
     if args.batch_size % n_data:
@@ -106,8 +130,8 @@ def main(argv=None) -> int:
         args.batch_size = rounded
     init_fn, step_fn = make_train_step(
         cfg, mesh, TrainConfig(learning_rate=args.learning_rate,
-                               trainable=args.trainable))
-    params, opt_state = init_fn(model.params)
+                               trainable=trainable))
+    params, opt_state = init_fn(start_params)
 
     it = data_iterator(utts, args.batch_size, cfg, tokenizer, seed=args.seed,
                        max_len=args.max_len)
@@ -127,8 +151,14 @@ def main(argv=None) -> int:
             save_params(jax.device_get(params), path, model_name=cfg.name)
             print(f"saved {path}", flush=True)
 
+    final = jax.device_get(params)
+    if args.lora_rank > 0 and not args.no_merge_lora:
+        from openai_whisper_coreml_tpu.lora import merge_lora
+
+        final = merge_lora(final)
+        print("merged LoRA adapters into base weights")
     path = f"{args.output}-final.safetensors"
-    save_params(jax.device_get(params), path, model_name=cfg.name)
+    save_params(final, path, model_name=cfg.name)
     print(f"saved {path}")
     return 0
 
