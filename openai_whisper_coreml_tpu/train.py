@@ -37,6 +37,9 @@ class TrainConfig:
     eps: float = 1e-6
     max_grad_norm: float = 1.0
     remat: bool = True
+    # Pallas flash-attention in the encoder forward (backward = reference
+    # recompute via the kernel's custom VJP — ops/flash_attention.py)
+    flash: bool = False
     # selective fine-tuning: regex over slash-joined param paths (e.g.
     # "^decoder" trains only the decoder; "ln|bias" is BitFit-style).
     # Frozen leaves keep their values bit-exactly AND allocate no AdamW
@@ -92,9 +95,10 @@ def loss_fn(
     loss_mask: jax.Array,  # (B, T) float — 1 where the NEXT token is a target
     *,
     remat: bool = True,
+    flash: bool = False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Teacher-forcing CE: predict tokens[:, 1:] from tokens[:, :-1]."""
-    feats = enc_mod.encode(params, cfg, mel, remat=remat)
+    feats = enc_mod.encode(params, cfg, mel, remat=remat, flash=flash)
     logits = dec_mod.decoder_forward(params, cfg, tokens[:, :-1],
                                      audio_features=feats, remat=remat)
     targets = tokens[:, 1:]
@@ -152,7 +156,7 @@ def make_train_step(
         def step(params, opt_state, mel, tokens, loss_mask):
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, cfg, mel, tokens, loss_mask,
-                                       remat=tc.remat)
+                                       remat=tc.remat, flash=tc.flash)
             updates, opt_state = _optimizer(params).update(
                 grads, opt_state, params)
             params = optax.apply_updates(params, updates)

@@ -54,3 +54,67 @@ def test_encoder_flash_path_matches(rng):
     a = enc_mod.encode(params, cfg, mel, flash=False)
     b = enc_mod.encode(params, cfg, mel, flash=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_flash_attention_gradients_match_reference():
+    """The kernel's custom VJP returns the reference attention gradient
+    (fp32, non-causal and causal)."""
+    import jax
+
+    from openai_whisper_coreml_tpu.models.layers import attention_core
+    from openai_whisper_coreml_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    shape = (2, 64, 2, 64)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape), jnp.float32) * 0.3
+               for _ in range(3))
+
+    for causal in (False, True):
+        def loss_flash(q_, k_, v_):
+            return (flash_attention(q_, k_, v_, causal=causal) ** 2).sum()
+
+        def loss_ref(q_, k_, v_):
+            mask = (jnp.tril(jnp.ones((shape[1], shape[1]), jnp.bool_))
+                    [None, None] if causal else None)
+            return (attention_core(q_, k_, v_, mask=mask) ** 2).sum()
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-3, rtol=2e-3)
+
+
+def test_train_step_with_flash_encoder():
+    """TrainConfig(flash=True): the train step runs through the kernel
+    forward + VJP backward and matches the jnp-encoder step's loss."""
+    import jax
+
+    from openai_whisper_coreml_tpu.config import tiny_test_config
+    from openai_whisper_coreml_tpu.params import init_params
+    from openai_whisper_coreml_tpu.parallel import make_mesh
+    from openai_whisper_coreml_tpu.tokenizer import get_tokenizer
+    from openai_whisper_coreml_tpu.train import (
+        TrainConfig, make_batch, make_train_step)
+
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2,
+                           n_audio_ctx=64, n_text_ctx=32)
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    tok = get_tokenizer(cfg)
+    rng = np.random.default_rng(0)
+    mel_np = rng.standard_normal((2, cfg.n_mels, 128)).astype(np.float32)
+    mel, tokens, mask = make_batch(cfg, tok, mel_np, ["a b", "c d"],
+                                   max_len=12)
+
+    losses = {}
+    for flash in (False, True):
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        init_fn, step_fn = make_train_step(
+            cfg, mesh, TrainConfig(learning_rate=1e-3, flash=flash,
+                                   remat=False))
+        p, o = init_fn(params)
+        _, _, metrics = step_fn(p, o, jnp.asarray(mel), jnp.asarray(tokens),
+                                jnp.asarray(mask))
+        losses[flash] = float(metrics["loss"])
+    assert np.isfinite(losses[True])
+    assert abs(losses[True] - losses[False]) < 1e-3

@@ -79,6 +79,9 @@ def main(argv=None) -> int:
                     help="regex over param paths to fine-tune selectively "
                          "(e.g. '^decoder', 'ln|bias'); frozen leaves "
                          "allocate no optimizer state")
+    ap.add_argument("--flash", action="store_true",
+                    help="Pallas flash attention in the encoder forward "
+                         "(backward uses the reference recompute VJP)")
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -102,8 +105,7 @@ def main(argv=None) -> int:
     print(f"{len(utts)} utterances; devices: {jax.device_count()} "
           f"({jax.default_backend()})")
 
-    model = load_model(args.model, checkpoint=args.checkpoint,
-                       flash=False)  # fwd+bwd uses the jnp attention path
+    model = load_model(args.model, checkpoint=args.checkpoint, flash=False)
     cfg = model.cfg
     tokenizer = get_tokenizer(cfg, language="en" if cfg.multilingual else None)
 
@@ -130,7 +132,7 @@ def main(argv=None) -> int:
         args.batch_size = rounded
     init_fn, step_fn = make_train_step(
         cfg, mesh, TrainConfig(learning_rate=args.learning_rate,
-                               trainable=trainable))
+                               trainable=trainable, flash=args.flash))
     params, opt_state = init_fn(start_params)
 
     it = data_iterator(utts, args.batch_size, cfg, tokenizer, seed=args.seed,
