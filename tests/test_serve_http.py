@@ -438,3 +438,23 @@ def test_body_size_limit_413(rng):
         assert e.value.code == 413
     finally:
         srv.stop()
+
+
+def test_openai_transcriptions_flac_upload(oa_server):
+    """FLAC uploads decode through the native decoder (temp-file path)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_flac import _encode_flac_mono, _native
+
+    if _native() is None:
+        pytest.skip("native audio library not built")
+    t = np.arange(16000) / 16000
+    pcm = (0.3 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int32)
+    flac = _encode_flac_mono(pcm, 16_000, block_size=4096, kind="verbatim")
+    body, headers = _multipart({"language": "en"}, flac, filename="a.flac")
+    status, _, raw = _post_raw(oa_server, "/v1/audio/transcriptions",
+                               body, headers)
+    assert status == 200
+    assert "text" in json.loads(raw)
