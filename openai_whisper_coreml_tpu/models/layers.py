@@ -56,8 +56,9 @@ def linear(x: Array, p) -> Array:
         # LoRA adapter (lora.py): rank-r bottleneck, negligible FLOPs next
         # to the base matmul; works on float AND int8 (w_q) bases
         xa = jnp.dot(x, p["lora_a"].astype(x.dtype),
+                     preferred_element_type=jnp.float32,
                      precision=matmul_precision(x.dtype))
-        y = y + jnp.dot(xa, p["lora_b"].astype(x.dtype),
+        y = y + jnp.dot(xa.astype(x.dtype), p["lora_b"].astype(x.dtype),
                         preferred_element_type=jnp.float32,
                         precision=matmul_precision(x.dtype))
     if "b" in p:

@@ -222,8 +222,10 @@ def _flash_diff_bwd(causal, block_q, block_k, interpret, residuals, g):
     def ref(q_, k_, v_):
         mask = None
         if causal:
-            t = q_.shape[1]
-            mask = jnp.tril(jnp.ones((t, t), jnp.bool_))[None, None]
+            # (Tq, Tk) shaped: the forward rejects causal Tq != Tk today,
+            # but the backward must not bake that assumption in again
+            mask = jnp.tril(jnp.ones((q_.shape[1], k_.shape[1]),
+                                     jnp.bool_))[None, None]
         return attention_core(q_, k_, v_, mask=mask)
 
     _, vjp = jax.vjp(ref, q, k, v)

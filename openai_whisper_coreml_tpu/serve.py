@@ -257,9 +257,11 @@ def transcribe_batch(
 
     # a VAD-gated window behaves exactly like an openai no-speech skip:
     # high no_speech_prob (skipped under the default threshold -> full
-    # advance), low avg_logprob, no tokens (empty segment if thresholds off)
+    # advance), low avg_logprob, no tokens (empty segment if thresholds
+    # off). language="" so silence casts NO language-detection vote — a
+    # mostly-silent multilingual file must not auto-detect toward silence
     silent_result = DecodingResult(
-        tokens=[], text="", language=options.language or "en",
+        tokens=[], text="", language="",
         language_probs=None, avg_logprob=-10.0, no_speech_prob=1.0,
         temperature=0.0, compression_ratio=0.0)
 

@@ -454,7 +454,12 @@ class WhisperHTTPServer:
                 parsed = urllib.parse.urlparse(self.path)
                 qs = {k: v[0] for k, v in
                       urllib.parse.parse_qs(parsed.query).items()}
-                n_body = int(self.headers.get("Content-Length") or 0)
+                try:
+                    n_body = int(self.headers.get("Content-Length") or 0)
+                except ValueError:
+                    self.close_connection = True
+                    self._json(400, {"error": "malformed Content-Length"})
+                    return
                 if n_body > server.max_body_bytes:
                     # drain nothing; close after responding (the client is
                     # mid-upload of a too-large body)

@@ -230,12 +230,25 @@ class StreamingTranscriber:
         return events
 
     def _vad_skip(self) -> bool:
-        """True when vad_gate is on and the buffer holds no speech."""
+        """True when vad_gate is on and the buffer holds no speech.
+
+        A skipped tick also BOUNDS the buffer (feed()'s normal trim lives
+        behind the decode it just skipped): a speechless buffer carries no
+        transcript content, so keep only a 5 s onset-context tail — long
+        silences neither grow memory nor bury later speech behind stale
+        audio at the front of the 30 s window."""
         if not self.vad_gate or not len(self._buffer):
             return False
         from .vad import detect_speech
 
-        return not detect_speech(self._buffer)
+        if detect_speech(self._buffer):
+            return False
+        keep = 5 * SAMPLE_RATE
+        if len(self._buffer) > keep:
+            self._buffer = self._buffer[-keep:]
+            self._confirmed = []
+            self._hyps.clear()
+        return True
 
     def finish(self) -> List[StreamEvent]:
         """Flush: decode once more and emit everything unconfirmed.

@@ -73,17 +73,28 @@ def make_optimizer(tc: TrainConfig,
                    ) -> optax.GradientTransformation:
     adamw = optax.adamw(tc.learning_rate, b1=tc.b1, b2=tc.b2, eps=tc.eps,
                        weight_decay=tc.weight_decay)
-    if tc.trainable is not None:
-        if params is None:
-            raise ValueError("trainable pattern needs the params tree to "
-                             "derive labels (pass params=)")
-        labels = _param_path_labels(params, tc.trainable)
-        adamw = optax.multi_transform(
-            {"train": adamw, "freeze": optax.set_to_zero()},
-            param_labels=labels)
+    if tc.trainable is None:
+        return optax.chain(
+            optax.clip_by_global_norm(tc.max_grad_norm),
+            adamw,
+        )
+    if params is None:
+        raise ValueError("trainable pattern needs the params tree to "
+                         "derive labels (pass params=)")
+    labels = _param_path_labels(params, tc.trainable)
     return optax.chain(
+        # zero frozen grads FIRST so the global-norm clip is computed over
+        # the trainable set only — otherwise large frozen-base gradients
+        # throttle the (tiny) adapter updates by a step-varying factor
+        optax.multi_transform(
+            {"train": optax.identity(), "freeze": optax.set_to_zero()},
+            param_labels=labels),
         optax.clip_by_global_norm(tc.max_grad_norm),
-        adamw,
+        # the freeze transform again around AdamW: zero grads alone would
+        # still apply weight decay and allocate moments on frozen leaves
+        optax.multi_transform(
+            {"train": adamw, "freeze": optax.set_to_zero()},
+            param_labels=labels),
     )
 
 

@@ -128,8 +128,11 @@ class Metrics:
 
         emit("uptime_seconds", snap["uptime_s"])
         for name, v in sorted(snap["counters"].items()):
-            lines.append(f"# TYPE {prefix}_{name}_total counter")
-            emit(f"{name}_total", v)
+            # counters may already carry a _total suffix (requests_total);
+            # normalise so every series ends in exactly one _total
+            base = name[: -len("_total")] if name.endswith("_total") else name
+            lines.append(f"# TYPE {prefix}_{base}_total counter")
+            emit(f"{base}_total", v)
         for name, v in sorted(snap["gauges"].items()):
             lines.append(f"# TYPE {prefix}_{name} gauge")
             emit(name, v)

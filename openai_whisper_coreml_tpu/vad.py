@@ -52,16 +52,21 @@ class VadOptions:
 
 
 def _frame_energy_db(audio: np.ndarray, frame: int, hop: int) -> np.ndarray:
-    """(n_frames,) RMS energy in dBFS; short tails are zero-padded."""
+    """(n_frames,) RMS energy in dBFS; short tails count as zero-padded.
+
+    O(n) memory via a cumulative sum of squares — the serving path runs
+    this on whole uploads (hours of audio), where a materialised
+    (n_frames, frame) window matrix would cost ~60 bytes/sample."""
     n = len(audio)
     if n == 0:
         return np.zeros((0,), np.float32)
     n_frames = max(1, 1 + (max(0, n - frame) + hop - 1) // hop)
-    padded = np.zeros(hop * (n_frames - 1) + frame, np.float32)
-    padded[:n] = audio
-    idx = (np.arange(n_frames)[:, None] * hop) + np.arange(frame)[None, :]
-    frames = padded[idx]
-    rms = np.sqrt(np.mean(frames.astype(np.float64) ** 2, axis=-1) + 1e-12)
+    csum = np.concatenate(
+        ([0.0], np.cumsum(np.square(audio, dtype=np.float64))))
+    starts = np.minimum(np.arange(n_frames, dtype=np.int64) * hop, n)
+    ends = np.minimum(starts + frame, n)
+    sums = csum[ends] - csum[starts]
+    rms = np.sqrt(sums / frame + 1e-12)  # /frame == zero-padded tail mean
     return (20.0 * np.log10(rms + 1e-12)).astype(np.float32)
 
 

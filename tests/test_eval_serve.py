@@ -267,3 +267,20 @@ def test_transcribe_batch_vad_filter(model, monkeypatch):
     b = S.transcribe_batch(model, [dense], S.ServeOptions(**kw))[0]
     assert [s["tokens"] for s in a["segments"]] == \
         [s["tokens"] for s in b["segments"]]
+
+
+def test_vad_silent_windows_cast_no_language_vote(model):
+    """VAD-gated windows carry language='' and so cast NO auto-detection
+    vote: fully silent audio falls back to 'en' (never decoded, never
+    'detected' from silence mel), and on sparse audio only speech windows
+    vote (their count does not shift the winner)."""
+    from openai_whisper_coreml_tpu.serve import ServeOptions, transcribe_batch
+
+    rng = np.random.default_rng(11)
+    silent = (1e-6 * rng.standard_normal(16000 * 62)).astype(np.float32)
+    kw = dict(batch_size=2, language=None, sample_len=6, temperature=(0.0,),
+              logprob_threshold=None, compression_ratio_threshold=None,
+              vad_filter=True)
+    res = transcribe_batch(model, [silent], ServeOptions(**kw))[0]
+    assert res["language"] == "en"  # vote-less fallback, not silence junk
+    assert all(not s["tokens"] for s in res["segments"])

@@ -89,3 +89,35 @@ def test_selective_finetune_freezes_pattern_complement():
         ifn, _ = make_train_step(
             cfg, mesh, TrainConfig(trainable="nonexistent_leaf_zz"))
         ifn(init_params(cfg, jax.random.PRNGKey(1)))
+
+
+def test_trainable_clip_ignores_frozen_gradients():
+    """The global-norm clip is computed over trainable gradients only:
+    adapter updates are identical whether frozen-leaf gradients are tiny
+    or enormous (review finding: clip-before-freeze throttled adapters)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openai_whisper_coreml_tpu.train import TrainConfig, make_optimizer
+
+    params = {"base": {"w": jnp.ones((4, 4))},
+              "head": {"lora_a": jnp.ones((4, 2))}}
+    tc = TrainConfig(learning_rate=1e-2, trainable="lora_",
+                     max_grad_norm=1.0)
+    small = {"base": {"w": jnp.zeros((4, 4))},
+             "head": {"lora_a": jnp.full((4, 2), 0.1)}}
+    huge = {"base": {"w": jnp.full((4, 4), 1e6)},
+            "head": {"lora_a": jnp.full((4, 2), 0.1)}}
+
+    for grads_a, grads_b in [(small, huge)]:
+        opt = make_optimizer(tc, params=params)
+        st = opt.init(params)
+        upd_a, _ = opt.update(grads_a, st, params)
+        opt2 = make_optimizer(tc, params=params)
+        st2 = opt2.init(params)
+        upd_b, _ = opt2.update(grads_b, st2, params)
+    np.testing.assert_allclose(np.asarray(upd_a["head"]["lora_a"]),
+                               np.asarray(upd_b["head"]["lora_a"]),
+                               atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(upd_b["base"]["w"]), 0.0)

@@ -271,3 +271,18 @@ def test_multistream_vad_gate_drops_silent_rows(model, monkeypatch):
     assert mst.streams[1]._since_decode == 0
     # stream 0 decoded (poll ran at least one batch)
     assert decoded_rows, "speech stream must decode"
+
+
+def test_vad_gate_bounds_silent_buffer(model):
+    """Long silence must not grow the buffer (the skip path bypasses the
+    normal post-decode trim): skipped ticks keep only a 5 s context tail."""
+    from openai_whisper_coreml_tpu.config import SAMPLE_RATE
+    from openai_whisper_coreml_tpu.stream import StreamingTranscriber
+
+    st = StreamingTranscriber(model, language="en", decode_interval=0.5,
+                              vad_gate=True)
+    rng = np.random.default_rng(2)
+    silence = (1e-6 * rng.standard_normal(8000)).astype(np.float32)
+    for _ in range(20):  # 10 s of silence
+        st.feed(silence)
+    assert len(st._buffer) <= 5 * SAMPLE_RATE
