@@ -75,6 +75,28 @@ bool parse_wav(const uint8_t* buf, size_t len, WavInfo* out) {
          out->sample_rate > 0;
 }
 
+// ITU-T G.711 expanders (telephony WAV formats 7 = mu-law, 6 = A-law);
+// bit-exact against the reference tables (tests/test_native_audio.py
+// cross-checks the Python implementation against the audioop oracle).
+inline int32_t mulaw_expand(uint8_t b) {
+  const uint8_t u = static_cast<uint8_t>(~b);
+  int32_t t = ((u & 0x0F) << 3) + 0x84;
+  t <<= (u >> 4) & 0x07;
+  return (u & 0x80) ? (0x84 - t) : (t - 0x84);
+}
+
+inline int32_t alaw_expand(uint8_t b) {
+  const uint8_t a = static_cast<uint8_t>(b ^ 0x55);
+  const int seg = (a >> 4) & 0x07;
+  int32_t t = (a & 0x0F) << 4;
+  if (seg == 0) {
+    t += 8;
+  } else {
+    t = (t + 0x108) << (seg - 1);
+  }
+  return (a & 0x80) ? t : -t;
+}
+
 // Decode interleaved samples to mono float32 in [-1, 1].
 bool decode_samples(const WavInfo& w, std::vector<float>* out) {
   const size_t bytes_per = w.bits / 8;
@@ -91,6 +113,10 @@ bool decode_samples(const WavInfo& w, std::vector<float>* out) {
         float f;
         std::memcpy(&f, p, 4);
         v = f;
+      } else if (w.format == 7 && w.bits == 8) {  // G.711 mu-law
+        v = static_cast<float>(mulaw_expand(p[0])) / 32768.0f;
+      } else if (w.format == 6 && w.bits == 8) {  // G.711 A-law
+        v = static_cast<float>(alaw_expand(p[0])) / 32768.0f;
       } else if (w.bits == 16) {
         int16_t s;
         std::memcpy(&s, p, 2);

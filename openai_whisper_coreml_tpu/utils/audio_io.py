@@ -70,15 +70,83 @@ def _find_native_lib() -> Optional[ctypes.CDLL]:
     return None
 
 
+def _mulaw_to_linear(u8: np.ndarray) -> np.ndarray:
+    """G.711 mu-law bytes -> int16-scale float32 (ITU-T G.711 table math)."""
+    u = (~u8.astype(np.uint8)).astype(np.int32)
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u >> 4) & 0x07)
+    lin = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    return lin.astype(np.float32)
+
+
+def _alaw_to_linear(a8: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes -> int16-scale float32."""
+    a = (a8.astype(np.uint8) ^ 0x55).astype(np.int32)
+    seg = (a >> 4) & 0x07
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8,
+                 np.where(seg == 1, t + 0x108,
+                          ((t + 0x108) << np.maximum(seg - 1, 0))))
+    lin = np.where(a & 0x80, t, -t)
+    return lin.astype(np.float32)
+
+
+def _decode_g711_riff(raw: bytes) -> tuple[np.ndarray, int]:
+    """Minimal RIFF walk for compressed WAVs the stdlib wave module refuses
+    (format 6 = A-law, 7 = mu-law — telephony captures)."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt = 12, None
+    data = b""
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        clen = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+        body = raw[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            code = int.from_bytes(body[0:2], "little")
+            if code == 0xFFFE and len(body) >= 26:  # EXTENSIBLE
+                code = int.from_bytes(body[24:26], "little")
+            fmt = (code, int.from_bytes(body[2:4], "little"),
+                   int.from_bytes(body[4:8], "little"))
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or not data:
+        raise ValueError("WAV missing fmt/data chunks")
+    code, n_channels, rate = fmt
+    if code == 7:
+        lin = _mulaw_to_linear(np.frombuffer(data, np.uint8))
+    elif code == 6:
+        lin = _alaw_to_linear(np.frombuffer(data, np.uint8))
+    else:
+        raise ValueError(f"unsupported WAV format code {code}")
+    out = lin / 32768.0
+    if n_channels > 1:
+        out = out[: len(out) - len(out) % n_channels]
+        out = out.reshape(-1, n_channels).mean(axis=1)
+    return out.astype(np.float32), rate
+
+
 def _load_wav_python(path_or_file) -> tuple[np.ndarray, int]:
-    """Decode a PCM WAV (path or binary file-like) to float32 in [-1, 1],
-    mono-averaged. Handles 8/16/24/32-bit integer PCM."""
-    with wave.open(path_or_file, "rb") as wf:
-        n_channels = wf.getnchannels()
-        width = wf.getsampwidth()
-        rate = wf.getframerate()
-        n_frames = wf.getnframes()
-        raw = wf.readframes(n_frames)
+    """Decode a WAV (path or binary file-like) to float32 in [-1, 1],
+    mono-averaged. Handles 8/16/24/32-bit integer PCM plus G.711
+    mu-law/A-law (format codes 7/6 — telephony recordings)."""
+    try:
+        with wave.open(path_or_file, "rb") as wf:
+            n_channels = wf.getnchannels()
+            width = wf.getsampwidth()
+            rate = wf.getframerate()
+            n_frames = wf.getnframes()
+            raw = wf.readframes(n_frames)
+    except wave.Error:
+        # the stdlib module refuses compressed formats: retry as G.711
+        if isinstance(path_or_file, (str, bytes, os.PathLike)):
+            with open(path_or_file, "rb") as f:
+                blob = f.read()
+        else:
+            path_or_file.seek(0)
+            blob = path_or_file.read()
+        return _decode_g711_riff(blob)
 
     if width == 2:
         data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0

@@ -119,3 +119,70 @@ def test_load_audio_batch_mixed_failure(tmp_path):
     except Exception:
         raised = True
     assert raised  # the malformed file must surface an error, not silence
+
+
+def _g711_wav_bytes(audio_i16: "np.ndarray", fmt_code: int,
+                    rate: int = 8000) -> bytes:
+    """Build a G.711 WAV by hand (the stdlib wave module cannot write
+    compressed formats). Encoder = audioop (the CPython reference
+    implementation of G.711), used here as the test oracle."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import audioop
+    pcm = audio_i16.astype("<i2").tobytes()
+    payload = (audioop.lin2ulaw(pcm, 2) if fmt_code == 7
+               else audioop.lin2alaw(pcm, 2))
+    import struct
+
+    fmt = struct.pack("<HHIIHH", fmt_code, 1, rate, rate, 1, 8)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(payload)) + payload
+              + (b"\0" if len(payload) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+@pytest.mark.parametrize("fmt_code,name", [(7, "mulaw"), (6, "alaw")])
+def test_g711_wav_decodes_native_and_python(tmp_path, fmt_code, name):
+    """Telephony WAVs (G.711 mu-law/A-law at 8 kHz) decode through BOTH the
+    native loader and the Python fallback, bit-identically, resampled to
+    16 kHz."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import audioop
+
+    from openai_whisper_coreml_tpu.utils import audio_io
+
+    t = np.arange(8000) / 8000
+    pcm = (0.5 * np.sin(2 * np.pi * 300 * t) * 32767).astype(np.int16)
+    raw = _g711_wav_bytes(pcm, fmt_code)
+    path = str(tmp_path / f"tel_{name}.wav")
+    with open(path, "wb") as f:
+        f.write(raw)
+
+    # python fallback path (force by bypassing the native lib)
+    py_audio, rate = audio_io._load_wav_python(path)
+    assert rate == 8000 and len(py_audio) == 8000
+    # oracle: audioop expand of the same payload
+    expand = (audioop.ulaw2lin if fmt_code == 7 else audioop.alaw2lin)
+    ref = np.frombuffer(
+        expand((audioop.lin2ulaw if fmt_code == 7
+                else audioop.lin2alaw)(pcm.tobytes(), 2), 2),
+        "<i2").astype(np.float32) / 32768.0
+    np.testing.assert_array_equal(py_audio, ref.astype(np.float32))
+
+    # full load_audio path (native lib if built, else python) + resample
+    out = audio_io.load_audio(path)
+    assert len(out) == 16000
+    # HTTP upload path
+    out2 = audio_io.decode_wav_bytes(raw)
+    np.testing.assert_allclose(out, out2, atol=1e-6)
+
+    if audio_io._find_native_lib() is not None:
+        # native decode agrees with the python expander exactly (pre-resample
+        # comparison via an 8k->8k no-op: craft by asking for 8000)
+        nat = audio_io.load_audio(path, sample_rate=8000)
+        np.testing.assert_allclose(nat, py_audio, atol=2e-5)
