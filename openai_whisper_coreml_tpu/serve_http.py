@@ -183,6 +183,22 @@ class WhisperHTTPServer:
             def log_message(self, *args):  # quiet
                 pass
 
+            def do_OPTIONS(self):
+                # CORS preflight: browser clients of the OpenAI-compatible
+                # API send OPTIONS before multipart POSTs
+                self.send_response(204)
+                self._cors()
+                self.send_header("Access-Control-Allow-Methods",
+                                 "GET, POST, OPTIONS")
+                self.send_header("Access-Control-Allow-Headers",
+                                 "Content-Type, Authorization, X-Raw-Audio")
+                self.send_header("Access-Control-Max-Age", "86400")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def _cors(self) -> None:
+                self.send_header("Access-Control-Allow-Origin", "*")
+
             def _json(self, code: int, obj) -> None:
                 def np_default(o):
                     if isinstance(o, (np.integer,)):
@@ -195,6 +211,7 @@ class WhisperHTTPServer:
                 body = json.dumps(obj, default=np_default).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
+                self._cors()
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -216,6 +233,7 @@ class WhisperHTTPServer:
                         self.send_response(200)
                         self.send_header("Content-Type",
                                          "text/plain; version=0.0.4")
+                        self._cors()
                         self.send_header("Content-Length", str(len(body)))
                         self.end_headers()
                         self.wfile.write(body)
@@ -251,6 +269,7 @@ class WhisperHTTPServer:
                     decode_interval=float(qs.get("decode_interval", "1.0")))
                 self.send_response(200)
                 self.send_header("Content-Type", "application/x-ndjson")
+                self._cors()
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
 
@@ -416,6 +435,7 @@ class WhisperHTTPServer:
                     self.send_response(200)
                     self.send_header("Content-Type",
                                      "text/plain; charset=utf-8")
+                    self._cors()
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)
@@ -431,6 +451,7 @@ class WhisperHTTPServer:
                     self.send_response(200)
                     self.send_header("Content-Type",
                                      "text/plain; charset=utf-8")
+                    self._cors()
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)

@@ -458,3 +458,18 @@ def test_openai_transcriptions_flac_upload(oa_server):
                                body, headers)
     assert status == 200
     assert "text" in json.loads(raw)
+
+
+def test_cors_preflight_and_headers(server):
+    """Browser clients: OPTIONS preflight answers 204 with CORS headers,
+    and JSON responses carry Access-Control-Allow-Origin."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/audio/transcriptions",
+        method="OPTIONS")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 204
+        assert r.headers["Access-Control-Allow-Origin"] == "*"
+        assert "POST" in r.headers["Access-Control-Allow-Methods"]
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/healthz", timeout=30) as r:
+        assert r.headers["Access-Control-Allow-Origin"] == "*"
