@@ -163,3 +163,32 @@ def test_lora_validation():
         add_lora(params, targets="nonexistent$")
     with pytest.raises(ValueError, match="rank"):
         add_lora(params, rank=0)
+
+
+def test_lora_greedy_decode_uses_adapters(cfg, base_params):
+    """The KV-cache decode loop (decode_step path) applies adapters:
+    adapted greedy tokens == merged-weights greedy tokens, and non-zero
+    adapters actually change the decode."""
+    from openai_whisper_coreml_tpu.decoding import DecodingOptions, decode
+
+    adapted = add_lora(base_params, rank=4, seed=8)
+    adapted = jax.tree_util.tree_map_with_path(
+        lambda p, x: (jax.random.normal(jax.random.PRNGKey(3), x.shape,
+                                        x.dtype) * 0.05
+                      if str(getattr(p[-1], "key", "")) == "lora_b" else x),
+        adapted)
+    rng = np.random.default_rng(2)
+    feats = rng.standard_normal(
+        (1, cfg.n_audio_ctx, cfg.n_audio_state)).astype(np.float32) * 0.1
+    opts = DecodingOptions(language="en", sample_len=8)
+
+    def toks(params):
+        model = WhisperModel(cfg=cfg, params=params)
+        return decode(model, jnp.asarray(feats), opts,
+                      from_features=True)[0].tokens
+
+    t_adapted = toks(adapted)
+    t_merged = toks(merge_lora(adapted))
+    t_base = toks(base_params)
+    assert t_adapted == t_merged
+    assert t_adapted != t_base  # 0.05-scale adapters must move the argmax

@@ -473,3 +473,35 @@ def test_cors_preflight_and_headers(server):
     with urllib.request.urlopen(
             f"http://127.0.0.1:{server.port}/healthz", timeout=30) as r:
         assert r.headers["Access-Control-Allow-Origin"] == "*"
+
+
+def test_concurrent_requests_all_served(oa_server, rng):
+    """8 simultaneous clients across endpoints: every request gets a valid
+    response (thread-per-request handler + single batching worker)."""
+    import threading
+
+    audio = (0.2 * rng.standard_normal(16000)).astype(np.float32)
+    wav = _wav_bytes(audio)
+    results = [None] * 8
+
+    def hit(i):
+        try:
+            if i % 2:
+                status, _, raw = _post_raw(
+                    oa_server, "/v1/audio/transcriptions",
+                    *_multipart({"language": "en"}, wav)[:1],
+                    _multipart({"language": "en"}, wav)[1])
+            else:
+                status, body = _post(oa_server, "/transcribe?language=en",
+                                     wav)
+                raw = json.dumps(body).encode()
+            results[i] = (status, raw)
+        except Exception as e:  # pragma: no cover - failure detail
+            results[i] = ("error", repr(e).encode())
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert all(r is not None and r[0] == 200 for r in results), results
