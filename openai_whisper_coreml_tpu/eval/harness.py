@@ -102,14 +102,24 @@ def evaluate(
 
     hyps = [r["text"] for r in results]
     refs = [u.reference for u in utts]
-    wer = compute_wer(refs, hyps, language=language)
+    # space-less scripts report CER (word segmentation is ill-defined);
+    # everything else reports WER — same convention as openai/whisper
+    spaceless = {"zh", "ja", "th", "lo", "my", "yue"}
+    if language in spaceless:
+        from .wer import compute_cer
+
+        score = compute_cer(refs, hyps, language=language)
+        score_dict = {"cer" if k == "wer" else k: v
+                      for k, v in score.as_dict().items()}
+    else:
+        score_dict = compute_wer(refs, hyps, language=language).as_dict()
 
     return {
         "n_utterances": len(utts),
         "audio_seconds": round(total_audio_sec, 2),
         "wall_seconds": round(elapsed, 2),
         "rtfx": round(total_audio_sec / max(elapsed, 1e-9), 2),
-        **wer.as_dict(),
+        **score_dict,
         "examples": [
             {"id": u.utt_id, "ref": r, "hyp": h}
             for u, r, h in list(zip(utts, refs, hyps))[:3]

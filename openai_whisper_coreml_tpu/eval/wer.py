@@ -128,3 +128,30 @@ def compute_wer(references: Sequence[str], hypotheses: Sequence[str],
         total_n += len(rw)
     wer = (total_s + total_d + total_i) / max(total_n, 1)
     return WERResult(wer, total_s, total_d, total_i, total_h, total_n)
+
+
+def compute_cer(references: Sequence[str], hypotheses: Sequence[str],
+                *, normalize: bool = True,
+                language: Optional[str] = None) -> WERResult:
+    """Character error rate — the reporting convention for space-less
+    scripts (zh/ja/th/...), where word segmentation is ill-defined and WER
+    would score tokenizer luck. Characters are compared after the same
+    normalisation as WER with whitespace removed (the openai/whisper paper
+    convention for zh/ja)."""
+    if len(references) != len(hypotheses):
+        raise ValueError("reference/hypothesis count mismatch")
+    total_s = total_d = total_i = total_h = total_n = 0
+    for ref, hyp in zip(references, hypotheses):
+        if normalize:
+            ref = normalize_text(ref, language)
+            hyp = normalize_text(hyp, language)
+        rc = list("".join(ref.split()))
+        hc = list("".join(hyp.split()))
+        s, d, i, h = word_errors(rc, hc)
+        total_s += s
+        total_d += d
+        total_i += i
+        total_h += h
+        total_n += len(rc)
+    cer = (total_s + total_d + total_i) / max(total_n, 1)
+    return WERResult(cer, total_s, total_d, total_i, total_h, total_n)

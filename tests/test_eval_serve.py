@@ -284,3 +284,22 @@ def test_vad_silent_windows_cast_no_language_vote(model):
     res = transcribe_batch(model, [silent], ServeOptions(**kw))[0]
     assert res["language"] == "en"  # vote-less fallback, not silence junk
     assert all(not s["tokens"] for s in res["segments"])
+
+
+def test_compute_cer():
+    from openai_whisper_coreml_tpu.eval.wer import compute_cer
+
+    # 4 chars, 1 substitution (whitespace removed before comparison)
+    r = compute_cer(["你好世界"], ["你好世昨"], language="zh")
+    assert r.n_ref_words == 4 and r.substitutions == 1
+    assert abs(r.wer - 0.25) < 1e-9
+    # spacing differences alone are not errors
+    r2 = compute_cer(["a b c"], ["abc"], language=None)
+    assert r2.wer == 0.0
+
+
+def test_evaluate_reports_cer_for_spaceless_language(model, corpus):
+    report = evaluate(model, corpus, batch_size=2, language="zh",
+                      no_speech_threshold=None, logprob_threshold=None,
+                      compression_ratio_threshold=None, sample_len=8)
+    assert "cer" in report and "wer" not in report
