@@ -160,7 +160,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     status = 0
     for path in args.audio:
         t0 = time.time()
-        audio = load_audio(path)
+        try:
+            audio = load_audio(path)
+        except (OSError, ValueError) as e:
+            # per-file isolation: a missing/corrupt file must not kill a
+            # multi-file run (and the user gets a message, not a traceback)
+            print(f"{path}: skipped ({e})", file=sys.stderr)
+            status = 1
+            continue
         duration = len(audio) / 16_000
 
         if args.stream:
