@@ -48,6 +48,26 @@ def __getattr__(name):
         from .stream import StreamingTranscriber
 
         return StreamingTranscriber
+    if name == "MultiStreamTranscriber":
+        from .stream import MultiStreamTranscriber
+
+        return MultiStreamTranscriber
+    if name == "transcribe_batch":
+        from .serve import transcribe_batch
+
+        return transcribe_batch
+    if name == "ServeOptions":
+        from .serve import ServeOptions
+
+        return ServeOptions
+    if name == "detect_speech":
+        from .vad import detect_speech
+
+        return detect_speech
+    if name in ("add_lora", "merge_lora"):
+        from . import lora
+
+        return getattr(lora, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
