@@ -1,0 +1,70 @@
+#!/bin/bash
+# On-chip work queue for when the axon relay recovers (run ONE at a time —
+# a single sequential TPU process; CLAUDE.md relay rules). Most important
+# first, in case the tunnel wedges again mid-queue.
+#
+#   bash benchmarks/tpu_queue.sh 2>&1 | tee /tmp/tpu_queue.log
+set -u
+cd "$(dirname "$0")/.."
+
+echo "=== [0] 1-op probe ==="
+python - <<'EOF' || exit 1
+import time, jax, jax.numpy as jnp
+t0 = time.time()
+(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+print(f"probe ok in {time.time()-t0:.1f}s; devices={jax.devices()}")
+EOF
+
+echo "=== [1] bench.py champion reconfirm (B48 w64 int8) ==="
+python bench.py
+
+echo "=== [2] stage-width 32 probe (B48) ==="
+BENCH_STAGE_WIDTH=32 python bench.py
+
+echo "=== [3] beam two-level A/B (medium B8, decode only) ==="
+BEAM_SKIP_WTS=1 BEAM_TWO_LEVEL=1 python benchmarks/beam_bench.py
+BEAM_SKIP_WTS=1 BEAM_TWO_LEVEL=0 python benchmarks/beam_bench.py
+
+echo "=== [4] pre-quantized checkpoint on-chip parity (tiny) ==="
+python - <<'EOF'
+import tempfile, os
+import numpy as np, jax
+import openai_whisper_coreml_tpu as wt
+from openai_whisper_coreml_tpu.quantize import quantize_params
+from openai_whisper_coreml_tpu.utils.checkpoint import save_params
+
+m = wt.load_model("tiny", seed=3)
+d = tempfile.mkdtemp()
+fp, qp = os.path.join(d, "f.safetensors"), os.path.join(d, "q.safetensors")
+save_params(m.params, fp, model_name="tiny")
+save_params(quantize_params(m.params), qp, model_name="tiny")
+m_pre = wt.load_model("tiny", checkpoint=qp, quantize="int8")
+m_live = wt.load_model("tiny", checkpoint=fp, quantize="int8")
+audio = np.random.default_rng(0).standard_normal(480000).astype(np.float32)*0.1
+feats = m_pre.encode(m_pre.log_mel(wt.pad_or_trim(audio)))
+toks = np.array([[m_pre.cfg.sot_token, 5, 9]], np.int32)
+a = np.asarray(m_pre.logits(toks, feats[None]))
+b = np.asarray(m_live.logits(toks, feats[None]))
+assert np.array_equal(a, b), "pre-quantized != quantize-at-load ON CHIP"
+print("[4] pre-quantized on-chip parity OK")
+EOF
+
+echo "=== [5] LoRA adapter decode on chip (tiny smoke) ==="
+python - <<'EOF'
+import numpy as np, jax
+import openai_whisper_coreml_tpu as wt
+m = wt.load_model("tiny", seed=0)
+params = wt.add_lora(m.params, rank=8, seed=1)
+from openai_whisper_coreml_tpu.models.whisper import WhisperModel
+m2 = WhisperModel(cfg=m.cfg, params=params)
+audio = np.random.default_rng(0).standard_normal(480000).astype(np.float32)*0.1
+feats = m2.encode(m2.log_mel(wt.pad_or_trim(audio)))
+r = wt.decode(m2, feats[None], wt.DecodingOptions(language="en", sample_len=16),
+              from_features=True)[0]
+base = wt.decode(m, feats[None], wt.DecodingOptions(language="en", sample_len=16),
+                 from_features=True)[0]
+assert r.tokens == base.tokens, "zero-init adapters changed the decode"
+print("[5] LoRA on-chip identity OK:", len(r.tokens), "tokens")
+EOF
+
+echo "=== queue complete ==="
