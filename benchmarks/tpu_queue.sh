@@ -1,32 +1,44 @@
 #!/bin/bash
 # On-chip work queue for when the axon relay recovers (run ONE at a time —
 # a single sequential TPU process; CLAUDE.md relay rules). Most important
-# first, in case the tunnel wedges again mid-queue.
+# first, in case the tunnel wedges again mid-queue; a 1-op probe gates
+# EVERY step so a wedged relay is never hit with fresh clients.
 #
 #   bash benchmarks/tpu_queue.sh 2>&1 | tee /tmp/tpu_queue.log
 set -u
 cd "$(dirname "$0")/.."
 
-echo "=== [0] 1-op probe ==="
-python - <<'EOF' || exit 1
+probe() {
+  python - <<'EOF'
 import time, jax, jax.numpy as jnp
 t0 = time.time()
 (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
-print(f"probe ok in {time.time()-t0:.1f}s; devices={jax.devices()}")
+print(f"probe ok in {time.time()-t0:.1f}s")
 EOF
+}
 
-echo "=== [1] bench.py champion reconfirm (B48 w64 int8) ==="
-python bench.py
+step() {  # step <label> <cmd...>: probe-gated, abort queue on wedge
+  local label="$1"; shift
+  echo "=== ${label}: probe ==="
+  if ! probe; then
+    echo "=== ${label}: PROBE FAILED — leaving the tunnel alone (CLAUDE.md) ==="
+    exit 1
+  fi
+  echo "=== ${label} ==="
+  "$@" || echo "=== ${label}: step failed (continuing to next probe) ==="
+}
 
-echo "=== [2] stage-width 32 probe (B48) ==="
-BENCH_STAGE_WIDTH=32 python bench.py
+step "[1] bench.py champion reconfirm (B48 w64 int8)" python bench.py
 
-echo "=== [3] beam two-level A/B (medium B8, decode only) ==="
-BEAM_SKIP_WTS=1 BEAM_TWO_LEVEL=1 python benchmarks/beam_bench.py
-BEAM_SKIP_WTS=1 BEAM_TWO_LEVEL=0 python benchmarks/beam_bench.py
+step "[2] stage-width 32 probe (B48)" \
+  env BENCH_STAGE_WIDTH=32 python bench.py
 
-echo "=== [4] pre-quantized checkpoint on-chip parity (tiny) ==="
-python - <<'EOF'
+step "[3a] beam two-level ON (medium B8, decode only)" \
+  env BEAM_SKIP_WTS=1 BEAM_TWO_LEVEL=1 python benchmarks/beam_bench.py
+step "[3b] beam two-level OFF (flat A/B)" \
+  env BEAM_SKIP_WTS=1 BEAM_TWO_LEVEL=0 python benchmarks/beam_bench.py
+
+step "[4] pre-quantized checkpoint on-chip parity (tiny)" python - <<'EOF'
 import tempfile, os
 import numpy as np, jax
 import openai_whisper_coreml_tpu as wt
@@ -49,8 +61,7 @@ assert np.array_equal(a, b), "pre-quantized != quantize-at-load ON CHIP"
 print("[4] pre-quantized on-chip parity OK")
 EOF
 
-echo "=== [5] LoRA adapter decode on chip (tiny smoke) ==="
-python - <<'EOF'
+step "[5] LoRA adapter decode on chip (tiny smoke)" python - <<'EOF'
 import numpy as np, jax
 import openai_whisper_coreml_tpu as wt
 m = wt.load_model("tiny", seed=0)

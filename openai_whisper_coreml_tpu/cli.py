@@ -162,7 +162,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         t0 = time.time()
         try:
             audio = load_audio(path)
-        except (OSError, ValueError) as e:
+        except (OSError, ValueError, EOFError) as e:  # EOFError: empty/truncated WAV header
             # per-file isolation: a missing/corrupt file must not kill a
             # multi-file run (and the user gets a message, not a traceback)
             print(f"{path}: skipped ({e})", file=sys.stderr)

@@ -109,7 +109,8 @@ def evaluate(
         from .wer import compute_cer
 
         score = compute_cer(refs, hyps, language=language)
-        score_dict = {"cer" if k == "wer" else k: v
+        rename = {"wer": "cer", "ref_words": "ref_chars"}
+        score_dict = {rename.get(k, k): v
                       for k, v in score.as_dict().items()}
     else:
         score_dict = compute_wer(refs, hyps, language=language).as_dict()

@@ -105,6 +105,26 @@ def word_errors(ref_words: Sequence[str], hyp_words: Sequence[str]
     return subs, dels, ins, hits
 
 
+def _accumulate_errors(references, hypotheses, tokenize, normalize,
+                       language) -> WERResult:
+    if len(references) != len(hypotheses):
+        raise ValueError("reference/hypothesis count mismatch")
+    total_s = total_d = total_i = total_h = total_n = 0
+    for ref, hyp in zip(references, hypotheses):
+        if normalize:
+            ref = normalize_text(ref, language)
+            hyp = normalize_text(hyp, language)
+        ru, hu = tokenize(ref), tokenize(hyp)
+        s, d, i, h = word_errors(ru, hu)
+        total_s += s
+        total_d += d
+        total_i += i
+        total_h += h
+        total_n += len(ru)
+    rate = (total_s + total_d + total_i) / max(total_n, 1)
+    return WERResult(rate, total_s, total_d, total_i, total_h, total_n)
+
+
 def compute_wer(references: Sequence[str], hypotheses: Sequence[str],
                 *, normalize: bool = True,
                 language: Optional[str] = "en") -> WERResult:
@@ -112,22 +132,8 @@ def compute_wer(references: Sequence[str], hypotheses: Sequence[str],
     numbers, respellings) only applies to 'en'/None; other languages use
     BasicTextNormalizer — scoring French through English number rules would
     corrupt the WER."""
-    if len(references) != len(hypotheses):
-        raise ValueError("reference/hypothesis count mismatch")
-    total_s = total_d = total_i = total_h = total_n = 0
-    for ref, hyp in zip(references, hypotheses):
-        if normalize:
-            ref = normalize_text(ref, language)
-            hyp = normalize_text(hyp, language)
-        rw, hw = ref.split(), hyp.split()
-        s, d, i, h = word_errors(rw, hw)
-        total_s += s
-        total_d += d
-        total_i += i
-        total_h += h
-        total_n += len(rw)
-    wer = (total_s + total_d + total_i) / max(total_n, 1)
-    return WERResult(wer, total_s, total_d, total_i, total_h, total_n)
+    return _accumulate_errors(references, hypotheses, str.split,
+                              normalize, language)
 
 
 def compute_cer(references: Sequence[str], hypotheses: Sequence[str],
@@ -135,23 +141,10 @@ def compute_cer(references: Sequence[str], hypotheses: Sequence[str],
                 language: Optional[str] = None) -> WERResult:
     """Character error rate — the reporting convention for space-less
     scripts (zh/ja/th/...), where word segmentation is ill-defined and WER
-    would score tokenizer luck. Characters are compared after the same
-    normalisation as WER with whitespace removed (the openai/whisper paper
-    convention for zh/ja)."""
-    if len(references) != len(hypotheses):
-        raise ValueError("reference/hypothesis count mismatch")
-    total_s = total_d = total_i = total_h = total_n = 0
-    for ref, hyp in zip(references, hypotheses):
-        if normalize:
-            ref = normalize_text(ref, language)
-            hyp = normalize_text(hyp, language)
-        rc = list("".join(ref.split()))
-        hc = list("".join(hyp.split()))
-        s, d, i, h = word_errors(rc, hc)
-        total_s += s
-        total_d += d
-        total_i += i
-        total_h += h
-        total_n += len(rc)
-    cer = (total_s + total_d + total_i) / max(total_n, 1)
-    return WERResult(cer, total_s, total_d, total_i, total_h, total_n)
+    would score tokenizer luck. Characters are compared after normalisation
+    with whitespace removed (the openai/whisper paper convention for
+    zh/ja). language=None uses the BASIC normaliser (this metric targets
+    non-English text; English number/contraction rules would corrupt it)."""
+    return _accumulate_errors(
+        references, hypotheses, lambda t: list("".join(t.split())),
+        normalize, language if language is not None else "und")

@@ -54,6 +54,7 @@ class WhisperHTTPServer:
     def __init__(self, model, host: str = "127.0.0.1", port: int = 8090,
                  *, batch_size: int = 8, batch_window_ms: int = 50,
                  max_body_bytes: int = 512 * 1024 * 1024,
+                 allow_origin: Optional[str] = None,
                  default_options: Optional[Dict[str, Any]] = None):
         """default_options: server-level ServeOptions fields (scheduler,
         kv_dtype, ...) applied under every request's own query options.
@@ -65,6 +66,10 @@ class WhisperHTTPServer:
         self.batch_size = batch_size
         self.batch_window_ms = batch_window_ms
         self.max_body_bytes = max_body_bytes
+        # CORS is OPT-IN: this server has no auth, so a wildcard default
+        # would let any web page a local operator visits read transcripts
+        # and metrics cross-origin. Set "*" (or an origin) to enable.
+        self.allow_origin = allow_origin
         self.metrics = Metrics()
         self._queue: "queue.Queue[_Job]" = queue.Queue()
         self._stop = threading.Event()
@@ -185,19 +190,24 @@ class WhisperHTTPServer:
 
             def do_OPTIONS(self):
                 # CORS preflight: browser clients of the OpenAI-compatible
-                # API send OPTIONS before multipart POSTs
+                # API send OPTIONS before multipart POSTs (only answered
+                # with CORS headers when the server opted in)
                 self.send_response(204)
-                self._cors()
-                self.send_header("Access-Control-Allow-Methods",
-                                 "GET, POST, OPTIONS")
-                self.send_header("Access-Control-Allow-Headers",
-                                 "Content-Type, Authorization, X-Raw-Audio")
-                self.send_header("Access-Control-Max-Age", "86400")
+                if server.allow_origin:
+                    self._cors()
+                    self.send_header("Access-Control-Allow-Methods",
+                                     "GET, POST, OPTIONS")
+                    self.send_header("Access-Control-Allow-Headers",
+                                     "Content-Type, Authorization, "
+                                     "X-Raw-Audio")
+                    self.send_header("Access-Control-Max-Age", "86400")
                 self.send_header("Content-Length", "0")
                 self.end_headers()
 
             def _cors(self) -> None:
-                self.send_header("Access-Control-Allow-Origin", "*")
+                if server.allow_origin:
+                    self.send_header("Access-Control-Allow-Origin",
+                                     server.allow_origin)
 
             def _json(self, code: int, obj) -> None:
                 def np_default(o):
@@ -590,6 +600,9 @@ def main(argv=None) -> int:
     ap.add_argument("--kv-dtype", choices=("bf16", "int8"), default="bf16",
                     help="cross-attention K/V precision (int8: +17%% RTFx "
                          "measured at large-v3 — docs/benchmarks.md)")
+    ap.add_argument("--allow-origin", default=None, metavar="ORIGIN",
+                    help="enable CORS for this origin ('*' for any); off "
+                         "by default — the server has no auth")
     ap.add_argument("--scheduler", choices=("static", "continuous"),
                     default="static",
                     help="continuous: per-row positions + mid-flight slot "
@@ -607,6 +620,7 @@ def main(argv=None) -> int:
                        quantize=args.quantize)
     server = WhisperHTTPServer(model, args.host, args.port,
                                batch_size=args.batch_size,
+                               allow_origin=args.allow_origin,
                                default_options={"kv_dtype": args.kv_dtype,
                                                 "scheduler": args.scheduler})
     server.start()

@@ -138,8 +138,9 @@ def _load_wav_python(path_or_file) -> tuple[np.ndarray, int]:
             rate = wf.getframerate()
             n_frames = wf.getnframes()
             raw = wf.readframes(n_frames)
-    except wave.Error:
-        # the stdlib module refuses compressed formats: retry as G.711
+    except (wave.Error, EOFError):
+        # wave.Error: compressed formats (retry as G.711);
+        # EOFError: empty/truncated header (the RIFF walk raises ValueError)
         if isinstance(path_or_file, (str, bytes, os.PathLike)):
             with open(path_or_file, "rb") as f:
                 blob = f.read()

@@ -303,3 +303,4 @@ def test_evaluate_reports_cer_for_spaceless_language(model, corpus):
                       no_speech_threshold=None, logprob_threshold=None,
                       compression_ratio_threshold=None, sample_len=8)
     assert "cer" in report and "wer" not in report
+    assert "ref_chars" in report and "ref_words" not in report

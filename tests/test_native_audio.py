@@ -126,11 +126,7 @@ def _g711_wav_bytes(audio_i16: "np.ndarray", fmt_code: int,
     """Build a G.711 WAV by hand (the stdlib wave module cannot write
     compressed formats). Encoder = audioop (the CPython reference
     implementation of G.711), used here as the test oracle."""
-    import warnings
-
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        import audioop
+    audioop = pytest.importorskip("audioop")  # removed in Python 3.13
     pcm = audio_i16.astype("<i2").tobytes()
     payload = (audioop.lin2ulaw(pcm, 2) if fmt_code == 7
                else audioop.lin2alaw(pcm, 2))
@@ -148,11 +144,7 @@ def test_g711_wav_decodes_native_and_python(tmp_path, fmt_code, name):
     """Telephony WAVs (G.711 mu-law/A-law at 8 kHz) decode through BOTH the
     native loader and the Python fallback, bit-identically, resampled to
     16 kHz."""
-    import warnings
-
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        import audioop
+    audioop = pytest.importorskip("audioop")  # removed in Python 3.13
 
     from openai_whisper_coreml_tpu.utils import audio_io
 

@@ -461,18 +461,32 @@ def test_openai_transcriptions_flac_upload(oa_server):
 
 
 def test_cors_preflight_and_headers(server):
-    """Browser clients: OPTIONS preflight answers 204 with CORS headers,
-    and JSON responses carry Access-Control-Allow-Origin."""
+    """CORS is opt-in (no auth on this server): the default server sends NO
+    Access-Control headers; with allow_origin set, OPTIONS preflight
+    answers 204 with CORS headers and responses carry the origin."""
     req = urllib.request.Request(
-        f"http://127.0.0.1:{server.port}/v1/audio/transcriptions",
-        method="OPTIONS")
+        f"http://127.0.0.1:{server.port}/healthz")
     with urllib.request.urlopen(req, timeout=30) as r:
-        assert r.status == 204
-        assert r.headers["Access-Control-Allow-Origin"] == "*"
-        assert "POST" in r.headers["Access-Control-Allow-Methods"]
-    with urllib.request.urlopen(
-            f"http://127.0.0.1:{server.port}/healthz", timeout=30) as r:
-        assert r.headers["Access-Control-Allow-Origin"] == "*"
+        assert r.headers["Access-Control-Allow-Origin"] is None
+
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2)
+    model = WhisperModel(cfg=cfg,
+                         params=init_params(cfg, jax.random.PRNGKey(0)))
+    srv = WhisperHTTPServer(model, port=0, allow_origin="*")
+    srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/audio/transcriptions",
+            method="OPTIONS")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 204
+            assert r.headers["Access-Control-Allow-Origin"] == "*"
+            assert "POST" in r.headers["Access-Control-Allow-Methods"]
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/healthz", timeout=30) as r:
+            assert r.headers["Access-Control-Allow-Origin"] == "*"
+    finally:
+        srv.stop()
 
 
 def test_concurrent_requests_all_served(oa_server, rng):
