@@ -581,6 +581,15 @@ class WhisperHTTPServer:
     def stop(self) -> None:
         self._stop.set()
         self.httpd.shutdown()
+        # unblock any queued-but-undrained jobs: their submit() callers
+        # would otherwise sit out the full request timeout
+        while True:
+            try:
+                job = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            job.error = "server shutting down"
+            job.done.set()
 
 
 def main(argv=None) -> int:

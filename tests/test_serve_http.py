@@ -519,3 +519,33 @@ def test_concurrent_requests_all_served(oa_server, rng):
     for t in threads:
         t.join(timeout=600)
     assert all(r is not None and r[0] == 200 for r in results), results
+
+
+def test_stop_unblocks_queued_jobs(rng):
+    """stop() fails queued jobs immediately instead of letting their
+    submitters wait out the full request timeout."""
+    import threading
+    import time as _time
+
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2)
+    model = WhisperModel(cfg=cfg,
+                         params=init_params(cfg, jax.random.PRNGKey(0)))
+    srv = WhisperHTTPServer(model, port=0, batch_size=2)
+    # run the HTTP loop (so shutdown() returns) but NOT the batching
+    # worker: jobs stay queued forever until stop() drains them
+    threading.Thread(target=srv.httpd.serve_forever, daemon=True).start()
+    audio = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+    out = {}
+
+    def submit():
+        out["job"] = srv.submit(audio, {}, timeout=60.0)
+
+    t = threading.Thread(target=submit)
+    t.start()
+    _time.sleep(0.2)
+    t0 = _time.monotonic()
+    srv.stop()
+    t.join(timeout=10)
+    assert not t.is_alive(), "submitter must unblock promptly on stop()"
+    assert _time.monotonic() - t0 < 5
+    assert out["job"].error == "server shutting down"
