@@ -233,6 +233,16 @@ class WhisperHTTPServer:
                     self._json(200, {"ok": True,
                                      "model": server.model.cfg.name,
                                      "backend": jax.default_backend()})
+                elif self.path.startswith("/v1/models"):
+                    # OpenAI SDK compatibility: clients list models before
+                    # transcribing; advertise the canonical alias plus the
+                    # actually-loaded size
+                    self._json(200, {"object": "list", "data": [
+                        {"id": "whisper-1", "object": "model",
+                         "owned_by": "openai-whisper-coreml-tpu"},
+                        {"id": server.model.cfg.name, "object": "model",
+                         "owned_by": "openai-whisper-coreml-tpu"},
+                    ]})
                 elif self.path.startswith("/metrics"):
                     q = urllib.parse.urlparse(self.path).query
                     accept = self.headers.get("Accept", "")

@@ -549,3 +549,11 @@ def test_stop_unblocks_queued_jobs(rng):
     assert not t.is_alive(), "submitter must unblock promptly on stop()"
     assert _time.monotonic() - t0 < 5
     assert out["job"].error == "server shutting down"
+
+
+def test_openai_models_endpoint(server):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/v1/models", timeout=30) as r:
+        body = json.loads(r.read())
+    ids = [m["id"] for m in body["data"]]
+    assert "whisper-1" in ids and server.model.cfg.name in ids
