@@ -107,6 +107,20 @@ class WhisperModel:
 
         return _transcribe(self, audio, **kwargs)
 
+    def decode(self, mel, options=None, **kwargs):
+        """openai `model.decode(mel, options)` parity: decode one batch of
+        30 s windows (mel or encoded features; see decoding.decode).
+        Returns a DecodingResult per batch row (a bare result for an
+        unbatched mel, matching openai)."""
+        from ..decoding import DecodingOptions, decode as _decode
+
+        if options is None:
+            options = DecodingOptions(**kwargs)
+        mel = jnp.asarray(mel)
+        unbatched = mel.ndim == 2
+        results = _decode(self, mel[None] if unbatched else mel, options)
+        return results[0] if unbatched else results
+
     # -- utilities ----------------------------------------------------------
 
     def log_mel(self, audio_wave) -> jax.Array:

@@ -267,3 +267,22 @@ def test_two_level_option_plumbing(model, mel):
             assert f.tokens == t.tokens
     with pytest.raises(ValueError, match="stage_width"):
         DecodingOptions(stage_width=12)
+
+
+def test_model_decode_method_openai_parity(model):
+    """model.decode(mel[, options]) mirrors openai's API: unbatched mel ->
+    one DecodingResult; batched mel -> a list; kwargs build options."""
+    from openai_whisper_coreml_tpu.decoding import DecodingOptions, decode
+
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal(
+        (model.cfg.n_mels, 2 * model.cfg.n_audio_ctx)).astype(np.float32)
+    opts = DecodingOptions(language="en", sample_len=6)
+    r1 = model.decode(mel, opts)
+    assert hasattr(r1, "tokens") and not isinstance(r1, list)
+    r2 = model.decode(mel[None], opts)
+    assert isinstance(r2, list) and r2[0].tokens == r1.tokens
+    r3 = model.decode(mel, language="en", sample_len=6)
+    assert r3.tokens == r1.tokens
+    ref = decode(model, np.asarray(mel)[None], opts)[0]
+    assert ref.tokens == r1.tokens
