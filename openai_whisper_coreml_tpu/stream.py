@@ -61,6 +61,7 @@ class StreamingTranscriber:
         model,
         *,
         language: Optional[str] = "en",
+        task: str = "transcribe",
         agreement: int = 2,
         decode_interval: float = 1.0,
         sample_len: Optional[int] = None,
@@ -88,6 +89,7 @@ class StreamingTranscriber:
         self.max_tokens_per_second = max_tokens_per_second
         self.vad_gate = vad_gate
         self.opts = dict(
+            task=task,
             language=language,
             temperature=temperature,
             sample_len=sample_len,
@@ -291,7 +293,8 @@ class MultiStreamTranscriber:
     """
 
     def __init__(self, model, n_streams: int, *,
-                 language: Optional[str] = "en", agreement: int = 2,
+                 language: Optional[str] = "en", task: str = "transcribe",
+                 agreement: int = 2,
                  decode_interval: float = 1.0,
                  sample_len: Optional[int] = None,
                  max_tokens_per_second: Optional[float] = 8.0,
@@ -302,9 +305,10 @@ class MultiStreamTranscriber:
         self.model = model
         self.language = language
         self.condition_on_committed_text = condition_on_committed_text
+        self.task = task
         self.streams = [
             StreamingTranscriber(
-                model, language=language, agreement=agreement,
+                model, language=language, task=task, agreement=agreement,
                 decode_interval=decode_interval, sample_len=sample_len,
                 max_tokens_per_second=max_tokens_per_second,
                 vad_gate=vad_gate)
@@ -358,6 +362,7 @@ class MultiStreamTranscriber:
         prompt_opt = (prompts if self.condition_on_committed_text
                       and any(p for p in prompts) else None)
         res = _decode(self.model, mel, DecodingOptions(
+            task=self.task,
             language=self.language, without_timestamps=True,
             prompt=prompt_opt,
             sample_len=sample_len))[: len(due)]
