@@ -286,6 +286,8 @@ class WhisperHTTPServer:
 
                 st = StreamingTranscriber(
                     server.model, language=qs.get("language", "en"),
+                    task=qs.get("task", "transcribe"),
+                    vad_gate=qs.get("vad") in ("1", "true"),
                     decode_interval=float(qs.get("decode_interval", "1.0")))
                 self.send_response(200)
                 self.send_header("Content-Type", "application/x-ndjson")
