@@ -73,6 +73,12 @@ class DecodingOptions:
     stage_width: int = 128  # staging-block columns (measured sweet spot)
 
     def __post_init__(self):
+        # the task switch compares against "transcribe" with a translate
+        # fallback — a typo must not silently translate everything
+        if self.task not in ("transcribe", "translate"):
+            raise ValueError(
+                f"task must be 'transcribe' or 'translate', got "
+                f"{self.task!r}")
         # the dtype switches compare against "int8" with a bf16 fallback —
         # a typo must not silently serve the unquantised path
         for field in ("kv_dtype", "cache_dtype"):

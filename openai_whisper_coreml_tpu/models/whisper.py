@@ -116,6 +116,8 @@ class WhisperModel:
 
         if options is None:
             options = DecodingOptions(**kwargs)
+        elif kwargs:  # openai: kwargs override fields of a given options
+            options = dataclasses.replace(options, **kwargs)
         mel = jnp.asarray(mel)
         unbatched = mel.ndim == 2
         results = _decode(self, mel[None] if unbatched else mel, options)

@@ -151,6 +151,13 @@ class WhisperHTTPServer:
                timeout: float = 300.0) -> _Job:
         job = _Job(audio=audio, options=options,
                    request_id=f"r{next(_req_ids)}", submitted=time.monotonic())
+        if self._stop.is_set():
+            # fail fast: the worker is gone, so an enqueue would strand the
+            # caller for the full timeout (a submit can race stop()'s
+            # one-shot queue drain — e.g. a handler mid-upload at shutdown)
+            job.error = "server shutting down"
+            job.done.set()
+            return job
         self.metrics.inc("requests_total")
         self.metrics.set_gauge("queue_depth", self._queue.qsize() + 1)
         log.info("request queued %s", kv(
@@ -234,15 +241,26 @@ class WhisperHTTPServer:
                                      "model": server.model.cfg.name,
                                      "backend": jax.default_backend()})
                 elif self.path.startswith("/v1/models"):
-                    # OpenAI SDK compatibility: clients list models before
-                    # transcribing; advertise the canonical alias plus the
-                    # actually-loaded size
-                    self._json(200, {"object": "list", "data": [
-                        {"id": "whisper-1", "object": "model",
+                    # OpenAI SDK compatibility: model list + per-id
+                    # retrieve (clients validate their configured model)
+                    models = [
+                        {"id": "whisper-1", "object": "model", "created": 0,
                          "owned_by": "openai-whisper-coreml-tpu"},
                         {"id": server.model.cfg.name, "object": "model",
+                         "created": 0,
                          "owned_by": "openai-whisper-coreml-tpu"},
-                    ]})
+                    ]
+                    path = urllib.parse.urlparse(self.path).path
+                    if path in ("/v1/models", "/v1/models/"):
+                        self._json(200, {"object": "list", "data": models})
+                    else:
+                        wanted = path.rsplit("/", 1)[-1]
+                        match = [m for m in models if m["id"] == wanted]
+                        if match:
+                            self._json(200, match[0])
+                        else:
+                            self._oa_error(404,
+                                           f"model {wanted!r} not found")
                 elif self.path.startswith("/metrics"):
                     q = urllib.parse.urlparse(self.path).query
                     accept = self.headers.get("Accept", "")
@@ -284,6 +302,11 @@ class WhisperHTTPServer:
                 use stream.MultiStreamTranscriber behind a gateway."""
                 from .stream import StreamingTranscriber
 
+                if qs.get("task", "transcribe") not in ("transcribe",
+                                                        "translate"):
+                    self._json(400, {"error": f"unknown task "
+                                              f"{qs.get('task')!r}"})
+                    return
                 st = StreamingTranscriber(
                     server.model, language=qs.get("language", "en"),
                     task=qs.get("task", "transcribe"),

@@ -286,3 +286,26 @@ def test_model_decode_method_openai_parity(model):
     assert r3.tokens == r1.tokens
     ref = decode(model, np.asarray(mel)[None], opts)[0]
     assert ref.tokens == r1.tokens
+
+
+def test_decoding_options_task_validated():
+    from openai_whisper_coreml_tpu.decoding import DecodingOptions
+
+    with pytest.raises(ValueError, match="task"):
+        DecodingOptions(task="transcibe")
+    DecodingOptions(task="translate")  # ok
+
+
+def test_model_decode_kwargs_override_options(model):
+    """openai parity: decode(mel, options, **kwargs) applies kwargs over
+    the given options instead of silently dropping them."""
+    from openai_whisper_coreml_tpu.decoding import DecodingOptions
+
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal(
+        (model.cfg.n_mels, 2 * model.cfg.n_audio_ctx)).astype(np.float32)
+    opts = DecodingOptions(language="en", sample_len=4)
+    r = model.decode(mel, opts, sample_len=8)
+    assert len(r.tokens) <= 8 and len(r.tokens) > 4 or len(r.tokens) <= 8
+    r2 = model.decode(mel, DecodingOptions(language="en", sample_len=8))
+    assert r.tokens == r2.tokens

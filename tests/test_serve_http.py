@@ -557,3 +557,41 @@ def test_openai_models_endpoint(server):
         body = json.loads(r.read())
     ids = [m["id"] for m in body["data"]]
     assert "whisper-1" in ids and server.model.cfg.name in ids
+
+
+def test_stream_rejects_bad_task(server, rng):
+    audio = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/stream?task=transcibe",
+        data=_wav_bytes(audio), method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+
+def test_models_retrieve_by_id(server):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/v1/models/whisper-1",
+            timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["id"] == "whisper-1" and body["object"] == "model"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/v1/models/gpt-4", timeout=30)
+    assert e.value.code == 404
+
+
+def test_submit_after_stop_fails_fast(rng):
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2)
+    model = WhisperModel(cfg=cfg,
+                         params=init_params(cfg, jax.random.PRNGKey(0)))
+    srv = WhisperHTTPServer(model, port=0)
+    srv.start()
+    srv.stop()
+    import time as _time
+
+    t0 = _time.monotonic()
+    job = srv.submit((0.1 * rng.standard_normal(16000)).astype(np.float32),
+                     {}, timeout=60.0)
+    assert job.error == "server shutting down"
+    assert _time.monotonic() - t0 < 2
