@@ -42,6 +42,13 @@ import numpy as np
 
 
 def main() -> None:
+    # honour an explicit JAX_PLATFORMS env var (the axon sitecustomize
+    # force-sets the platform in jax.config, which beats the env var):
+    # JAX_PLATFORMS=cpu allows host-only smoke runs; no-op under the
+    # driver, whose env pins the axon chip path
+    from openai_whisper_coreml_tpu.utils.platform import sync_platform_from_env
+    sync_platform_from_env()
+
     import jax
     import jax.numpy as jnp
 
@@ -122,4 +129,16 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # one parseable line even when the relay is down
+        model = os.environ.get("BENCH_MODEL", "large-v3").replace("-", "_")
+        batch = os.environ.get("BENCH_BATCH", "48")
+        print(json.dumps({
+            "metric": f"rtfx_{model}_batched_b{batch}",
+            "value": 0.0,
+            "unit": "audio_sec/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:400],
+        }))
+        raise
