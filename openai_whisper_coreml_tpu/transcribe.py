@@ -179,6 +179,7 @@ def transcribe(
     hallucination_silence_threshold: Optional[float] = None,
     vad_filter: bool = False,
     vad_parameters=None,  # vad.VadOptions
+    progress_callback=None,  # fn(seconds_done: float, total_seconds: float)
     verbose: Optional[bool] = None,
     **decode_options,
 ) -> Dict[str, Any]:
@@ -352,6 +353,9 @@ def transcribe(
     last_speech_timestamp = 0.0
 
     while clip_idx < len(seek_clips):
+        if progress_callback is not None:
+            progress_callback(round(seek / FRAMES_PER_SECOND, 2),
+                              round(content_duration, 2))
         seek_clip_start, seek_clip_end = seek_clips[clip_idx]
         if seek < seek_clip_start:
             seek = seek_clip_start

@@ -399,3 +399,20 @@ def test_writer_word_level_subtitles():
     buf = io.StringIO()
     writers.write_srt(result, buf)
     assert buf.getvalue().count("-->") == 1
+
+
+def test_progress_callback_reports_monotone_seeks(model):
+    """progress_callback fires once per window with monotone elapsed
+    seconds against the fixed total duration."""
+    rng = np.random.default_rng(5)
+    audio = (0.2 * rng.standard_normal(16000 * 35)).astype(np.float32)
+    calls = []
+    model.transcribe(
+        audio, language="en", temperature=0.0, sample_len=6,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+        progress_callback=lambda done, total: calls.append((done, total)))
+    assert len(calls) >= 2  # 35 s -> at least two windows
+    assert calls[0][0] == 0.0
+    assert all(b >= a for (a, _), (b, _) in zip(calls, calls[1:]))
+    assert all(abs(t - 35.0) < 0.1 for _, t in calls)
