@@ -354,8 +354,9 @@ def transcribe(
 
     while clip_idx < len(seek_clips):
         if progress_callback is not None:
-            progress_callback(round(seek / FRAMES_PER_SECOND, 2),
-                              round(content_duration, 2))
+            progress_callback(
+                round(min(seek / FRAMES_PER_SECOND, content_duration), 2),
+                round(content_duration, 2))
         seek_clip_start, seek_clip_end = seek_clips[clip_idx]
         if seek < seek_clip_start:
             seek = seek_clip_start
