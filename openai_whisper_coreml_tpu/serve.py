@@ -58,6 +58,8 @@ class ServeOptions:
     refill_size: Optional[int] = None  # default: batch_size // 4
     kv_dtype: str = "bf16"  # "int8": quantised cross-KV (decoding.py)
     cache_dtype: str = "bf16"  # "int8": quantised self-attention cache
+    # openai suppress_tokens semantics ("-1" = the non-speech set)
+    suppress_tokens: Union[str, Sequence[int]] = "-1"
     # attach per-word timings to every segment (device-side alignment core,
     # timing.py): windows are re-encoded in batched encoder calls after the
     # seek chains are verified, then aligned per window
@@ -326,6 +328,7 @@ def _decode_windows_static(model, windows: List[_Window],
         sample_len=options.sample_len,
         kv_dtype=options.kv_dtype,
         cache_dtype=options.cache_dtype,
+        suppress_tokens=options.suppress_tokens,
     )
 
     # pad the tail batch by repeating the last window (one compiled graph)

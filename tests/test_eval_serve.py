@@ -304,3 +304,27 @@ def test_evaluate_reports_cer_for_spaceless_language(model, corpus):
                       compression_ratio_threshold=None, sample_len=8)
     assert "cer" in report and "wer" not in report
     assert "ref_chars" in report and "ref_words" not in report
+
+
+def test_serve_suppress_tokens_plumbed(model):
+    """ServeOptions.suppress_tokens reaches the decode rules: suppressing a
+    previously-decoded token changes the output."""
+    from openai_whisper_coreml_tpu.serve import ServeOptions, transcribe_batch
+
+    rng = np.random.default_rng(13)
+    audio = (0.2 * rng.standard_normal(16000 * 2)).astype(np.float32)
+    kw = dict(batch_size=2, language="en", sample_len=6, temperature=(0.0,),
+              no_speech_threshold=None, logprob_threshold=None,
+              compression_ratio_threshold=None)
+    base = transcribe_batch(model, [audio], ServeOptions(**kw))[0]
+    toks = [t for s in base["segments"] for t in s["tokens"]
+            if t < model.cfg.timestamp_begin and t >= 0]
+    text_toks = [t for t in toks if t not in
+                 (model.cfg.sot_token, model.cfg.eot_token)]
+    assert text_toks, "need at least one text token to suppress"
+    banned = text_toks[0]
+    out = transcribe_batch(
+        model, [audio],
+        ServeOptions(suppress_tokens=f"-1,{banned}", **kw))[0]
+    for s in out["segments"]:
+        assert banned not in s["tokens"]
