@@ -292,6 +292,7 @@ class ContinuousBatcher:
             else None, task=options.task)
         d_opts = DecodingOptions(
             task=options.task,
+            suppress_tokens=options.suppress_tokens,
             without_timestamps=options.without_timestamps)
         self.suppress_mask = jnp.asarray(
             build_suppress_mask(self.tokenizer, d_opts))
