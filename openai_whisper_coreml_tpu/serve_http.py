@@ -10,7 +10,10 @@ POST /v1/audio/translations     file (WAV/FLAC), model, language, prompt,
                    temperature, response_format (json|text|srt|verbose_json|
                    vtt), timestamp_granularities[] (segment|word) — drop-in
                    for OpenAI SDK audio clients pointed at this base URL
-GET  /healthz      -> {"ok": true, "model": ..., "backend": ...}
+GET  /healthz      -> {"ok": true, "model": ..., "backend": ..., "warmed": ...}
+GET  /readyz       -> 200 {"ready": true} once startup warmup has compiled
+                   the serving graphs (503 while warming; 200 immediately
+                   when the server was started without warmup)
 
 Requests are micro-batched: a background worker drains the queue every
 `batch_window_ms` and decodes up to `batch_size` 30s windows together through
@@ -55,12 +58,17 @@ class WhisperHTTPServer:
                  *, batch_size: int = 8, batch_window_ms: int = 50,
                  max_body_bytes: int = 512 * 1024 * 1024,
                  allow_origin: Optional[str] = None,
+                 warmup: bool = False,
                  default_options: Optional[Dict[str, Any]] = None):
         """default_options: server-level ServeOptions fields (scheduler,
         kv_dtype, ...) applied under every request's own query options.
         max_body_bytes caps request bodies (413 beyond it): ~512 MB is over
         4 hours of 16-bit 16 kHz WAV — bigger uploads are almost certainly
-        abuse, and reading them would hold gigabytes per handler thread."""
+        abuse, and reading them would hold gigabytes per handler thread.
+        warmup: pre-compile the serving graphs at startup (a full-geometry
+        transcribe_batch over silence with the server's default options) so
+        the first real request does not pay XLA compile (~20-40 s on TPU);
+        /readyz flips to 200 when done."""
         self.model = model
         self.default_options = dict(default_options or {})
         self.batch_size = batch_size
@@ -74,6 +82,10 @@ class WhisperHTTPServer:
         self._queue: "queue.Queue[_Job]" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._drain, daemon=True)
+        self._do_warmup = warmup
+        self._warmed = threading.Event()
+        if not warmup:
+            self._warmed.set()  # no warmup requested: ready immediately
 
         handler = self._make_handler()
         self.httpd = ThreadingHTTPServer((host, port), handler)
@@ -144,6 +156,31 @@ class WhisperHTTPServer:
                 self.metrics.set_gauge("queue_depth", self._queue.qsize())
                 for j in group:
                     j.done.set()
+
+    def _warmup(self) -> None:
+        """Compile the serving graphs before real traffic: one full-batch
+        transcribe_batch over silent windows with the server's default
+        options — exactly the call the drain worker makes, so mel, encoder,
+        language detection (when no default language pins it) and the
+        first-window decode graphs are all warm when /readyz goes green.
+        Temperature-fallback rungs (sampled decode at t>0) still compile
+        lazily on the first request whose t=0 result trips a threshold."""
+        from .serve import ServeOptions, transcribe_batch
+
+        t0 = time.monotonic()
+        try:
+            silence = [np.zeros(16_000, np.float32)] * self.batch_size
+            transcribe_batch(self.model, silence,
+                             ServeOptions(batch_size=self.batch_size,
+                                          **self.default_options))
+            log.info("warmup done %s", kv(
+                batch=self.batch_size,
+                seconds=round(time.monotonic() - t0, 1)))
+        except Exception as e:  # stay serving: requests compile lazily
+            log.error("warmup failed %s", kv(
+                error=f"{type(e).__name__}: {e}"))
+        finally:
+            self._warmed.set()
 
     # -- request handling ---------------------------------------------------
 
@@ -239,7 +276,13 @@ class WhisperHTTPServer:
 
                     self._json(200, {"ok": True,
                                      "model": server.model.cfg.name,
-                                     "backend": jax.default_backend()})
+                                     "backend": jax.default_backend(),
+                                     "warmed": server._warmed.is_set()})
+                elif self.path.startswith("/readyz"):
+                    # load-balancer readiness: 503 until the startup warmup
+                    # compile finishes (200 immediately when warmup is off)
+                    ready = server._warmed.is_set()
+                    self._json(200 if ready else 503, {"ready": ready})
                 elif self.path.startswith("/v1/models"):
                     # OpenAI SDK compatibility: model list + per-id
                     # retrieve (clients validate their configured model)
@@ -611,6 +654,8 @@ class WhisperHTTPServer:
 
     def start(self) -> None:
         self._worker.start()
+        if self._do_warmup:
+            threading.Thread(target=self._warmup, daemon=True).start()
         threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
 
     def stop(self) -> None:
@@ -651,6 +696,9 @@ def main(argv=None) -> int:
                     default="static",
                     help="continuous: per-row positions + mid-flight slot "
                          "refill (serve_cb) — wins on mixed-length traffic")
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-compile the serving graphs at startup; "
+                         "/readyz returns 503 until done")
     args = ap.parse_args(argv)
 
     from . import load_model
@@ -665,6 +713,7 @@ def main(argv=None) -> int:
     server = WhisperHTTPServer(model, args.host, args.port,
                                batch_size=args.batch_size,
                                allow_origin=args.allow_origin,
+                               warmup=args.warmup,
                                default_options={"kv_dtype": args.kv_dtype,
                                                 "scheduler": args.scheduler})
     server.start()

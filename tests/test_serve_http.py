@@ -595,3 +595,77 @@ def test_submit_after_stop_fails_fast(rng):
                      {}, timeout=60.0)
     assert job.error == "server shutting down"
     assert _time.monotonic() - t0 < 2
+
+
+def test_readyz_immediate_without_warmup(server):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/readyz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert r.status == 200 and body["ready"] is True
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/healthz", timeout=30) as r:
+        assert json.loads(r.read())["warmed"] is True
+
+
+def test_warmup_gates_readyz_then_serves(monkeypatch, rng):
+    """Startup warmup: /readyz holds 503 while the warm-up batch compiles,
+    flips to 200 when done, and the warmed server then serves real traffic.
+    The warm-up call is gated on an event so the 503 window is deterministic."""
+    import threading
+    import time as _time
+
+    from openai_whisper_coreml_tpu import serve as serve_mod
+
+    gate = threading.Event()
+    warm_batches = []
+    real_transcribe_batch = serve_mod.transcribe_batch
+
+    def gated(model, audios, options):
+        warm_batches.append(len(audios))
+        assert gate.wait(timeout=120), "test gate never opened"
+        return real_transcribe_batch(model, audios, options)
+
+    monkeypatch.setattr(serve_mod, "transcribe_batch", gated)
+
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2)
+    model = WhisperModel(cfg=cfg,
+                         params=init_params(cfg, jax.random.PRNGKey(0)))
+    srv = WhisperHTTPServer(
+        model, port=0, batch_size=2, batch_window_ms=20, warmup=True,
+        default_options={"language": "en", "sample_len": 4,
+                         "no_speech_threshold": None,
+                         "logprob_threshold": None,
+                         "compression_ratio_threshold": None})
+    srv.start()
+    try:
+        deadline = _time.monotonic() + 30
+        while not warm_batches and _time.monotonic() < deadline:
+            _time.sleep(0.01)
+        assert warm_batches == [2], "warmup batch should fill the full batch"
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/readyz", timeout=30)
+        assert e.value.code == 503
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["warmed"] is False
+
+        gate.set()
+        deadline = _time.monotonic() + 120
+        ready = False
+        while _time.monotonic() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{srv.port}/readyz", timeout=30) as r:
+                    ready = json.loads(r.read())["ready"]
+                break
+            except urllib.error.HTTPError:
+                _time.sleep(0.05)
+        assert ready is True
+
+        audio = (0.2 * rng.standard_normal(16000)).astype(np.float32)
+        status, body = _post(srv, "/transcribe", _wav_bytes(audio))
+        assert status == 200 and "segments" in body
+    finally:
+        srv.stop()
