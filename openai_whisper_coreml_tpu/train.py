@@ -46,6 +46,17 @@ class TrainConfig:
     # moments — at whisper scale, decoder-only tuning drops ~2/3 of the
     # optimizer HBM. None = full fine-tune.
     trainable: Optional[str] = None
+    # learning-rate schedule: "constant" (default), "linear", or "cosine" —
+    # each preceded by a linear 0 -> learning_rate warmup over warmup_steps.
+    # Decaying schedules need total_steps (the full horizon in OPTIMIZER
+    # updates — with gradient accumulation that is micro_steps/accum_steps).
+    schedule: str = "constant"
+    warmup_steps: int = 0
+    total_steps: Optional[int] = None
+    # gradient accumulation: average grads over this many micro-batches per
+    # optimizer update (optax.MultiSteps). Costs one params-sized fp32
+    # accumulator in HBM; the effective batch is accum_steps * batch_size.
+    accum_steps: int = 1
 
 
 def _param_path_labels(params: Params, pattern: str) -> Params:
@@ -68,34 +79,76 @@ def _param_path_labels(params: Params, pattern: str) -> Params:
     return labels
 
 
+def learning_rate_schedule(tc: TrainConfig):
+    """Resolve TrainConfig's schedule fields to an optax learning rate
+    (a float for the bare constant case, else a step -> lr schedule)."""
+    if tc.schedule not in ("constant", "linear", "cosine"):
+        raise ValueError(f"unknown schedule {tc.schedule!r} "
+                         "(constant | linear | cosine)")
+    if tc.schedule == "constant":
+        if tc.warmup_steps <= 0:
+            return tc.learning_rate
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, tc.learning_rate, tc.warmup_steps),
+             optax.constant_schedule(tc.learning_rate)],
+            [tc.warmup_steps])
+    if tc.total_steps is None or tc.total_steps <= tc.warmup_steps:
+        raise ValueError(
+            f"{tc.schedule} schedule needs total_steps > warmup_steps "
+            f"(got total_steps={tc.total_steps}, "
+            f"warmup_steps={tc.warmup_steps})")
+    decay_steps = tc.total_steps - tc.warmup_steps
+    if tc.schedule == "cosine":
+        decay = optax.cosine_decay_schedule(tc.learning_rate, decay_steps)
+    else:
+        decay = optax.linear_schedule(tc.learning_rate, 0.0, decay_steps)
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, tc.learning_rate,
+                               max(tc.warmup_steps, 1)),
+         decay],
+        [tc.warmup_steps])
+
+
 def make_optimizer(tc: TrainConfig,
                    params: Optional[Params] = None
                    ) -> optax.GradientTransformation:
-    adamw = optax.adamw(tc.learning_rate, b1=tc.b1, b2=tc.b2, eps=tc.eps,
-                       weight_decay=tc.weight_decay)
+    lr = learning_rate_schedule(tc)
+    adamw = optax.adamw(lr, b1=tc.b1, b2=tc.b2, eps=tc.eps,
+                        weight_decay=tc.weight_decay)
     if tc.trainable is None:
-        return optax.chain(
+        opt = optax.chain(
             optax.clip_by_global_norm(tc.max_grad_norm),
             adamw,
         )
-    if params is None:
-        raise ValueError("trainable pattern needs the params tree to "
-                         "derive labels (pass params=)")
-    labels = _param_path_labels(params, tc.trainable)
-    return optax.chain(
-        # zero frozen grads FIRST so the global-norm clip is computed over
-        # the trainable set only — otherwise large frozen-base gradients
-        # throttle the (tiny) adapter updates by a step-varying factor
-        optax.multi_transform(
-            {"train": optax.identity(), "freeze": optax.set_to_zero()},
-            param_labels=labels),
-        optax.clip_by_global_norm(tc.max_grad_norm),
-        # the freeze transform again around AdamW: zero grads alone would
-        # still apply weight decay and allocate moments on frozen leaves
-        optax.multi_transform(
-            {"train": adamw, "freeze": optax.set_to_zero()},
-            param_labels=labels),
-    )
+    else:
+        if params is None:
+            raise ValueError("trainable pattern needs the params tree to "
+                             "derive labels (pass params=)")
+        labels = _param_path_labels(params, tc.trainable)
+        opt = optax.chain(
+            # zero frozen grads FIRST so the global-norm clip is computed
+            # over the trainable set only — otherwise large frozen-base
+            # gradients throttle the (tiny) adapter updates by a
+            # step-varying factor
+            optax.multi_transform(
+                {"train": optax.identity(), "freeze": optax.set_to_zero()},
+                param_labels=labels),
+            optax.clip_by_global_norm(tc.max_grad_norm),
+            # the freeze transform again around AdamW: zero grads alone
+            # would still apply weight decay and allocate moments on
+            # frozen leaves
+            optax.multi_transform(
+                {"train": adamw, "freeze": optax.set_to_zero()},
+                param_labels=labels),
+        )
+    if tc.accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {tc.accum_steps}")
+    if tc.accum_steps > 1:
+        # grads are MEANED over the window, so the update equals one step
+        # on the concatenated batch; the wrapped schedule advances once per
+        # completed window, not per micro-batch
+        opt = optax.MultiSteps(opt, every_k_schedule=tc.accum_steps)
+    return opt
 
 
 def loss_fn(

@@ -60,6 +60,16 @@ def main(argv=None) -> int:
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--learning-rate", type=float, default=1e-5)
+    ap.add_argument("--schedule", choices=("constant", "linear", "cosine"),
+                    default="constant",
+                    help="LR schedule (decay horizon = --steps, in "
+                         "optimizer updates)")
+    ap.add_argument("--warmup-steps", type=int, default=0,
+                    help="linear 0 -> lr warmup before the schedule")
+    ap.add_argument("--accum-steps", type=int, default=1,
+                    help="gradient accumulation: micro-batches per "
+                         "optimizer update (effective batch = "
+                         "batch-size * accum-steps)")
     ap.add_argument("--mesh-model", type=int, default=1,
                     help="TP degree (data axis gets the rest)")
     ap.add_argument("--max-len", type=int, default=None,
@@ -130,9 +140,17 @@ def main(argv=None) -> int:
         print(f"batch size {args.batch_size} -> {rounded} "
               f"(the {n_data}-way data axis shards dimension 0)")
         args.batch_size = rounded
+    # --steps counts micro-batches; decaying schedules run over optimizer
+    # updates, which gradient accumulation divides by accum_steps
+    total_updates = max(1, args.steps // args.accum_steps)
     init_fn, step_fn = make_train_step(
-        cfg, mesh, TrainConfig(learning_rate=args.learning_rate,
-                               trainable=trainable, flash=args.flash))
+        cfg, mesh, TrainConfig(
+            learning_rate=args.learning_rate,
+            schedule=args.schedule, warmup_steps=args.warmup_steps,
+            total_steps=(total_updates
+                         if args.schedule != "constant" else None),
+            accum_steps=args.accum_steps,
+            trainable=trainable, flash=args.flash))
     params, opt_state = init_fn(start_params)
 
     it = data_iterator(utts, args.batch_size, cfg, tokenizer, seed=args.seed,
