@@ -78,4 +78,26 @@ assert r.tokens == base.tokens, "zero-init adapters changed the decode"
 print("[5] LoRA on-chip identity OK:", len(r.tokens), "tokens")
 EOF
 
+step "[6] finetune holdout-eval + exact resume on chip (tiny, 2+1 steps)" \
+  bash -c '
+    rm -rf /tmp/q6 && mkdir -p /tmp/q6/corpus && python - <<PYEOF
+import numpy as np
+from openai_whisper_coreml_tpu.utils import audio_io
+rng = np.random.default_rng(0)
+for i in range(4):
+    t = np.arange(16000) / 16000
+    x = (0.2*np.sin(2*np.pi*(160+30*i)*t)
+         + 0.01*rng.standard_normal(t.shape)).astype(np.float32)
+    audio_io.save_wav(f"/tmp/q6/corpus/u{i}.wav", x, 16000)
+    open(f"/tmp/q6/corpus/u{i}.txt", "w").write(f"utterance number {i}")
+PYEOF
+    python tools/finetune.py /tmp/q6/corpus --model tiny --steps 2 \
+      --batch-size 2 --max-len 12 --log-every 1 --schedule cosine \
+      --warmup-steps 1 --holdout 0.25 --eval-every 2 \
+      --save-state /tmp/q6/state --output /tmp/q6/ft \
+    && python tools/finetune.py /tmp/q6/corpus --model tiny --steps 3 \
+      --batch-size 2 --max-len 12 --log-every 1 --schedule cosine \
+      --warmup-steps 1 --holdout 0.25 --eval-every 2 \
+      --save-state /tmp/q6/state --resume /tmp/q6/state --output /tmp/q6/ft'
+
 echo "=== queue complete ==="

@@ -242,6 +242,42 @@ def make_train_step(
     return init_fn, step_fn
 
 
+def make_eval_step(
+    cfg: WhisperConfig,
+    mesh: Mesh,
+    tc: TrainConfig = TrainConfig(),
+):
+    """Jitted forward-only metrics over the mesh (held-out evaluation).
+
+    eval_fn(params, mel, tokens, loss_mask) -> {"loss", "accuracy",
+    "tokens"}; params stay TP-sharded, the batch is DP-sharded, nothing is
+    donated. remat is off — there is no backward pass to pay for.
+    """
+    batch_sharding = NamedSharding(mesh, P(AXIS_DATA))
+    rep = NamedSharding(mesh, P())
+    _cell: Dict[str, Any] = {}
+
+    def eval_fn(params, mel, tokens, loss_mask):
+        if "step" not in _cell:
+            pshard = param_shardings(cfg, mesh, params=params)
+
+            @functools.partial(
+                jax.jit,
+                in_shardings=(pshard, batch_sharding, batch_sharding,
+                              batch_sharding),
+                out_shardings=rep,
+            )
+            def step(params, mel, tokens, loss_mask):
+                _, metrics = loss_fn(params, cfg, mel, tokens, loss_mask,
+                                     remat=False, flash=tc.flash)
+                return metrics
+
+            _cell["step"] = step
+        return _cell["step"](params, mel, tokens, loss_mask)
+
+    return eval_fn
+
+
 def make_batch(cfg: WhisperConfig, tokenizer, mel, texts, language="en",
                max_len: Optional[int] = None):
     """Host-side batch assembly: [sot_seq] + text + [eot], right-padded.

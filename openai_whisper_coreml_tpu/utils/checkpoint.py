@@ -116,13 +116,20 @@ def _validate_shapes(params: Params, cfg) -> None:
 
 # -- orbax (training state: params + optimizer moments, possibly sharded) ----
 
-def save_train_state(path: str, params: Params, opt_state=None) -> None:
+def save_train_state(path: str, params: Params, opt_state=None,
+                     step: "int | None" = None) -> None:
+    """Full training state for exact resume: params (+ optimizer moments,
+    + the completed-step counter — LR-schedule position lives in opt_state,
+    the data-iterator position derives from step)."""
+    import numpy as np
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
     state = {"params": params}
     if opt_state is not None:
         state["opt_state"] = opt_state
+    if step is not None:
+        state["step"] = np.asarray(step, np.int64)
     ckptr.save(os.path.abspath(path), state, force=True)
     ckptr.wait_until_finished()
 
