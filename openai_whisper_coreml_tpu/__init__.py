@@ -68,6 +68,10 @@ def __getattr__(name):
         from . import lora
 
         return getattr(lora, name)
+    if name in ("spec_decode_core", "spec_stats", "check_pair"):
+        from . import speculative
+
+        return getattr(speculative, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 

@@ -103,6 +103,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="self-attention KV-cache precision (int8 measured "
                         "SLOWER end to end at large-v3 — kept for "
                         "memory-constrained configs)")
+    p.add_argument("--draft-model", default=None, metavar="NAME",
+                   help="speculative decoding: a smaller model (e.g. "
+                        "large-v3-turbo for large-v3) drafts --spec-k "
+                        "tokens per verify step; greedy t=0 only, output "
+                        "token-identical to plain greedy")
+    p.add_argument("--draft-checkpoint", default=None,
+                   help="converted checkpoint for --draft-model")
+    p.add_argument("--spec-k", type=int, default=4,
+                   help="draft tokens per speculative verify step")
     p.add_argument("--tensor-parallel", type=int, default=1, metavar="N",
                    help="shard attention heads / MLP over N chips (builds a "
                         "(devices/N, N) data x model mesh; params, encoder, "
@@ -144,6 +153,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     t0 = time.time()
     model = load_model(args.model, dtype=dtype, checkpoint=args.checkpoint,
                        mesh=mesh, quantize=args.quantize)
+    draft = None
+    if args.draft_model:
+        draft = load_model(args.draft_model, dtype=dtype,
+                           checkpoint=args.draft_checkpoint, mesh=mesh,
+                           quantize=args.quantize)
+        from .speculative import check_pair
+
+        check_pair(model.cfg, draft.cfg)
     if args.verbose:
         print(f"loaded {args.model} ({model.num_params / 1e6:.0f}M params) "
               f"on {jax.default_backend()} in {time.time() - t0:.1f}s",
@@ -174,7 +191,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             from .stream import StreamingTranscriber
 
             st = StreamingTranscriber(model, language=args.language or "en",
-                                      beam_size=args.beam_size)
+                                      beam_size=args.beam_size,
+                                      draft_model=draft,
+                                      spec_k=args.spec_k)
             chunk = 16_000  # 1 s
             for off in range(0, len(audio), chunk):
                 for ev in st.feed(audio[off : off + chunk]):
@@ -226,6 +245,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 suppress_tokens=args.suppress_tokens,
                 kv_dtype=args.kv_dtype,
                 cache_dtype=args.cache_dtype,
+                draft_model=draft,
+                spec_k=args.spec_k,
             )
         elapsed = time.time() - t0
         out = write_result(result, path, args.output_dir, args.output_format,

@@ -71,6 +71,9 @@ class DecodingOptions:
     # loop — docs/benchmarks.md round 3). Off only for A/B or debugging.
     two_level: bool = True
     stage_width: int = 128  # staging-block columns (measured sweet spot)
+    # speculative decoding: draft-proposal block size K (used when a draft
+    # model is passed to decode(); greedy only — see speculative.py)
+    spec_k: int = 4
 
     def __post_init__(self):
         # the task switch compares against "transcribe" with a translate
@@ -90,6 +93,8 @@ class DecodingOptions:
             raise ValueError(
                 f"stage_width must be a positive multiple of 8, got "
                 f"{self.stage_width}")
+        if not 1 <= self.spec_k <= 16:
+            raise ValueError(f"spec_k must be in [1, 16], got {self.spec_k}")
 
 
 @dataclasses.dataclass
@@ -537,6 +542,7 @@ def decode(
     from_features: bool = False,
     tokenizer: Optional[Tokenizer] = None,
     seed: int = 0,
+    draft=None,
 ) -> List[DecodingResult]:
     """Decode a batch of 30 s segments; returns one DecodingResult each.
 
@@ -544,12 +550,17 @@ def decode(
     under DP x TP GSPMD: the batch is padded to the data axis, inputs are
     placed data-sharded, and the cache/cross-KV constraints in models.decoder
     keep heads on the model axis.
+
+    draft: a smaller WhisperModel sharing the tokenizer — enables greedy
+    speculative decoding (speculative.py; options.spec_k proposals per
+    verify step). Ignored for beam/sampled/best_of decodes, which fall back
+    to the standard loop.
     """
     mesh = getattr(model, "mesh", None)
     if mesh is None:
         return _decode_impl(model, mel_or_features, options,
                             from_features=from_features, tokenizer=tokenizer,
-                            seed=seed)
+                            seed=seed, draft=draft)
     x = jnp.asarray(mel_or_features)
     x = x if x.ndim == 3 else x[None]
     b_in = x.shape[0]
@@ -565,7 +576,7 @@ def decode(
             + [options.prompt[-1]] * extra)
     with _model_mesh_ctx(model):
         results = _decode_impl(model, x, options, from_features=from_features,
-                               tokenizer=tokenizer, seed=seed)
+                               tokenizer=tokenizer, seed=seed, draft=draft)
     return results[:b_in]
 
 
@@ -577,6 +588,7 @@ def _decode_impl(
     from_features: bool,
     tokenizer: Optional[Tokenizer],
     seed: int,
+    draft=None,
 ) -> List[DecodingResult]:
     cfg = model.cfg
     x = jnp.asarray(mel_or_features)
@@ -714,6 +726,45 @@ def _decode_impl(
             all_scores, best[:, None], axis=1)[:, 0])
         n_sampled = np.asarray(jnp.take_along_axis(
             all_lens, best[:, None], axis=1)[:, 0])
+    elif (draft is not None and options.temperature == 0.0
+          and not (options.best_of and options.best_of > 1)
+          and options.cache_dtype != "int8"):
+        # speculative decoding: greedy only (a sampled chain can't be
+        # verified by argmax comparison); int8 self-cache unsupported
+        from .speculative import check_pair, draft_features, spec_decode_core
+
+        check_pair(cfg, draft.cfg)
+        feats_d = draft_features(model, draft,
+                                 None if from_features else mel, feats)
+        # candidate writes overshoot by up to K columns; keep them in-context
+        sample_len = min(sample_len,
+                         cfg.n_text_ctx - prompt_len - options.spec_k - 1)
+        tokens, sum_lp, n_sampled, no_speech_prob, n_iters, n_drafted = (
+            spec_decode_core(
+                model.params,
+                draft.params,
+                cfg,
+                draft.cfg,
+                feats,
+                feats_d,
+                jnp.asarray(np.asarray(initial, np.int32)),
+                suppress_mask,
+                blank_mask,
+                jnp.int32(max_init_idx),
+                jnp.asarray(pad, jnp.int32),
+                jnp.asarray(sot_index, jnp.int32),
+                sample_len=sample_len,
+                use_timestamps=not options.without_timestamps,
+                prompt_len=prompt_len,
+                spec_k=options.spec_k,
+                kv_dtype=options.kv_dtype,
+            ))
+        from . import speculative as _spec_mod
+        from .speculative import spec_stats
+
+        _spec_mod.LAST_STATS = spec_stats(np.asarray(n_sampled),
+                                          np.asarray(n_iters),
+                                          np.asarray(n_drafted))
     else:
         # best_of: independent sampling candidates, ranked by avg logprob
         # (openai semantics; only meaningful at temperature > 0)

@@ -364,10 +364,20 @@ def _cache_write(buf: Array, l: int, val: Array, pos_offset, rowpos: bool
                  ) -> Array:
     """Write val (B, *, *, T) into buf (L, B, *, *, C) at column pos_offset of
     layer l. Lockstep decode uses one dynamic_update_slice; per-row positions
-    (continuous batching, T == 1) scatter each row at its own column."""
+    (continuous batching, T == 1) scatter each row at its own column. Per-row
+    positions with T > 1 (speculative verify: K+1 candidate tokens land at
+    row-independent columns) scatter a (B, T) column block per row."""
     if rowpos:
         b = val.shape[0]
-        return buf.at[l, jnp.arange(b), :, :, pos_offset].set(val[..., 0])
+        t = val.shape[-1]
+        if t == 1:
+            return buf.at[l, jnp.arange(b), :, :, pos_offset].set(val[..., 0])
+        cols = pos_offset[:, None] + jnp.arange(t)[None, :]  # (B, T)
+        # advanced indices (B,1) rows + (B,T) cols are separated by the two
+        # sliced dims, so the broadcast (B, T) moves to the front: the update
+        # operand is val in (B, T, H, D) order
+        return buf.at[l, jnp.arange(b)[:, None], :, :, cols].set(
+            val.transpose(0, 3, 1, 2))
     return jax.lax.dynamic_update_slice(buf, val[None],
                                         (l, 0, 0, 0, pos_offset))
 
@@ -429,8 +439,8 @@ def decode_step(
     b, t, _ = x.shape
     c = cache[0].shape[-1]  # KVCache.k / QuantKVCache.k8: (..., ctx)
     rowpos = getattr(pos_offset, "ndim", 0) == 1  # (B,) per-row positions
-    if rowpos and t != 1:
-        raise ValueError("per-row pos_offset requires single-token decode")
+    if rowpos and t != 1 and self_kernel:
+        raise ValueError("self_kernel requires single-token decode")
     base = 0
     if frozen is not None:
         if t != 1 or rowpos or self_kernel or isinstance(cache, QuantKVCache):

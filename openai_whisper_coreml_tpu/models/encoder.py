@@ -27,17 +27,29 @@ from .layers import (
 
 
 def _conv1d(x: jax.Array, p, stride: int) -> jax.Array:
-    """x: (B, C_in, T); p["w"]: (kernel, C_in, C_out); 'same' padding (k=3)."""
+    """x: (B, C_in, T); p["w"]: (kernel, C_in, C_out); 'same' padding (k=3).
+
+    preferred_element_type is requested only when it equals the operand
+    dtype (fp32): with bf16 operands a widened f32 conv OUTPUT makes the
+    conv non-differentiable — the transpose rule feeds the f32 cotangent
+    back into a conv against the bf16 weights and lax rejects the dtype mix
+    (hit on-chip by tools/finetune.py, which trains the bf16-loaded model;
+    CPU tests run fp32 and never saw it). The MXU accumulates in fp32
+    either way; bf16 output costs one extra rounding before the f32 bias
+    add, within bf16 serving noise (fp32 parity gates are unaffected).
+    """
+    f32 = x.dtype == jnp.float32
     y = jax.lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
         window_strides=(stride,),
         padding=[(1, 1)],
         dimension_numbers=("NCH", "HIO", "NCH"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if f32 else None,
         precision=layers_precision(x.dtype),
     )
-    return (y + p["b"].astype(jnp.float32)[None, :, None]).astype(x.dtype)
+    return (y.astype(jnp.float32)
+            + p["b"].astype(jnp.float32)[None, :, None]).astype(x.dtype)
 
 
 def encoder_block(x: jax.Array, p, n_head: int, flash: bool) -> jax.Array:

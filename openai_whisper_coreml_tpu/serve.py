@@ -191,13 +191,6 @@ def transcribe_batch(
     if options.scheduler not in ("static", "continuous"):
         raise ValueError(f"unknown scheduler {options.scheduler!r}")
     use_cb = options.scheduler == "continuous" and options.beam_size is None
-    if options.initial_prompt:
-        if use_cb or options.beam_size is not None:
-            raise ValueError(
-                "initial_prompt in batched serving requires the static "
-                "scheduler with greedy/sampled decoding (per-row prompts "
-                "are not available under continuous batching or beam "
-                "search)")
 
     def decode_round(wins: List[_Window]) -> None:
         if use_cb:
@@ -331,6 +324,27 @@ def _decode_windows_static(model, windows: List[_Window],
         suppress_tokens=options.suppress_tokens,
     )
 
+    if prompt_tokens is not None and options.beam_size is not None:
+        # beam search assumes one shared pad/sot layout per decode call
+        # (decoding.py rejects per-sample prompts under beam). Equivalent
+        # batching: partition into prompted (offset-0) and unprompted
+        # windows and give each group a UNIFORM prompt — token-identical
+        # to the per-row path, two graphs instead of one.
+        first = [w for w in windows if w.offset_frames == 0]
+        rest = [w for w in windows if w.offset_frames != 0]
+        for group, ptoks in ((first, prompt_tokens), (rest, None)):
+            if group:
+                _decode_window_batches(model, group, options, base_opts, bs,
+                                       ptoks, uniform=True)
+        return
+    _decode_window_batches(model, windows, options, base_opts, bs,
+                           prompt_tokens)
+
+
+def _decode_window_batches(model, windows: List[_Window], options,
+                           base_opts, bs: int,
+                           prompt_tokens: Optional[List[int]],
+                           uniform: bool = False) -> None:
     # pad the tail batch by repeating the last window (one compiled graph)
     for start in range(0, len(windows), bs):
         chunk = windows[start : start + bs]
@@ -340,7 +354,10 @@ def _decode_windows_static(model, windows: List[_Window],
             batch_mels = np.concatenate([batch_mels, pad], axis=0)
 
         chunk_opts = dict(base_opts)
-        if prompt_tokens is not None:
+        if prompt_tokens is not None and uniform:
+            # pre-partitioned group (beam path): every row shares the prompt
+            chunk_opts["prompt"] = list(prompt_tokens)
+        elif prompt_tokens is not None:
             # per-row prompts: only each request's FIRST window (offset 0)
             # is conditioned, matching transcribe(initial_prompt=...,
             # condition_on_previous_text=False); pad rows get None

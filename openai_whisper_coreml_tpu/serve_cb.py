@@ -74,6 +74,8 @@ class CBState(NamedTuple):
     ts_max: Array  # (B,) int32 (ts_begin - 1 sentinel)
     temp: Array  # (B,) fp32 — per-row sampling temperature
     no_speech: Array  # (B,) fp32 — SOT-step no-speech probability
+    pad: Array  # (B,) int32 — per-row left-pad (rows with a conditioning
+    # prompt pad less; slots [0, pad) are masked out of attention)
     cache: Any  # KVCache | QuantKVCache
     cross_kv: Any  # CrossKV | QuantCrossKV
 
@@ -110,8 +112,8 @@ def prefill_from_cross_core(
     cross_kv,  # CrossKV | QuantCrossKV, batch R
     initial_tokens: Array,  # (R, prompt_len) int32, left-padded
     temps: Array,  # (R,) fp32
-    pad_len: Array,  # scalar int32
-    sot_index: Array,  # scalar int32
+    pad_len: Array,  # (R,) int32 per-row left-pads
+    sot_index: Array,  # (R,) int32 per-row SOT slot
     *,
     sample_len: int,
     prompt_len: int,
@@ -135,9 +137,11 @@ def prefill_from_cross_core(
 
     prefill_logits, cache = dec_mod.decode_step(
         params, cfg, initial_tokens, cross_kv, cache, 0, valid_from=pad_len)
+    si = jnp.broadcast_to(jnp.asarray(sot_index, jnp.int32), (r,))
+    sot_logits = jnp.take_along_axis(prefill_logits, si[:, None, None],
+                                     axis=1)[:, 0]
     no_speech = jax.nn.softmax(
-        jnp.take(prefill_logits, sot_index, axis=1).astype(jnp.float32),
-        axis=-1)[:, cfg.no_speech_token]
+        sot_logits.astype(jnp.float32), axis=-1)[:, cfg.no_speech_token]
 
     return CBState(
         tokens=tokens,
@@ -149,6 +153,7 @@ def prefill_from_cross_core(
         ts_max=jnp.full((r,), cfg.timestamp_begin - 1, jnp.int32),
         temp=temps.astype(jnp.float32),
         no_speech=no_speech,
+        pad=jnp.broadcast_to(jnp.asarray(pad_len, jnp.int32), (r,)),
         cache=cache,
         cross_kv=cross_kv,
     )
@@ -170,7 +175,6 @@ def decode_chunk_core(
     suppress_mask: Array,
     blank_mask: Array,
     max_initial_ts_index: Array,
-    pad_len: Array,
     *,
     chunk: int,
     use_timestamps: bool,
@@ -218,7 +222,7 @@ def decode_chunk_core(
 
         next_logits, cache = dec_mod.decode_step(
             params, cfg, tok[:, None], st.cross_kv, st.cache, st.pos,
-            valid_from=pad_len)
+            valid_from=st.pad)
         pos = jnp.where(st.finished, st.pos, st.pos + 1)
         st = st._replace(tokens=tokens,
                          logits=next_logits[:, 0].astype(jnp.float32),
@@ -253,6 +257,7 @@ def scatter_rows(state: CBState, rows: CBState, idx: Array) -> CBState:
         ts_max=ax0(state.ts_max, rows.ts_max),
         temp=ax0(state.temp, rows.temp),
         no_speech=ax0(state.no_speech, rows.no_speech),
+        pad=ax0(state.pad, rows.pad),
         cache=cache,
         cross_kv=cross,
     )
@@ -300,13 +305,27 @@ class ContinuousBatcher:
         self.use_timestamps = not options.without_timestamps
         self.max_init_idx = -1 if options.without_timestamps else 50  # 1.0 s
 
-        # prompt layout: [sot, lang, task] (+notimestamps), left-padded to 4
-        # (decoding._PROMPT_BUCKETS[0]); no conditioning in batch mode
+        # prompt layout: [sot_prev, initial_prompt?] + [sot, lang, task]
+        # (+notimestamps), left-padded to a shared bucket. Rows WITHOUT a
+        # conditioning prompt (every window past a request's first) pad
+        # further left — per-row pads ride in CBState.pad, so prompted and
+        # unprompted rows mix freely in one device batch / one graph.
         base = 1 if not cfg.multilingual else 3
         if options.without_timestamps:
             base += 1
-        self.prompt_len = 4
-        self.pad = self.prompt_len - base
+        self.base_len = base
+        self.prompt_tokens: Optional[List[int]] = None
+        if getattr(options, "initial_prompt", None):
+            max_prompt = cfg.n_text_ctx // 2 - 1
+            self.prompt_tokens = self.tokenizer.encode(
+                " " + options.initial_prompt.strip())[-max_prompt:]
+            from .decoding import _prompt_bucket
+
+            self.prompt_len = _prompt_bucket(
+                1 + len(self.prompt_tokens) + base, cfg.n_text_ctx)
+        else:
+            self.prompt_len = 4
+        self.pad = self.prompt_len - base  # unprompted-row pad (the default)
         self.sot_index = self.pad
         self.sample_len = min(self.sample_len, cfg.n_text_ctx - self.prompt_len)
         self.total_len = self.prompt_len + self.sample_len
@@ -318,11 +337,19 @@ class ContinuousBatcher:
 
     # -- helpers -------------------------------------------------------------
 
-    def _initial_tokens(self, languages: List[str]) -> np.ndarray:
+    def _initial_tokens(self, languages: List[str],
+                        prompted: List[bool]) -> Tuple[np.ndarray, np.ndarray,
+                                                       np.ndarray]:
+        """Per-row [pad | sot_prev prompt? | sot lang task ...] sequences.
+
+        Returns (tokens (R, prompt_len), pads (R,), sot_indices (R,)):
+        prompted rows (a request's FIRST window, when initial_prompt is set)
+        carry the conditioning text; the rest left-pad to the same bucket.
+        """
         tok = self.tokenizer
         cfg = self.cfg
-        out = []
-        for lang in languages:
+        out, pads, sots = [], [], []
+        for lang, p in zip(languages, prompted):
             if cfg.multilingual:
                 task_tok = (tok.transcribe if self.options.task == "transcribe"
                             else tok.translate)
@@ -331,8 +358,17 @@ class ContinuousBatcher:
                 seq = [tok.sot]
             if self.options.without_timestamps:
                 seq.append(tok.no_timestamps)
-            out.append([tok.eot] * self.pad + seq)
-        return np.asarray(out, np.int32)
+            if p and self.prompt_tokens:
+                seq = [tok.sot_prev] + self.prompt_tokens + seq
+                sot_off = 1 + len(self.prompt_tokens)
+            else:
+                sot_off = 0
+            pad = self.prompt_len - len(seq)
+            out.append([tok.eot] * pad + seq)
+            pads.append(pad)
+            sots.append(pad + sot_off)
+        return (np.asarray(out, np.int32), np.asarray(pads, np.int32),
+                np.asarray(sots, np.int32))
 
     def _encode_pool(self, pending: deque) -> None:
         """Encode up to batch_size pending windows at the FULL batch graph
@@ -391,11 +427,13 @@ class ContinuousBatcher:
              for s in take] + [0.0] * (size - len(take)), np.float32)
         langs = [s.language for s in take]
         langs += [langs[-1] if langs else "en"] * (size - len(take))
-        initial = self._initial_tokens(langs)
+        prompted = [s.window.offset_frames == 0 for s in take]
+        prompted += [False] * (size - len(take))
+        initial, pads, sots = self._initial_tokens(langs, prompted)
         rows = prefill_from_cross_core(
             self.model.params, self.cfg, cross_rows, jnp.asarray(initial),
-            jnp.asarray(temps), jnp.int32(self.pad),
-            jnp.int32(self.sot_index), sample_len=self.sample_len,
+            jnp.asarray(temps), jnp.asarray(pads),
+            jnp.asarray(sots), sample_len=self.sample_len,
             prompt_len=self.prompt_len, cache_len=self.cache_len,
             cache_dtype=self.cache_dtype,
             compute_dtype=self.model.params["decoder"]["token_embedding"].dtype)
@@ -443,18 +481,43 @@ class ContinuousBatcher:
 
     # -- main loop -----------------------------------------------------------
 
-    def run(self, windows: List[Any]) -> None:
-        if not windows:
+    def run(self, windows: List[Any], arrivals=None) -> None:
+        """Decode every window; fills w.result.
+
+        arrivals: optional OPEN-LOOP source — a zero-arg callable polled
+        between chunks returning newly-arrived windows ([] when none yet,
+        None once the stream is closed). This is the serving regime the
+        scheduler exists for: requests join mid-flight and are prefilled
+        into free slots without waiting for a batch boundary
+        (benchmarks/serving_arrivals.py measures it against the static
+        scheduler under Poisson load).
+        """
+        if not windows and arrivals is None:
             return
         # under a DP x TP mesh every jitted core (encode, prefill, chunk,
         # scatter) compiles with the model's sharding constraints — same
         # mechanism as the static path's mesh_context-wrapped entries
         with self.model.mesh_context():
-            self._run(windows)
+            self._run(windows, arrivals)
 
-    def _run(self, windows: List[Any]) -> None:
+    def _run(self, windows: List[Any], arrivals=None) -> None:
+        import time as _time
+
         pending: deque = deque(
             _Slot(w, 0, self.options.language or "en") for w in windows)
+        closed = arrivals is None
+
+        def poll_arrivals() -> None:
+            nonlocal closed
+            if closed:
+                return
+            got = arrivals()
+            if got is None:
+                closed = True
+            else:
+                pending.extend(_Slot(w, 0, self.options.language or "en")
+                               for w in got)
+
         bs = self.bs
         active: List[Optional[_Slot]] = [None] * bs
         key = jax.random.PRNGKey(0)
@@ -462,7 +525,14 @@ class ContinuousBatcher:
         self._pool_next = 0
         self._pool_cross = None
 
-        # initial fill: encode one full batch into the pool, draw all of it
+        # initial fill: wait for the first window(s) under an open-loop
+        # source, then encode one full batch into the pool and draw it
+        while not pending:
+            poll_arrivals()
+            if closed and not pending:
+                return
+            if not pending:
+                _time.sleep(0.002)
         self._encode_pool(pending)
         state, group = self._draw_from_pool(bs, min(bs, self._pool_remaining()))
         for i, s in enumerate(group):
@@ -473,12 +543,14 @@ class ContinuousBatcher:
             state = state._replace(finished=state.finished | jnp.asarray(mask))
 
         while True:
-            state, key = decode_chunk_core(
-                self.model.params, self.cfg, state, key, self.suppress_mask,
-                self.blank_mask, jnp.int32(self.max_init_idx),
-                jnp.int32(self.pad), chunk=self.chunk,
-                use_timestamps=self.use_timestamps,
-                prompt_len=self.prompt_len, total_len=self.total_len)
+            poll_arrivals()
+            if any(a is not None for a in active):
+                state, key = decode_chunk_core(
+                    self.model.params, self.cfg, state, key,
+                    self.suppress_mask, self.blank_mask,
+                    jnp.int32(self.max_init_idx), chunk=self.chunk,
+                    use_timestamps=self.use_timestamps,
+                    prompt_len=self.prompt_len, total_len=self.total_len)
 
             finished = np.asarray(state.finished)
             host = None
@@ -520,4 +592,9 @@ class ContinuousBatcher:
                     active[int(i)] = s
             if (not pending and self._pool_remaining() == 0
                     and all(a is None for a in active)):
-                break
+                if closed:
+                    break
+                # open-loop idle: every slot drained but the arrival stream
+                # is still live — wait for work instead of spinning the
+                # (finished) decode chunk against the device
+                _time.sleep(0.002)

@@ -1,0 +1,306 @@
+"""Speculative decoding: a cheap draft model proposes K tokens, the target
+verifies them in ONE multi-token decoder step.
+
+Why this exists (the measured motivation): single-token decode is a batched
+matvec, and the round-3 probes proved the production cross-attention chain
+runs AT the v5e's M=1 MXU-ingest floor (~516 G elem/s,
+benchmarks/int8_mxu_probe.py) — no kernel can stream the same K/V faster one
+query at a time. The only way past that floor is to stop decoding one token
+per forward: a verify step over K+1 tokens reads the caches ONCE for K+1
+queries (M=K+1 matmuls instead of K+1 matvecs), so each accepted draft token
+rides the same ingest the baseline pays for a single token.
+
+Scheme (greedy; token-exact vs the flat greedy loop by construction):
+  * the carried target logits determine this iteration's first token g
+    (argmax after the full in-graph logit-rule grammar — identical rules to
+    decoding.greedy_decode_core);
+  * the draft decodes K single-token steps from g, proposing d_1..d_K (the
+    draft applies the SAME logit rules, which both raises acceptance and
+    keeps proposals inside the timestamp grammar);
+  * the target runs ONE decode_step over [g, d_1..d_K] (T=K+1) and the
+    acceptance walk keeps the longest prefix where the target's rules-greedy
+    choice equals the draft's proposal. The first mismatch position's target
+    logits become the next iteration's carried logits, so the correction
+    token is committed (bit-identically) at the next iteration's step 1.
+  * every row accepts a different prefix length -> per-row positions (the
+    continuous-batching machinery in models.decoder.decode_step), with the
+    multi-token per-row cache scatter added for the verify write.
+
+Acceptance is a property of the model pair; the iteration COST is not — it
+is measured on-chip by benchmarks/spec_bench.py, and tokens/iteration for a
+given per-token acceptance rate follows mechanically (docs/benchmarks.md).
+
+Draft pairing: large-v3 + large-v3-turbo is the intended production pair —
+turbo was distilled with the large-v3 ENCODER FROZEN, so one encoder forward
+feeds both decoders (pass share_features=True/auto). Any pair sharing the
+tokenizer works; with different encoder widths the draft runs its own
+encoder on the same mel.
+
+Reference counterpart: none — the reference never loops its decoder at all
+(single step, /root/reference/Whisper/Whisper/Whisper.swift:36). This module
+is the round-4 answer to the measured M=1 ingest bound.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import WhisperConfig
+from .decoding import _apply_logit_rules
+from .models import decoder as dec_mod
+
+Array = jax.Array
+
+
+def check_pair(cfg: WhisperConfig, cfg_d: WhisperConfig) -> None:
+    """A draft is usable iff the two models share the token space."""
+    for f in ("n_vocab", "eot_token", "sot_token", "timestamp_begin",
+              "no_speech_token", "lang_token_start", "n_langs",
+              "multilingual"):
+        a, b = getattr(cfg, f), getattr(cfg_d, f)
+        if a != b:
+            raise ValueError(
+                f"draft/target token spaces differ: {f} {b} vs {a} "
+                "(speculative decoding needs a shared tokenizer)")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "cfg_d", "sample_len", "use_timestamps",
+                     "prompt_len", "spec_k", "kv_dtype"),
+)
+def spec_decode_core(
+    params,
+    params_d,
+    cfg: WhisperConfig,
+    cfg_d: WhisperConfig,
+    audio_features: Array,  # (B, S, n_state) — target encoder output
+    audio_features_d: Array,  # draft decoder's feature input (often the same
+    # array: turbo's decoder was distilled against the frozen large-v3
+    # encoder, so the target features ARE the draft features)
+    initial_tokens: Array,  # (B, P) int32, left-padded to the P bucket
+    suppress_mask: Array,  # (V,) bool
+    blank_mask: Array,  # (V,) bool
+    max_initial_ts_index: Array,  # scalar int32; -1 disables
+    pad_len: Array,  # int32 scalar or (B,)
+    sot_index: Array,  # int32 scalar or (B,)
+    *,
+    sample_len: int,
+    use_timestamps: bool,
+    prompt_len: int,
+    spec_k: int,
+    kv_dtype: str = "bf16",
+) -> Tuple[Array, Array, Array, Array, Array, Array]:
+    """Greedy speculative decode. Returns (tokens (B, P+sample_len), sum_lp,
+    n_sampled, no_speech_prob, n_iters (B,), n_drafted (B,)).
+
+    n_iters counts verify steps while the row was live; n_drafted counts
+    draft proposals offered (= spec_k * n_iters) — acceptance rate per
+    offered draft token is (n_sampled - n_iters) / n_drafted.
+
+    Token-exact vs greedy_decode_core(two_level=False) up to bf16 tiling
+    noise between the T=1 and T=K+1 decoder graphs (fp32 is bit-exact;
+    pinned by tests/test_speculative.py).
+    """
+    b = audio_features.shape[0]
+    eot = cfg.eot_token
+    ts_begin = cfg.timestamp_begin
+    k = spec_k
+    total_len = prompt_len + sample_len
+    # candidate writes overshoot the committed horizon by up to K columns;
+    # the host wrapper clamps sample_len so the slack fits n_text_ctx
+    buf_len = total_len + k + 1
+    cache_len = min(-(-buf_len // 128) * 128, cfg.n_text_ctx)
+    rows = jnp.arange(b)
+
+    if kv_dtype == "int8":
+        cross_t = dec_mod.precompute_cross_kv_int8(params, cfg,
+                                                   audio_features)
+        cross_d = dec_mod.precompute_cross_kv_int8(params_d, cfg_d,
+                                                   audio_features_d)
+    else:
+        cross_t = dec_mod.precompute_cross_kv(params, cfg, audio_features)
+        cross_d = dec_mod.precompute_cross_kv(params_d, cfg_d,
+                                              audio_features_d)
+    cache_t = dec_mod.init_kv_cache(cfg, b, dtype=audio_features.dtype,
+                                    ctx=cache_len)
+    cache_d = dec_mod.init_kv_cache(cfg_d, b, dtype=audio_features_d.dtype,
+                                    ctx=cache_len)
+
+    tokens = jnp.full((b, buf_len), eot, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, initial_tokens, (0, 0))
+
+    # prompt prefill for BOTH models (the draft must carry the same context)
+    prefill_t, cache_t = dec_mod.decode_step(
+        params, cfg, initial_tokens, cross_t, cache_t, 0, valid_from=pad_len)
+    _, cache_d = dec_mod.decode_step(
+        params_d, cfg_d, initial_tokens, cross_d, cache_d, 0,
+        valid_from=pad_len)
+    si = jnp.broadcast_to(jnp.asarray(sot_index, jnp.int32), (b,))
+    sot_logits = jnp.take_along_axis(prefill_t, si[:, None, None],
+                                     axis=1)[:, 0]
+    no_speech_prob = jax.nn.softmax(
+        sot_logits.astype(jnp.float32), axis=-1)[:, cfg.no_speech_token]
+
+    def rules(logits, toks, pos, ts):
+        return _apply_logit_rules(
+            logits, toks, pos, cfg, prompt_len, suppress_mask, blank_mask,
+            use_timestamps, ts, max_initial_ts_index)
+
+    def body(carry):
+        (tokens, pos, logits, finished, sum_lp, n_sampled, ts_max,
+         cache_t, cache_d, n_iters) = carry
+        # finished rows idle at pos <= total_len; the buffer's K+1 columns of
+        # slack keep even their (gated/garbage) accesses in bounds, so pos is
+        # NEVER clamped — a clamp would shrink the carried pos of a finished
+        # row and the final cleanup would wipe its last token
+
+        # -- 1) commit g: the token the carried target logits determine -----
+        filt = rules(logits, tokens, pos, ts_max)
+        g = jnp.argmax(filt, axis=-1).astype(jnp.int32)
+        lp_g = jnp.take_along_axis(jax.nn.log_softmax(filt, axis=-1),
+                                   g[:, None], axis=1)[:, 0]
+        g = jnp.where(finished, eot, g)
+        keep = tokens[rows, pos]
+        tokens = tokens.at[rows, pos].set(jnp.where(finished, keep, g))
+        sum_lp = sum_lp + jnp.where(finished, 0.0, lp_g)
+        n_sampled = n_sampled + jnp.where(finished, 0, 1)
+        ts_max = jnp.where((g >= ts_begin) & ~finished, g, ts_max)
+        fin_g = finished | (g == eot) | (pos + 1 >= total_len)
+
+        # -- 2) draft proposes d_1..d_K (rules-greedy chain) -----------------
+        d_ts = ts_max
+        d_tok, d_pos = g, pos
+        d_list = []
+        dcache = cache_d
+        for j in range(1, k + 1):
+            d_logits, dcache = dec_mod.decode_step(
+                params_d, cfg_d, d_tok[:, None], cross_d, dcache, d_pos,
+                valid_from=pad_len)
+            d_filt = rules(d_logits[:, 0].astype(jnp.float32), tokens,
+                           d_pos + 1, d_ts)
+            d_next = jnp.argmax(d_filt, axis=-1).astype(jnp.int32)
+            # the proposal lands in the token buffer NOW: the rule grammar at
+            # position pos+j+1 reads tokens[pos+j] (candidate history). The
+            # rejected tail stays as garbage above each row's write pointer
+            # and is overwritten by later candidates / cleared at the end.
+            keep = tokens[rows, d_pos + 1]
+            tokens = tokens.at[rows, d_pos + 1].set(
+                jnp.where(fin_g, keep, d_next))
+            d_ts = jnp.where(d_next >= ts_begin, d_next, d_ts)
+            d_list.append(d_next)
+            d_tok, d_pos = d_next, d_pos + 1
+        # consume d_K too, so the draft cache never falls behind the commit
+        # pointer even when every proposal is accepted (output unused)
+        _, dcache = dec_mod.decode_step(
+            params_d, cfg_d, d_tok[:, None], cross_d, dcache, d_pos,
+            valid_from=pad_len)
+
+        # -- 3) verify: ONE target step over K+1 tokens ----------------------
+        v_toks = jnp.stack([g] + d_list, axis=1)  # (B, K+1)
+        v_logits, cache_t = dec_mod.decode_step(
+            params, cfg, v_toks, cross_t, cache_t, pos, valid_from=pad_len)
+        # v_logits[:, j] predicts position pos+j+1 given candidates <= pos+j
+
+        # -- 4) acceptance walk ----------------------------------------------
+        acc = jnp.zeros((b,), jnp.int32)
+        accepting = ~fin_g
+        eot_hit = (g == eot) & ~finished
+        w_ts = ts_max
+        for j in range(k):
+            filt_j = rules(v_logits[:, j].astype(jnp.float32), tokens,
+                           pos + j + 1, w_ts)
+            g_j = jnp.argmax(filt_j, axis=-1).astype(jnp.int32)
+            d_j = d_list[j]
+            match = accepting & (g_j == d_j)
+            lp_j = jnp.take_along_axis(
+                jax.nn.log_softmax(filt_j, axis=-1), d_j[:, None],
+                axis=1)[:, 0]
+            sum_lp = sum_lp + jnp.where(match, lp_j, 0.0)
+            n_sampled = n_sampled + jnp.where(match, 1, 0)
+            w_ts = jnp.where(match & (d_j >= ts_begin), d_j, w_ts)
+            acc = acc + match.astype(jnp.int32)
+            eot_hit = eot_hit | (match & (d_j == eot))
+            accepting = match & (d_j != eot) & (pos + j + 2 < total_len)
+        ts_max = w_ts
+
+        # -- 5) advance ------------------------------------------------------
+        new_pos = jnp.where(finished, pos, pos + acc + 1)
+        next_logits = jnp.take_along_axis(
+            v_logits, acc[:, None, None], axis=1)[:, 0].astype(jnp.float32)
+        next_logits = jnp.where(finished[:, None], logits, next_logits)
+        n_iters = n_iters + jnp.where(finished, 0, 1)
+        new_finished = finished | eot_hit | (new_pos >= total_len)
+        return (tokens, new_pos, next_logits, new_finished, sum_lp,
+                n_sampled, ts_max, cache_t, dcache, n_iters)
+
+    def cond(carry):
+        finished = carry[3]
+        return ~jnp.all(finished)
+
+    init = (
+        tokens,
+        jnp.full((b,), prompt_len, jnp.int32),
+        prefill_t[:, -1].astype(jnp.float32),
+        jnp.zeros((b,), jnp.bool_),
+        jnp.zeros((b,), jnp.float32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.full((b,), ts_begin - 1, jnp.int32),
+        cache_t,
+        cache_d,
+        jnp.zeros((b,), jnp.int32),
+    )
+    (tokens, pos, _, _, sum_lp, n_sampled, _, _, _, n_iters) = (
+        jax.lax.while_loop(cond, body, init))
+
+    # clear the rejected-candidate tail above each row's commit pointer
+    col = jnp.arange(buf_len)[None, :]
+    tokens = jnp.where(col >= pos[:, None], eot, tokens)
+    return (tokens[:, :total_len], sum_lp, n_sampled, no_speech_prob,
+            n_iters, n_iters * k)
+
+
+def draft_features(model, draft, mel: Optional[Array],
+                   feats: Array) -> Array:
+    """The draft decoder's feature input.
+
+    Same encoder width -> share the target's features (the turbo pairing:
+    its decoder was distilled against the frozen large-v3 encoder). Different
+    width -> the draft runs its own encoder over the same mel.
+    """
+    if (draft.cfg.n_audio_state == model.cfg.n_audio_state
+            and draft.cfg.n_audio_ctx == model.cfg.n_audio_ctx):
+        return feats
+    if mel is None:
+        raise ValueError(
+            "draft encoder width differs from the target's; speculative "
+            "decoding from precomputed features needs a width-matched "
+            "draft (pass mel instead)")
+    return draft._encode_jit(draft.params, mel=mel)
+
+
+# diagnostics: decoding._decode_impl stores the most recent spec decode's
+# aggregate stats here (tokens/iteration, acceptance rate) — read by
+# benchmarks/spec_bench.py and tools/validate_real.py gate J. Not part of
+# the DecodingResult schema (openai parity) and never read by library code.
+LAST_STATS: Optional[dict] = None
+
+
+def spec_stats(n_sampled: np.ndarray, n_iters: np.ndarray,
+               n_drafted: np.ndarray) -> dict:
+    """Aggregate acceptance statistics for logging/benchmarks."""
+    n_sampled = np.asarray(n_sampled, np.float64)
+    n_iters = np.maximum(np.asarray(n_iters, np.float64), 1)
+    n_drafted = np.maximum(np.asarray(n_drafted, np.float64), 1)
+    return {
+        "tokens_per_iter": float(np.sum(n_sampled) / np.sum(n_iters)),
+        "acceptance_rate": float(np.sum(n_sampled - n_iters)
+                                 / np.sum(n_drafted)),
+        "iters": int(np.sum(n_iters)),
+        "tokens": int(np.sum(n_sampled)),
+    }

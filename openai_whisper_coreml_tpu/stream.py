@@ -69,6 +69,8 @@ class StreamingTranscriber:
         beam_size: Optional[int] = None,
         max_tokens_per_second: Optional[float] = 8.0,
         vad_gate: bool = False,
+        draft_model=None,
+        spec_k: int = 4,
     ) -> None:
         """max_tokens_per_second bounds each tick's decode horizon by the
         audio actually buffered (dense English speech is ~3-4 BPE tokens/s;
@@ -79,7 +81,12 @@ class StreamingTranscriber:
         vad_gate: skip a due decode tick entirely when the rolling buffer
         contains no speech by the energy VAD (vad.py) — a silent buffer
         costs a full device round-trip only to decode hallucination fuel.
-        The tick fires as soon as speech appears."""
+        The tick fires as soon as speech appears.
+
+        draft_model: speculative decoding for the tick decodes (greedy
+        only; speculative.py). Batch-1 streaming is the regime where the
+        draft pays most — the tick is one long serial decode whose matvecs
+        the verify step turns into M=spec_k+1 matmuls."""
         if agreement < 1:
             raise ValueError("agreement must be >= 1")
         self.model = model
@@ -88,6 +95,7 @@ class StreamingTranscriber:
         self.decode_interval = decode_interval
         self.max_tokens_per_second = max_tokens_per_second
         self.vad_gate = vad_gate
+        self.draft_model = draft_model
         self.opts = dict(
             task=task,
             language=language,
@@ -95,6 +103,7 @@ class StreamingTranscriber:
             sample_len=sample_len,
             beam_size=beam_size,
             without_timestamps=True,
+            spec_k=spec_k,
         )
         self._buffer = np.zeros(0, np.float32)
         self._since_decode = 0  # samples fed since last decode
@@ -134,7 +143,8 @@ class StreamingTranscriber:
         opts = dict(self.opts, sample_len=self._tick_sample_len())
         res = decode(
             self.model, np.asarray(mel)[None],
-            DecodingOptions(prompt=self._prompt or None, **opts))[0]
+            DecodingOptions(prompt=self._prompt or None, **opts),
+            draft=self.draft_model)[0]
         return res.tokens
 
     @staticmethod

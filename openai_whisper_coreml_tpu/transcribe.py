@@ -181,6 +181,9 @@ def transcribe(
     vad_parameters=None,  # vad.VadOptions
     progress_callback=None,  # fn(seconds_done: float, total_seconds: float)
     verbose: Optional[bool] = None,
+    draft_model=None,  # speculative decoding: a smaller WhisperModel sharing
+    # the tokenizer drafts spec_k tokens per target verify step (greedy t=0
+    # rungs only — speculative.py; pass spec_k=K in decode_options to tune)
     **decode_options,
 ) -> Dict[str, Any]:
     """Transcribe (or translate) audio of any length.
@@ -313,7 +316,8 @@ def transcribe(
                 **rung_options,
             )
             result = decode(model, segment_feats, opts, from_features=True,
-                            tokenizer=None)[0]
+                            tokenizer=None,
+                            draft=draft_model if t == 0 else None)[0]
 
             needs_fallback = False
             if (compression_ratio_threshold is not None

@@ -1,0 +1,209 @@
+"""Speculative decoding parity tests.
+
+spec_decode_core must be TOKEN-EXACT against the flat greedy loop: the
+acceptance walk applies the identical logit-rule grammar at every position,
+and the first mismatch position's target logits carry over so the correction
+token is recomputed bit-identically (fp32 on CPU). Geometries cover:
+
+- a DISAGREEING draft (independently-initialised params: near-zero
+  acceptance -> the correction path does all the work),
+- the SELF-draft (draft params == target params: near-total acceptance ->
+  the multi-accept bookkeeping, EOT-inside-the-accept-chain, and the
+  total_len clamp do all the work),
+- timestamps on/off, per-row prompts (per-row pad/sot), int8 cross-KV,
+  spec_k in {1, 3, 5}, and a DP x TP mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openai_whisper_coreml_tpu import decoding
+from openai_whisper_coreml_tpu.config import tiny_test_config
+from openai_whisper_coreml_tpu.params import init_params
+from openai_whisper_coreml_tpu.speculative import spec_decode_core, spec_stats
+
+N_AUDIO_CTX = 32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config(n_audio_ctx=N_AUDIO_CTX)
+    # the draft shares the token space but is a smaller decoder
+    cfg_d = tiny_test_config(n_audio_ctx=N_AUDIO_CTX)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    params_d = init_params(cfg_d, jax.random.PRNGKey(7))
+    rng = np.random.default_rng(3)
+    feats = jnp.asarray(
+        rng.standard_normal((3, cfg.n_audio_ctx, cfg.n_audio_state)),
+        jnp.float32)
+    return cfg, cfg_d, params, params_d, feats
+
+
+def _inputs(cfg, b, prompt_bucket, per_row_pad=False):
+    pad = 0 if prompt_bucket <= 4 else 4
+    rng = np.random.default_rng(11)
+    toks = rng.integers(0, cfg.timestamp_begin,
+                        size=(b, prompt_bucket)).astype(np.int32)
+    if per_row_pad:
+        pads = np.asarray([0, 2, pad][:b], np.int32)
+        for i, p in enumerate(pads):
+            toks[i, :p] = cfg.eot_token
+            toks[i, p] = cfg.sot_token
+        return toks, pads, pads
+    toks[:, pad] = cfg.sot_token
+    return toks, np.full((b,), pad, np.int32), np.full((b,), pad, np.int32)
+
+
+def _flat(cfg, params, feats, toks, pads, sots, *, sample_len,
+          use_timestamps, kv_dtype="bf16"):
+    out = decoding.greedy_decode_core(
+        params, cfg, feats, jnp.asarray(toks),
+        jnp.zeros((cfg.n_vocab,), bool), jnp.zeros((cfg.n_vocab,), bool),
+        jnp.float32(0.0), jax.random.PRNGKey(1), jnp.int32(50),
+        jnp.asarray(pads), jnp.asarray(sots),
+        sample_len=sample_len, use_timestamps=use_timestamps,
+        prompt_len=toks.shape[1], kv_dtype=kv_dtype, two_level=False)
+    return [np.asarray(o) for o in out]
+
+
+def _spec(cfg, cfg_d, params, params_d, feats, toks, pads, sots, *,
+          sample_len, use_timestamps, spec_k, kv_dtype="bf16"):
+    out = spec_decode_core(
+        params, params_d, cfg, cfg_d, feats, feats,
+        jnp.asarray(toks),
+        jnp.zeros((cfg.n_vocab,), bool), jnp.zeros((cfg.n_vocab,), bool),
+        jnp.int32(50), jnp.asarray(pads), jnp.asarray(sots),
+        sample_len=sample_len, use_timestamps=use_timestamps,
+        prompt_len=toks.shape[1], spec_k=spec_k, kv_dtype=kv_dtype)
+    return [np.asarray(o) for o in out]
+
+
+@pytest.mark.parametrize(
+    "bucket,sample_len,use_ts,spec_k",
+    [(4, 40, True, 3), (4, 40, False, 3), (32, 60, True, 5),
+     (4, 25, True, 1)],
+    ids=["ts-k3", "nots-k3", "bucket32-k5", "k1"],
+)
+def test_spec_token_exact_disagreeing_draft(setup, bucket, sample_len,
+                                            use_ts, spec_k):
+    cfg, cfg_d, params, params_d, feats = setup
+    toks, pads, sots = _inputs(cfg, 3, bucket)
+    flat = _flat(cfg, params, feats, toks, pads, sots,
+                 sample_len=sample_len, use_timestamps=use_ts)
+    spec = _spec(cfg, cfg_d, params, params_d, feats, toks, pads, sots,
+                 sample_len=sample_len, use_timestamps=use_ts, spec_k=spec_k)
+    np.testing.assert_array_equal(flat[0], spec[0])  # tokens
+    np.testing.assert_array_equal(flat[2], spec[2])  # n_sampled
+    np.testing.assert_allclose(flat[1], spec[1], atol=1e-4)  # sum_logprobs
+    np.testing.assert_allclose(flat[3], spec[3], atol=1e-5)  # no_speech
+
+
+def test_spec_self_draft_full_acceptance(setup):
+    """Draft == target: every proposal matches (fp32 determinism), so the
+    loop must commit spec_k+1 tokens per verify and stay token-exact."""
+    cfg, _, params, _, feats = setup
+    toks, pads, sots = _inputs(cfg, 3, 4)
+    flat = _flat(cfg, params, feats, toks, pads, sots,
+                 sample_len=40, use_timestamps=True)
+    spec = _spec(cfg, cfg, params, params, feats, toks, pads, sots,
+                 sample_len=40, use_timestamps=True, spec_k=4)
+    np.testing.assert_array_equal(flat[0], spec[0])
+    np.testing.assert_array_equal(flat[2], spec[2])
+    stats = spec_stats(spec[2], spec[4], spec[5])
+    # no EOT with random weights at 40 tokens is typical; the self-draft
+    # should accept essentially everything -> ~K+1 tokens per iteration
+    assert stats["tokens_per_iter"] > 3.5, stats
+    assert stats["acceptance_rate"] > 0.85, stats
+
+
+def test_spec_per_row_prompts(setup):
+    cfg, cfg_d, params, params_d, feats = setup
+    toks, pads, sots = _inputs(cfg, 3, 8, per_row_pad=True)
+    flat = _flat(cfg, params, feats, toks, pads, sots,
+                 sample_len=30, use_timestamps=True)
+    spec = _spec(cfg, cfg_d, params, params_d, feats, toks, pads, sots,
+                 sample_len=30, use_timestamps=True, spec_k=3)
+    np.testing.assert_array_equal(flat[0], spec[0])
+    np.testing.assert_array_equal(flat[2], spec[2])
+
+
+def test_spec_int8_cross_kv(setup):
+    cfg, cfg_d, params, params_d, feats = setup
+    toks, pads, sots = _inputs(cfg, 3, 4)
+    flat = _flat(cfg, params, feats, toks, pads, sots,
+                 sample_len=30, use_timestamps=True, kv_dtype="int8")
+    spec = _spec(cfg, cfg_d, params, params_d, feats, toks, pads, sots,
+                 sample_len=30, use_timestamps=True, spec_k=3,
+                 kv_dtype="int8")
+    np.testing.assert_array_equal(flat[0], spec[0])
+    np.testing.assert_array_equal(flat[2], spec[2])
+
+
+def test_spec_eot_suppressed_runs_to_total_len(setup):
+    """With EOT never sampled, every row must stop exactly at total_len and
+    the candidate-slack columns must not leak into the returned buffer."""
+    cfg, _, params, _, feats = setup
+    toks, pads, sots = _inputs(cfg, 3, 4)
+    sample_len = 23  # deliberately not aligned to spec_k+1
+    spec = _spec(cfg, cfg, params, params, feats, toks, pads, sots,
+                 sample_len=sample_len, use_timestamps=True, spec_k=4)
+    tokens, _, n_sampled = spec[0], spec[1], spec[2]
+    assert tokens.shape[1] == 4 + sample_len
+    # rows without an early EOT must fill the horizon exactly
+    sampled = tokens[:, 4:]
+    for i in range(3):
+        eots = np.nonzero(sampled[i] == cfg.eot_token)[0]
+        n = int(eots[0]) if len(eots) else sample_len
+        assert n == int(n_sampled[i])
+
+
+def test_spec_through_decode_api(setup):
+    """decode(model, ..., draft=...) end to end, including text harvest."""
+    from openai_whisper_coreml_tpu.models.whisper import WhisperModel
+
+    cfg, cfg_d, params, params_d, feats = setup
+    model = WhisperModel(cfg=cfg, params=params)
+    draft = WhisperModel(cfg=cfg_d, params=params_d)
+    opts = decoding.DecodingOptions(language="en", sample_len=24, spec_k=3)
+    base = decoding.decode(model, feats, opts, from_features=True)
+    spec = decoding.decode(model, feats, opts, from_features=True,
+                           draft=draft)
+    assert [r.tokens for r in base] == [r.tokens for r in spec]
+    assert [r.text for r in base] == [r.text for r in spec]
+    for a, b in zip(base, spec):
+        assert abs(a.avg_logprob - b.avg_logprob) < 1e-4
+        assert abs(a.no_speech_prob - b.no_speech_prob) < 1e-5
+
+
+def test_spec_draft_token_space_mismatch():
+    from openai_whisper_coreml_tpu.speculative import check_pair
+
+    cfg = tiny_test_config(n_audio_ctx=N_AUDIO_CTX)
+    bad = tiny_test_config(n_vocab=51866, n_audio_ctx=N_AUDIO_CTX)
+    with pytest.raises(ValueError, match="token spaces differ"):
+        check_pair(cfg, bad)
+
+
+def test_spec_under_mesh(setup):
+    """Spec decode under a DP x TP mesh: the per-row caches and the K+1
+    verify scatter must compile and stay token-exact data/model-sharded."""
+    from openai_whisper_coreml_tpu.parallel.mesh import make_mesh
+
+    cfg, cfg_d, params, params_d, feats = setup
+    toks, pads, sots = _inputs(cfg, 3, 4)
+    flat = _flat(cfg, params, feats, toks, pads, sots,
+                 sample_len=20, use_timestamps=True)
+    mesh = make_mesh(data=2, model=2)
+    with jax.set_mesh(mesh):
+        # batch 3 does not divide the data axis; pad to 4 then trim
+        feats4 = jnp.concatenate([feats, feats[-1:]], axis=0)
+        toks4 = np.concatenate([toks, toks[-1:]], axis=0)
+        pads4 = np.concatenate([pads, pads[-1:]])
+        sots4 = np.concatenate([sots, sots[-1:]])
+        spec = _spec(cfg, cfg_d, params, params_d, feats4, toks4, pads4,
+                     sots4, sample_len=20, use_timestamps=True, spec_k=3)
+    np.testing.assert_array_equal(flat[0], spec[0][:3])
+    np.testing.assert_array_equal(flat[2], spec[2][:3])

@@ -122,3 +122,36 @@ def test_train_step_with_accumulation_and_schedule(monkeypatch):
     assert any(
         not np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)))
+
+
+def test_train_step_bf16_params():
+    """The bf16-loaded model must be trainable (tools/finetune.py on TPU
+    loads bf16 by default). Regression: the conv stem's widened-f32 output
+    (preferred_element_type) made the conv non-differentiable with bf16
+    operands — backward fed the f32 cotangent into a conv against bf16
+    weights and lax rejected the dtype mix (hit on-chip, round 4)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openai_whisper_coreml_tpu.config import tiny_test_config
+    from openai_whisper_coreml_tpu.params import init_params
+    from openai_whisper_coreml_tpu.parallel import make_mesh
+    from openai_whisper_coreml_tpu.tokenizer import get_tokenizer
+    from openai_whisper_coreml_tpu.train import (
+        TrainConfig, make_batch, make_train_step)
+
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=1,
+                           n_audio_ctx=64, n_text_ctx=64)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    init_fn, step_fn = make_train_step(cfg, mesh, TrainConfig(remat=True))
+    params, opt = init_fn(params)
+    tok = get_tokenizer(cfg)
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal(
+        (2, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    mel, tokens, mask = make_batch(cfg, tok, mel, ["a b", "c d"], max_len=12)
+    _, _, metrics = step_fn(params, opt, jnp.asarray(mel),
+                            jnp.asarray(tokens), jnp.asarray(mask))
+    assert np.isfinite(float(metrics["loss"]))

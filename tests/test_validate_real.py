@@ -70,6 +70,13 @@ def test_validate_real_gate_plumbing(tmp_path, rng):
         exp_path = tmp_path / "expected.txt"
         exp_path.write_text(expected)
 
+        # a second random-weight checkpoint doubles as the speculative draft
+        # (same config: width-matched, token space identical; fp32 spec is
+        # token-exact so gate J's WER delta must be 0 even on random weights)
+        draft_ckpt = str(tmp_path / "d.safetensors")
+        save_params(init_params(cfg, jax.random.PRNGKey(5)), draft_ckpt,
+                    model_name="tiny-test")
+
         rc = validate_main([
             "--weights", ckpt, "--model", "tiny-test",
             "--clip", clip, "--expect-transcript", str(exp_path),
@@ -77,6 +84,11 @@ def test_validate_real_gate_plumbing(tmp_path, rng):
             "--batch-size", "2",
             "--wer-threshold", "1e9",  # random weights: plumbing only
             "--int8-wer-delta", "1e9",
+            "--beam-wer-delta", "1e9",
+            "--vad-wer-delta", "1e9",
+            "--sched-wer-delta", "1e9",
+            "--draft-weights", draft_ckpt, "--draft-model", "tiny-test",
+            "--spec-k", "3",
         ])
         assert rc == 0
         # the normaliser both sides must agree on the self-transcript

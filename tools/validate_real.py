@@ -24,6 +24,26 @@ Gates (each prints PASS/FAIL and a JSON summary line at the end):
      configurations within --int8-wer-delta (default 0.005 absolute) of the
      bf16 number — the promotion gate for flipping the measured-faster int8
      paths (docs/benchmarks.md "int8 options") to serving defaults.
+  D. beam: WER at beam_size=5 within --beam-wer-delta of greedy (config 4);
+  E. word_timestamps: words attached to every spoken segment of --clip,
+     monotonically ordered inside each segment, and the TEXT unchanged vs
+     the plain transcribe (the alignment pass must not perturb decoding);
+  F. vad: WER with vad_filter=True within --vad-wer-delta of the plain run
+     (energy VAD must not drop speech on a speech corpus);
+  G. prequantized: an int8 checkpoint written by quantize-then-save decodes
+     token-identically to quantize-at-load (the shipping path for int8
+     serving checkpoints);
+  H. scheduler: continuous batching's WER within --sched-wer-delta of the
+     static scheduler on the same corpus (token-exact in fp32; bf16 may
+     flip near-tie argmaxes — serve_cb.py docstring);
+  I. http: the OpenAI-compatible /v1/audio/transcriptions endpoint returns
+     the same normalised text as a direct transcribe() of --clip;
+  J. speculative (needs --draft-weights): greedy speculative decoding's WER
+     within --spec-wer-delta of plain greedy, with the measured acceptance
+     rate reported (docs/benchmarks.md round 4 projects RTFx from it).
+
+Every gate runs only when its assets are supplied; the JSON summary names
+the gates that ran so CI can assert coverage.
 """
 
 from __future__ import annotations
@@ -76,6 +96,21 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", choices=("float32", "bfloat16"),
                     default="bfloat16")
     ap.add_argument("--skip-int8", action="store_true")
+    ap.add_argument("--beam-wer-delta", type=float, default=0.01)
+    ap.add_argument("--vad-wer-delta", type=float, default=0.01)
+    ap.add_argument("--sched-wer-delta", type=float, default=0.005)
+    ap.add_argument("--spec-wer-delta", type=float, default=0.005)
+    ap.add_argument("--skip-beam", action="store_true")
+    ap.add_argument("--skip-vad", action="store_true")
+    ap.add_argument("--skip-sched", action="store_true")
+    ap.add_argument("--skip-http", action="store_true")
+    ap.add_argument("--skip-prequantized", action="store_true")
+    ap.add_argument("--draft-weights", default=None,
+                    help="draft checkpoint for the speculative gate (e.g. "
+                         "large-v3-turbo when validating large-v3)")
+    ap.add_argument("--draft-model", default=None,
+                    help="draft model size name (e.g. large-v3-turbo)")
+    ap.add_argument("--spec-k", type=int, default=4)
     args = ap.parse_args(argv)
 
     if args.vocab:
@@ -100,10 +135,12 @@ def main(argv=None) -> int:
         print(f"[{'PASS' if passed else 'FAIL'}] {name}: {detail}")
 
     # ---- gate A: transcript parity on one clip -----------------------------
+    clip_text = None
     if args.clip:
         model = load_model(model_name, checkpoint=ckpt)
         result = model.transcribe(args.clip, language="en")
-        hyp = norm(result["text"])
+        clip_text = result["text"]
+        hyp = norm(clip_text)
         if args.expect_transcript:
             with open(args.expect_transcript, encoding="utf-8") as f:
                 ref = norm(f.read())
@@ -111,6 +148,86 @@ def main(argv=None) -> int:
         else:
             print(f"[INFO] transcript (no --expect-transcript): {hyp!r}")
             summary["transcript"] = {"hyp": hyp}
+
+    # ---- gate E: word timestamps on the clip --------------------------------
+    if args.clip:
+        model = load_model(model_name, checkpoint=ckpt)
+        res = model.transcribe(args.clip, language="en",
+                               word_timestamps=True)
+        problems = []
+        spoken = [s for s in res["segments"] if s["text"].strip()]
+        for s in spoken:
+            words = s.get("words") or []
+            if not words:
+                problems.append(f"segment {s['id']} has no words")
+                continue
+            ends = -1e9
+            for w in words:
+                if w["start"] > w["end"]:
+                    problems.append(f"word {w['word']!r} start>end")
+                if w["start"] < ends - 1e-6:
+                    problems.append(f"word {w['word']!r} overlaps previous")
+                ends = w["end"]
+        same_text = norm(res["text"]) == norm(clip_text)
+        if not same_text:
+            problems.append("text changed by the alignment pass")
+        gate("word_timestamps", not problems,
+             {"segments": len(spoken), "problems": problems[:5]})
+
+    # ---- gate I: OpenAI-compatible HTTP endpoint ----------------------------
+    if args.clip and not args.skip_http:
+        import io
+        import json as _json
+        import urllib.request
+
+        from openai_whisper_coreml_tpu.serve_http import WhisperHTTPServer
+
+        model = load_model(model_name, checkpoint=ckpt)
+        srv = WhisperHTTPServer(model, port=0)
+        srv.start()
+        port = srv.port
+        try:
+            with open(args.clip, "rb") as f:
+                payload = f.read()
+            boundary = b"xxboundaryxx"
+            body = (b"--" + boundary + b"\r\n"
+                    b'Content-Disposition: form-data; name="file"; '
+                    b'filename="clip.wav"\r\n'
+                    b"Content-Type: audio/wav\r\n\r\n" + payload + b"\r\n"
+                    b"--" + boundary + b"\r\n"
+                    b'Content-Disposition: form-data; name="language"'
+                    b"\r\n\r\nen\r\n"
+                    b"--" + boundary + b"--\r\n")
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/audio/transcriptions",
+                data=body,
+                headers={"Content-Type":
+                         f"multipart/form-data; boundary={boundary.decode()}"})
+            with urllib.request.urlopen(req, timeout=600) as resp:
+                out = _json.load(io.TextIOWrapper(resp, encoding="utf-8"))
+            gate("http", norm(out.get("text", "")) == norm(clip_text),
+                 {"hyp": norm(out.get("text", ""))})
+        finally:
+            srv.stop()
+
+    # ---- gate G: pre-quantized checkpoint parity ----------------------------
+    if args.clip and not args.skip_prequantized:
+        from openai_whisper_coreml_tpu.quantize import quantize_params
+        from openai_whisper_coreml_tpu.utils.checkpoint import save_params
+
+        base = load_model(model_name, checkpoint=ckpt)
+        qpath = os.path.join(tempfile.mkdtemp(prefix="whisper_tpu_q_"),
+                             "q.safetensors")
+        save_params(quantize_params(base.params), qpath,
+                    model_name=model_name)
+        pre = load_model(model_name, checkpoint=qpath, quantize="int8")
+        live = load_model(model_name, checkpoint=ckpt, quantize="int8")
+        r_pre = pre.transcribe(args.clip, language="en")
+        r_live = live.transcribe(args.clip, language="en")
+        toks_pre = [t for s in r_pre["segments"] for t in s["tokens"]]
+        toks_live = [t for s in r_live["segments"] for t in s["tokens"]]
+        gate("prequantized", toks_pre == toks_live,
+             {"tokens": len(toks_pre)})
 
     # ---- gate B: LibriSpeech WER -------------------------------------------
     wer_bf16 = None
@@ -139,6 +256,84 @@ def main(argv=None) -> int:
                 gate(label, delta <= args.int8_wer_delta,
                      {"wer": rep["wer"], "delta_vs_bf16": round(delta, 4),
                       "rtfx": rep["rtfx"]})
+
+        model = load_model(model_name, checkpoint=ckpt)
+
+        # ---- gate D: beam search (BASELINE config 4) ------------------------
+        if not args.skip_beam:
+            rep = evaluate(model, args.librispeech, limit=args.limit,
+                           batch_size=args.batch_size, beam_size=5)
+            delta = rep["wer"] - wer_bf16
+            gate("beam", delta <= args.beam_wer_delta,
+                 {"wer": rep["wer"], "delta_vs_greedy": round(delta, 4),
+                  "rtfx": rep["rtfx"]})
+
+        # ---- gate F: energy-VAD window gating --------------------------------
+        if not args.skip_vad:
+            rep = evaluate(model, args.librispeech, limit=args.limit,
+                           batch_size=args.batch_size, vad_filter=True)
+            delta = rep["wer"] - wer_bf16
+            gate("vad", delta <= args.vad_wer_delta,
+                 {"wer": rep["wer"], "delta_vs_plain": round(delta, 4)})
+
+        # ---- gate H: continuous-batching scheduler ---------------------------
+        if not args.skip_sched:
+            rep = evaluate(model, args.librispeech, limit=args.limit,
+                           batch_size=args.batch_size,
+                           scheduler="continuous")
+            delta = abs(rep["wer"] - wer_bf16)
+            gate("scheduler", delta <= args.sched_wer_delta,
+                 {"wer": rep["wer"], "abs_delta_vs_static": round(delta, 4),
+                  "rtfx": rep["rtfx"]})
+
+    # ---- gate J: speculative decoding (needs a draft checkpoint) ------------
+    if args.draft_weights and args.librispeech:
+        import numpy as np
+
+        from openai_whisper_coreml_tpu.decoding import DecodingOptions, decode
+        from openai_whisper_coreml_tpu.eval.harness import discover
+        from openai_whisper_coreml_tpu.eval.wer import compute_wer
+        from openai_whisper_coreml_tpu.utils.audio_io import load_audio_batch
+        from openai_whisper_coreml_tpu import audio as audio_mod
+
+        dckpt, dname = _ensure_converted(args.draft_weights,
+                                         args.draft_model, args.dtype)
+        if dname is None:
+            raise SystemExit("pass --draft-model")
+        model = load_model(model_name, checkpoint=ckpt)
+        draft = load_model(dname, checkpoint=dckpt)
+        utts = discover(args.librispeech)[: args.limit]
+        audios = load_audio_batch([u.audio_path for u in utts])
+        opts = DecodingOptions(language="en", spec_k=args.spec_k)
+        hyps_plain, hyps_spec = [], []
+        import time as _time
+
+        t_plain = t_spec = 0.0
+        for i in range(0, len(audios), args.batch_size):
+            batch = audios[i : i + args.batch_size]
+            mels = np.stack([
+                np.asarray(audio_mod.log_mel_spectrogram(
+                    audio_mod.pad_or_trim(a), n_mels=model.cfg.n_mels))
+                for a in batch])
+            t0 = _time.perf_counter()
+            hyps_plain += [r.text for r in decode(model, mels, opts)]
+            t_plain += _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            hyps_spec += [r.text
+                          for r in decode(model, mels, opts, draft=draft)]
+            t_spec += _time.perf_counter() - t0
+        refs = [u.reference for u in utts]
+        wer_plain = compute_wer(refs, hyps_plain).wer
+        wer_spec = compute_wer(refs, hyps_spec).wer
+        delta = abs(wer_spec - wer_plain)
+        from openai_whisper_coreml_tpu import speculative as spec_mod
+
+        gate("speculative", delta <= args.spec_wer_delta,
+             {"wer": wer_spec, "wer_plain": wer_plain,
+              "abs_delta": round(delta, 4), "spec_k": args.spec_k,
+              "wall_plain_s": round(t_plain, 2),
+              "wall_spec_s": round(t_spec, 2),
+              "last_batch_stats": spec_mod.LAST_STATS})
 
     print(json.dumps({"ok": ok, **summary}))
     return 0 if ok else 1
