@@ -56,7 +56,9 @@ def train_model(cfg, tok, steps, batch, target_loss, *, init_params_fn,
     params = init_params_fn(cfg, jax.random.PRNGKey(seed), dtype=jnp.float32)
     if encoder_from is not None:
         params = dict(params)
-        params["encoder"] = encoder_from  # frozen-encoder distillation setup
+        # COPY: the train step donates its params, and a shared (aliased)
+        # encoder would be deleted out from under the target model
+        params["encoder"] = jax.tree.map(jnp.copy, encoder_from)
     mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
     init_fn, step_fn = make_train_step(
         cfg, mesh, TrainConfig(learning_rate=3e-4, remat=True,

@@ -50,9 +50,10 @@ class ServeOptions:
     compression_ratio_threshold: Optional[float] = 2.4
     sample_len: Optional[int] = None
     # "static": fixed batches, whole batch runs to its slowest window.
-    # "continuous": per-row positions + mid-flight slot refill (serve_cb) —
-    # wins whenever window decode lengths are mixed; requires greedy/sampling
-    # (beam_size falls back to static).
+    # "continuous": mid-flight slot refill — per-row positions for greedy/
+    # sampled decodes (serve_cb), per-GROUP positions for beam search
+    # (serve_cb_beam: each slot is beam_size rows; t>0 retry rungs route
+    # through the sampled engine). Wins whenever decode lengths are mixed.
     scheduler: str = "static"
     chunk_tokens: int = 32  # host round-trips amortised over this many steps
     refill_size: Optional[int] = None  # default: batch_size // 4
@@ -190,10 +191,23 @@ def transcribe_batch(
             seconds=round(_mel_s, 2), requests=len(arrays)))
     if options.scheduler not in ("static", "continuous"):
         raise ValueError(f"unknown scheduler {options.scheduler!r}")
-    use_cb = options.scheduler == "continuous" and options.beam_size is None
+    use_cb = options.scheduler == "continuous"
 
     def decode_round(wins: List[_Window]) -> None:
-        if use_cb:
+        if use_cb and options.beam_size is not None:
+            from .serve_cb import ContinuousBatcher
+            from .serve_cb_beam import BeamContinuousBatcher
+
+            # t=0 rung under group-level continuous batching; gate failures
+            # requeue into the sampled engine for the t>0 rungs (openai
+            # ladder semantics: beam only on the greedy rung)
+            retries = BeamContinuousBatcher(model, options).run(wins)
+            t_rest = tuple(t for t in options.temperature if t > 0)
+            if retries and t_rest:
+                opts2 = dataclasses.replace(options, temperature=t_rest,
+                                            beam_size=None)
+                ContinuousBatcher(model, opts2).run(retries)
+        elif use_cb:
             from .serve_cb import ContinuousBatcher
 
             ContinuousBatcher(model, options).run(wins)
