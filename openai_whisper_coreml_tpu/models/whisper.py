@@ -38,6 +38,11 @@ class WhisperModel:
     # carried from checkpoint metadata (tools/convert.py), else timing.py
     # falls back to the upper-half-layers heuristic
     alignment_heads: Optional[np.ndarray] = None
+    # optional paired draft model (e.g. large-v3-turbo for large-v3): a
+    # deployment property — serving paths pick it up for greedy rungs and
+    # run speculative decoding (speculative.py) instead of the flat loop.
+    # Must share the tokenizer (speculative.check_pair).
+    draft: Optional["WhisperModel"] = None
 
     def mesh_context(self):
         """jax.set_mesh(self.mesh), or a no-op for single-chip models."""

@@ -44,6 +44,14 @@ class ServeOptions:
     language: Optional[str] = None  # None -> per-request detection
     temperature: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
     beam_size: Optional[int] = None
+    patience: Optional[float] = None  # beam: keep round(K*patience) finished
+    length_penalty: Optional[float] = None  # beam ranking (GNMT); None=avg-lp
+    # speculative decoding: when the model carries a paired draft
+    # (WhisperModel.draft), greedy t=0 rungs under the STATIC scheduler run
+    # the turbo-draft verify loop with this many proposals per step. The CB
+    # engines keep the flat per-row loop (chunked per-row verify writes are
+    # an un-built geometry; see docs/design.md).
+    spec_k: int = 4
     without_timestamps: bool = False
     logprob_threshold: Optional[float] = -1.0
     no_speech_threshold: Optional[float] = 0.6
@@ -66,8 +74,10 @@ class ServeOptions:
     # seek chains are verified, then aligned per window
     word_timestamps: bool = False
     # conditions each request's FIRST window (openai initial_prompt with
-    # conditioning off — batched serving never conditions on previous text);
-    # static scheduler + greedy/sampled only (per-row prompt machinery)
+    # conditioning off — batched serving never conditions on previous text).
+    # Supported everywhere: static greedy/sampled (per-row prompts), static
+    # beam (uniform prompted/unprompted partition), CB greedy (per-row
+    # prompt buckets) and CB beam (per-group prompted layout)
     initial_prompt: Optional[str] = None
     # energy-VAD window gating (vad.py): 30 s windows whose audio holds no
     # detected speech never reach the decoder — they act exactly like an
@@ -331,11 +341,14 @@ def _decode_windows_static(model, windows: List[_Window],
         task=options.task,
         language=options.language,
         beam_size=options.beam_size,
+        patience=options.patience,
+        length_penalty=options.length_penalty,
         without_timestamps=options.without_timestamps,
         sample_len=options.sample_len,
         kv_dtype=options.kv_dtype,
         cache_dtype=options.cache_dtype,
         suppress_tokens=options.suppress_tokens,
+        spec_k=options.spec_k,
     )
 
     if prompt_tokens is not None and options.beam_size is not None:
@@ -392,8 +405,12 @@ def _decode_window_batches(model, windows: List[_Window], options,
             rung = dict(chunk_opts)
             if t > 0:
                 rung["beam_size"] = None
+            # paired draft (WhisperModel.draft): greedy rungs go speculative
+            draft = (model.draft if t == 0 and rung.get("beam_size") is None
+                     else None)
             res = decode(model, batch_mels,
-                         DecodingOptions(temperature=float(t), **rung))
+                         DecodingOptions(temperature=float(t), **rung),
+                         draft=draft)
             still: List[int] = []
             for i in pending:
                 r = res[i]

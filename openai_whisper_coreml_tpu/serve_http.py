@@ -699,6 +699,14 @@ def main(argv=None) -> int:
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile the serving graphs at startup; "
                          "/readyz returns 503 until done")
+    ap.add_argument("--draft-model", default=None, metavar="NAME",
+                    help="paired draft for speculative decoding on greedy "
+                         "static-scheduler rungs (e.g. large-v3-turbo for "
+                         "large-v3; must share the tokenizer)")
+    ap.add_argument("--draft-checkpoint", default=None,
+                    help="converted checkpoint for --draft-model")
+    ap.add_argument("--spec-k", type=int, default=4,
+                    help="draft proposals per speculative verify step")
     args = ap.parse_args(argv)
 
     from . import load_model
@@ -710,12 +718,21 @@ def main(argv=None) -> int:
         mesh = make_mesh(n_model=args.tensor_parallel)
     model = load_model(args.model, checkpoint=args.checkpoint, mesh=mesh,
                        quantize=args.quantize)
+    if args.draft_model:
+        from .speculative import check_pair
+
+        draft = load_model(args.draft_model, mesh=mesh,
+                           checkpoint=args.draft_checkpoint,
+                           quantize=args.quantize)
+        check_pair(model.cfg, draft.cfg)
+        model.draft = draft
     server = WhisperHTTPServer(model, args.host, args.port,
                                batch_size=args.batch_size,
                                allow_origin=args.allow_origin,
                                warmup=args.warmup,
                                default_options={"kv_dtype": args.kv_dtype,
-                                                "scheduler": args.scheduler})
+                                                "scheduler": args.scheduler,
+                                                "spec_k": args.spec_k})
     server.start()
     print(f"serving {args.model} on {args.host}:{server.port}")
     try:

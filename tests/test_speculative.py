@@ -196,7 +196,7 @@ def test_spec_under_mesh(setup):
     toks, pads, sots = _inputs(cfg, 3, 4)
     flat = _flat(cfg, params, feats, toks, pads, sots,
                  sample_len=20, use_timestamps=True)
-    mesh = make_mesh(data=2, model=2)
+    mesh = make_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
     with jax.set_mesh(mesh):
         # batch 3 does not divide the data axis; pad to 4 then trim
         feats4 = jnp.concatenate([feats, feats[-1:]], axis=0)
