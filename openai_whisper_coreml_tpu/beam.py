@@ -57,7 +57,7 @@ def beam_decode_core(
     kv_dtype: str = "bf16",
     cache_dtype: str = "bf16",
     two_level: bool = True,
-    stage_width: int = 128,
+    stage_width: int = 64,
 ):
     """Returns (best_tokens (B, P+sample_len), best_sum_logprob (B,),
     best_len (B,), no_speech_prob (B,)).

@@ -70,7 +70,12 @@ class DecodingOptions:
     # phased frozen-prefix decode (greedy AND beam; token-exact vs the flat
     # loop — docs/benchmarks.md round 3). Off only for A/B or debugging.
     two_level: bool = True
-    stage_width: int = 128  # staging-block columns (measured sweet spot)
+    # staging-block columns. 64 measured fastest at BOTH long and short
+    # horizons (B48 large-v3: 288.4 vs 276.7 RTFx at 224 tokens, 590 vs 568
+    # at 64 tokens — round-4 sweep), retiring round-3's extrapolated
+    # "short horizons want wider blocks" default of 128. 32 compile-OOMs
+    # at B48; 192 exceeds the relay graph limit.
+    stage_width: int = 64
     # speculative decoding: draft-proposal block size K (used when a draft
     # model is passed to decode(); greedy only — see speculative.py)
     spec_k: int = 4
@@ -266,7 +271,7 @@ def greedy_decode_core(
     kv_dtype: str = "bf16",
     cache_dtype: str = "bf16",
     two_level: bool = True,
-    stage_width: int = 128,
+    stage_width: int = 64,
 ):
     """Returns (tokens (B, P+sample_len), sum_logprobs, n_sampled,
     no_speech_prob) — all device arrays.
