@@ -47,6 +47,9 @@ def main() -> int:
     ap.add_argument("--model", default="large-v3")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--decode-steps", type=int, default=64)
+    ap.add_argument("--kv-dtype", default="bf16", choices=("bf16", "int8"),
+                    help="cross-KV dtype for the decode row; int8 is the "
+                         "production B48 geometry (bf16 cross-KV OOMs there)")
     args = ap.parse_args()
 
     import jax
@@ -100,7 +103,10 @@ def main() -> int:
     n_steps = args.decode_steps
 
     def decode_n(params, feats):
-        cross_kv = dec_mod.precompute_cross_kv(params, cfg, feats)
+        if args.kv_dtype == "int8":
+            cross_kv = dec_mod.precompute_cross_kv_int8(params, cfg, feats)
+        else:
+            cross_kv = dec_mod.precompute_cross_kv(params, cfg, feats)
         # right-sized cache, as production decodes do
         cache = dec_mod.init_kv_cache(cfg, b, dtype=feats.dtype,
                                       ctx=max(n_steps + 8, 64))

@@ -75,11 +75,16 @@ def main() -> int:
         args.model, quantize=args.quantize if args.quantize != "none" else None)
     cfg = model.cfg
 
-    # mixed-length workload: EOT embedding scaled (serving_sched.py recipe)
+    # mixed-length workload: EOT embedding scaled (serving_sched.py recipe).
+    # The scale knob is exponentially brittle (hazard ~ exp(scale * logit)),
+    # so it is CALIBRATED at runtime: bisect until the mean decode length
+    # of one static batch lands in [40, 170] tokens.
     emb0 = model.params["decoder"]["token_embedding"]
     eot = cfg.eot_token
-    model.params["decoder"]["token_embedding"] = emb0.at[eot].set(
-        emb0[eot] * args.eot_scale)
+
+    def set_scale(c: float):
+        model.params["decoder"]["token_embedding"] = emb0.at[eot].set(
+            emb0[eot] * c)
 
     rng = np.random.default_rng(args.seed)
     print(json.dumps({"stage": "mel", "requests": args.requests}), flush=True)
@@ -102,14 +107,28 @@ def main() -> int:
     def fresh_windows():
         return [_Window(i, 0, mels[i]) for i in range(args.requests)]
 
-    # ---- warmup: compile every graph off the timed path --------------------
+    # ---- calibrate the workload, compile every graph off the timed path ----
     print(json.dumps({"stage": "warmup"}), flush=True)
-    warm = fresh_windows()[: args.batch_size]
-    _decode_windows_static(model, warm, opts)
+    scale, counts = args.eot_scale, None
+    for _ in range(8):  # bisection-ish: halve when too short, 1.5x when long
+        set_scale(scale)
+        warm = fresh_windows()[: args.batch_size]
+        _decode_windows_static(model, warm, opts)
+        counts = [len(w.result.tokens) for w in warm if w.result]
+        mean = float(np.mean(counts))
+        print(json.dumps({"stage": "calibrate", "eot_scale": round(scale, 2),
+                          "token_len_mean": round(mean, 1)}), flush=True)
+        if 40.0 <= mean <= 170.0:
+            break
+        scale = scale * (0.6 if mean < 40.0 else 1.5)
+    token_counts = counts
+    import gc
+
     cb = ContinuousBatcher(model, opts)
     cb_warm = fresh_windows()[: max(2, args.batch_size // 2)]
     cb.run(cb_warm)  # compiles encode/prefill/chunk/scatter (incl. underfull)
-    token_counts = [len(w.result.tokens) for w in warm if w.result]
+    del cb  # its device-resident cross-KV pool (~3 GB at B24 int8) must be
+    gc.collect()  # freed before the measured engines allocate their own
     print(json.dumps({"stage": "workload",
                       "token_len_min": int(np.min(token_counts)),
                       "token_len_mean": round(float(np.mean(token_counts)), 1),
@@ -121,6 +140,7 @@ def main() -> int:
         inter = rng.exponential(1.0 / load, args.requests)
         arrival_offsets = np.cumsum(inter)
         for sched in args.schedulers.split(","):
+            gc.collect()  # release the previous engine's device pool
             windows = fresh_windows()
             done_at = [None] * args.requests
             t0 = time.perf_counter()
