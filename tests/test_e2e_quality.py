@@ -8,8 +8,10 @@ OpenAI-compatible HTTP endpoint, decoded by the CONTINUOUS-batching
 scheduler, and scored by the eval harness's WER — a number regressions
 move, computed end to end on CPU with no external assets.
 
-The corpus is 4 distinct multi-tone signatures mapping to 4 phrases; the
-tiny-test model memorises it in a few hundred steps. Held-out variants
+The corpus is 4 distinct multi-tone signatures (8 s each) mapping to 4
+phrases; a 192-wide 2-layer model memorises it in a few hundred steps (a
+96-wide one plateaued at fragments — WER 0.92 — so the gate uses the
+smallest geometry that actually converges). Held-out variants
 differ only in noise seed, so a healthy stack transcribes them near-
 perfectly; the gate asserts WER <= 0.30 (observed ~0.0 at convergence,
 with headroom for optimizer/dtype jitter across jax versions).
@@ -36,7 +38,7 @@ PHRASES = [
 ]
 
 
-def tone(cls: int, seed: int, seconds: float = 4.0) -> np.ndarray:
+def tone(cls: int, seed: int, seconds: float = 8.0) -> np.ndarray:
     rng = np.random.default_rng(1000 * cls + seed)
     t = np.arange(int(seconds * 16000)) / 16000
     f0 = 180 + 70 * cls
@@ -73,7 +75,7 @@ def test_e2e_quality_http_cb_wer():
     from openai_whisper_coreml_tpu.train import (
         TrainConfig, make_batch, make_train_step)
 
-    cfg = tiny_test_config(n_state=96, n_head=2, n_layer=2)
+    cfg = tiny_test_config(n_state=192, n_head=3, n_layer=2)
     tok = get_tokenizer(cfg, language="en")
     params = init_params(cfg, jax.random.PRNGKey(0))
     mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
@@ -86,7 +88,7 @@ def test_e2e_quality_http_cb_wer():
 
     rng = np.random.default_rng(0)
     loss = float("inf")
-    for step in range(300):
+    for step in range(400):
         cls = rng.integers(0, len(PHRASES), 4)
         audio = np.stack([pad_or_trim(tone(c, int(rng.integers(64))))
                           for c in cls])
@@ -97,11 +99,11 @@ def test_e2e_quality_http_cb_wer():
         params, opt_state, metrics = step_fn(
             params, opt_state, jnp.asarray(mel), jnp.asarray(tokens),
             jnp.asarray(mask))
-        if step % 25 == 0 or step == 299:
+        if step % 25 == 0 or step == 399:
             loss = float(metrics["loss"])
             if loss < 0.02:
                 break
-    assert loss < 0.5, f"trainer failed to fit the toy corpus (loss={loss})"
+    assert loss < 0.1, f"trainer failed to fit the toy corpus (loss={loss})"
     del opt_state
 
     model = WhisperModel(cfg=cfg, params=params)
@@ -109,6 +111,11 @@ def test_e2e_quality_http_cb_wer():
         model, port=0, batch_size=4, batch_window_ms=30,
         default_options={
             "scheduler": "continuous",
+            # training (train.make_batch) uses the notimestamps sot
+            # sequence, so serving must decode without the timestamp
+            # grammar — with it, the forced timestamp tokens the model
+            # never saw wreck the toy transcripts
+            "without_timestamps": True,
             "logprob_threshold": None,
             "compression_ratio_threshold": None,
             "no_speech_threshold": None,
