@@ -169,7 +169,8 @@ def test_transcribe_batch_initial_prompt_parity(model):
     """ServeOptions(initial_prompt=...) conditions each request's FIRST
     window via per-row prompts, matching sequential
     transcribe(initial_prompt=..., condition_on_previous_text=False)
-    token-exactly; CB/beam combinations are rejected."""
+    token-exactly. CB and beam combinations are covered by
+    tests/test_serve_cb.py and tests/test_serve_cb_beam.py."""
     from openai_whisper_coreml_tpu.serve import ServeOptions, transcribe_batch
     from openai_whisper_coreml_tpu.transcribe import transcribe
 
@@ -185,14 +186,6 @@ def test_transcribe_batch_initial_prompt_parity(model):
                      initial_prompt="glossary: kappa", **kw))[0]
     assert [s["tokens"] for s in bat["segments"]] == \
         [s["tokens"] for s in seq["segments"]]
-
-    with pytest.raises(ValueError, match="initial_prompt"):
-        transcribe_batch(model, [audio],
-                         ServeOptions(scheduler="continuous",
-                                      initial_prompt="x", **kw))
-    with pytest.raises(ValueError, match="initial_prompt"):
-        transcribe_batch(model, [audio],
-                         ServeOptions(beam_size=2, initial_prompt="x", **kw))
 
 
 def test_static_ladder_drops_beam_on_hot_rungs(model, monkeypatch):

@@ -231,3 +231,23 @@ def test_continuous_open_loop_empty_stream(model):
     opts = ServeOptions(batch_size=2, language="en", temperature=(0.0,),
                         sample_len=4)
     ContinuousBatcher(model, opts).run([], arrivals=lambda: None)
+
+
+def test_static_beam_patience_length_penalty_plumbed(model, rng):
+    """ServeOptions.patience / length_penalty reach the beam decoder:
+    static-scheduler results match sequential transcribe() with the same
+    beam kwargs token-exactly (both route through decode())."""
+    from openai_whisper_coreml_tpu.transcribe import transcribe
+
+    audios = _audios(rng, [1.1])
+    kw = dict(language="en", sample_len=6, no_speech_threshold=None,
+              logprob_threshold=None, compression_ratio_threshold=None)
+    seq = transcribe(model, audios[0], temperature=0.0, beam_size=2,
+                     patience=2.0, length_penalty=0.6,
+                     condition_on_previous_text=False, **kw)
+    bat = transcribe_batch(
+        model, audios,
+        ServeOptions(scheduler="static", batch_size=1, temperature=(0.0,),
+                     beam_size=2, patience=2.0, length_penalty=0.6, **kw))[0]
+    assert [s["tokens"] for s in bat["segments"]] == \
+        [s["tokens"] for s in seq["segments"]]
