@@ -502,13 +502,16 @@ def _align_words(model, align_jobs, mel: np.ndarray, content_frames: int,
     """Word-timestamp pass for one request: re-encode its decoded windows
     in fixed-size batched encoder calls (the decode rounds do not retain
     features — at large-v3 that would hold ~7 MB bf16 per in-flight window),
-    then run the device-side alignment core per window
-    (timing.add_word_timestamps_to_segments)."""
+    then align ALL windows of the chunk in batched device calls
+    (timing.find_word_alignment_batch — full windows share one alignment
+    forward per token bucket). Only the boundary-refinement heuristics,
+    which thread last-speech state across windows, run sequentially."""
     from .timing import add_word_timestamps_to_segments
+    from .timing import find_word_alignment_batch
     from .tokenizer import get_tokenizer
 
-    tok = get_tokenizer(
-        model.cfg, language=language if model.cfg.multilingual else None)
+    lang = language if model.cfg.multilingual else None
+    tok = get_tokenizer(model.cfg, language=lang)
     bs = options.batch_size
     last_speech = 0.0
     for start in range(0, len(align_jobs), bs):
@@ -519,12 +522,17 @@ def _align_words(model, align_jobs, mel: np.ndarray, content_frames: int,
             pad = np.repeat(stack[-1:], bs - len(chunk), axis=0)
             stack = np.concatenate([stack, pad], axis=0)
         feats = model.encode(stack)
+        jobs = [([t for seg in win_segs for t in seg.tokens if t < tok.eot],
+                 feats[i], seg_size)
+                for i, (win_segs, _, seg_size) in enumerate(chunk)]
+        aligned = find_word_alignment_batch(model, tok, jobs, language=lang)
         for i, (win_segs, seek, seg_size) in enumerate(chunk):
+            if not jobs[i][0]:
+                continue
             add_word_timestamps_to_segments(
                 model, tok, win_segs, feats[i], num_frames=seg_size,
-                time_offset=seek / FRAMES_PER_SECOND,
-                language=language if model.cfg.multilingual else None,
-                last_speech_timestamp=last_speech)
+                time_offset=seek / FRAMES_PER_SECOND, language=lang,
+                last_speech_timestamp=last_speech, timings=aligned[i])
             ends = [w["end"] for s in win_segs for w in (s.words or [])]
             if ends:  # silence-gap heuristic threads across windows,
                 last_speech = ends[-1]  # matching sequential transcribe()

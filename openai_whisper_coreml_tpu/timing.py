@@ -200,6 +200,45 @@ _alignment_core_jit = jax.jit(
     _alignment_core, static_argnames=("cfg", "medfilt_width"))
 
 
+def _alignment_core_batch(params, tokens, audio_features, li, hi, t_valid,
+                          gather_pos, gather_ids, *, cfg, medfilt_width):
+    """Batched _alignment_core over FULL windows (n_audio == S for every
+    row, so the single-window path's reflect-at-n_audio tail correction
+    never applies). tokens (B, T_bucket); t_valid/gather_* per row. Returns
+    (text_probs (B, T_bucket), matrix (B, T_bucket, S)).
+
+    Serving runs one alignment forward per window today; a 96-window
+    word-timestamp workload pays 96 relay dispatches (~30 ms each,
+    CLAUDE.md) plus 96 M=T matmul chains the MXU ingests one window at a
+    time. Batching the full windows of each encoder chunk into ONE call
+    amortises both (serve._align_words)."""
+    logits, weights = _cross_attention_weights(params, cfg, tokens,
+                                               audio_features)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    # per-row double gather: probs[b, gather_pos[b,t], gather_ids[b,t]]
+    by_pos = jnp.take_along_axis(probs, gather_pos[:, :, None], axis=1)
+    text_probs = jnp.take_along_axis(by_pos, gather_ids[:, :, None],
+                                     axis=2)[:, :, 0]
+
+    # (L, B, H, T, S) -> (n_sel, B, T, S); advanced indices on axes 0 and 2
+    # move to the front
+    sel = weights[li, :, hi].astype(jnp.float32)
+    tmask = (jnp.arange(sel.shape[2])[None, :]
+             < t_valid[:, None])[None, :, :, None]
+    cnt = jnp.maximum(t_valid, 1).astype(jnp.float32)[None, :, None, None]
+    mean = jnp.sum(jnp.where(tmask, sel, 0.0), axis=-2, keepdims=True) / cnt
+    var = jnp.sum(jnp.where(tmask, (sel - mean) ** 2, 0.0),
+                  axis=-2, keepdims=True) / cnt
+    sel = (sel - mean) / (jnp.sqrt(var) + 1e-8)
+    filt = _median_filter_dev(sel, medfilt_width)
+    matrix = filt.mean(axis=0)  # (B, T_bucket, S)
+    return text_probs, matrix
+
+
+_alignment_core_batch_jit = jax.jit(
+    _alignment_core_batch, static_argnames=("cfg", "medfilt_width"))
+
+
 def median_filter(x: np.ndarray, width: int) -> np.ndarray:
     """Median filter along the last axis (reflect padding), pure NumPy."""
     if width <= 1 or x.shape[-1] <= width:
@@ -423,6 +462,15 @@ def find_word_alignment(
 
     # align only the text region (drop sot prompt and final eot row)
     matrix = matrix[text_start : text_start + n_text]
+    return _timings_from_matrix(tokenizer, text_tokens, text_probs, matrix,
+                                language)
+
+
+def _timings_from_matrix(tokenizer: Tokenizer, text_tokens: Sequence[int],
+                         text_probs: Sequence[float], matrix: np.ndarray,
+                         language: Optional[str]) -> List[WordTiming]:
+    """Host tail shared by the single and batched alignment paths: DTW over
+    the text-region attention matrix, token boundaries, word segmentation."""
     if matrix.size == 0:
         return []
 
@@ -454,6 +502,91 @@ def find_word_alignment(
     return timings
 
 
+def find_word_alignment_batch(
+    model,
+    tokenizer: Tokenizer,
+    jobs: Sequence[Tuple[Sequence[int], "jnp.ndarray", int]],
+    *,
+    medfilt_width: int = 7,
+    alignment_heads: Optional[np.ndarray] = None,
+    language: Optional[str] = None,
+) -> List[List[WordTiming]]:
+    """Align many windows at once; jobs = (text_tokens, features (S, n_state),
+    num_frames) per window. Returns one WordTiming list per job.
+
+    FULL windows (num_frames covering the whole 30 s context — the common
+    serving case) share ONE batched device call per token-length bucket;
+    partial/degenerate windows fall back to find_word_alignment (they need
+    the reflect-at-n_audio median-filter tail correction, which is a
+    host-side per-row fix). Timing-exact vs the single-window path
+    (tests/test_timing.py::test_batched_alignment_matches_single)."""
+    cfg = model.cfg
+    s_full = cfg.n_audio_ctx
+    results: List[Optional[List[WordTiming]]] = [None] * len(jobs)
+
+    sot_seq = list(tokenizer.sot_sequence_including_notimestamps)
+    text_start = len(sot_seq)
+
+    if alignment_heads is None:
+        alignment_heads = getattr(model, "alignment_heads", None)
+    if alignment_heads is None:
+        alignment_heads = default_alignment_heads(cfg)
+    li, hi = np.nonzero(np.asarray(alignment_heads, dtype=bool))
+
+    by_bucket: dict = {}
+    for idx, (text_tokens, feats, num_frames) in enumerate(jobs):
+        n_audio = max(1, num_frames // 2)
+        if not text_tokens:
+            results[idx] = []
+        elif n_audio < s_full or n_audio <= medfilt_width:
+            results[idx] = find_word_alignment(
+                model, tokenizer, text_tokens, feats, num_frames,
+                medfilt_width=medfilt_width,
+                alignment_heads=alignment_heads, language=language)
+        else:
+            t_real = text_start + len(text_tokens) + 1
+            bucket = next((b for b in _ALIGN_BUCKETS if b >= t_real), t_real)
+            by_bucket.setdefault(bucket, []).append(idx)
+
+    for bucket, idxs in by_bucket.items():
+        b = len(idxs)
+        toks_b = np.full((b, bucket), tokenizer.eot, np.int32)
+        t_valid = np.zeros((b,), np.int32)
+        gather_pos = np.zeros((b, bucket), np.int32)
+        gather_ids = np.zeros((b, bucket), np.int32)
+        feat_rows = []
+        for r, idx in enumerate(idxs):
+            text_tokens, feats, _ = jobs[idx]
+            row = [*sot_seq, *[int(t) for t in text_tokens], tokenizer.eot]
+            toks_b[r, : len(row)] = row
+            t_valid[r] = len(row)
+            gather_pos[r] = np.clip(text_start - 1 + np.arange(bucket), 0,
+                                    bucket - 1)
+            gather_ids[r, : len(text_tokens)] = np.asarray(text_tokens,
+                                                           np.int32)
+            f = jnp.asarray(feats)
+            feat_rows.append(f[None] if f.ndim == 2 else f)
+        feats_b = jnp.concatenate(feat_rows, axis=0)
+
+        probs_d, matrix_d = _alignment_core_batch_jit(
+            model.params, jnp.asarray(toks_b), feats_b,
+            jnp.asarray(li, jnp.int32), jnp.asarray(hi, jnp.int32),
+            jnp.asarray(t_valid), jnp.asarray(gather_pos),
+            jnp.asarray(gather_ids), cfg=cfg, medfilt_width=medfilt_width)
+        probs_h = np.asarray(probs_d)
+        matrix_h = np.asarray(matrix_d)  # one bulk transfer for the bucket
+
+        for r, idx in enumerate(idxs):
+            text_tokens = jobs[idx][0]
+            n_text = len(text_tokens)
+            matrix = matrix_h[r, text_start : text_start + n_text, :s_full]
+            results[idx] = _timings_from_matrix(
+                tokenizer, text_tokens,
+                [float(p) for p in probs_h[r, :n_text]], matrix, language)
+
+    return results  # type: ignore[return-value]
+
+
 _SENTENCE_END_MARKS = ".。!！?？"
 
 
@@ -469,6 +602,7 @@ def add_word_timestamps_to_segments(
     prepend_punctuations: str = PREPEND_PUNCTUATIONS,
     append_punctuations: str = APPEND_PUNCTUATIONS,
     last_speech_timestamp: float = 0.0,
+    timings: Optional[List[WordTiming]] = None,
 ) -> None:
     """Attach .words to each segment of a window (in place), then refine
     both word and segment boundaries with openai's heuristics:
@@ -483,14 +617,21 @@ def add_word_timestamps_to_segments(
         which case the word snaps to the segment instead.
 
     `last_speech_timestamp` is the absolute end time of the previous
-    window's speech (threads the silence-gap heuristic across windows)."""
+    window's speech (threads the silence-gap heuristic across windows).
+
+    `timings`: precomputed alignment for this window (the batched serving
+    path aligns many windows in one device call via
+    find_word_alignment_batch, then applies these heuristics — which
+    thread state across windows — sequentially). The heuristics MUTATE the
+    list entries; pass a fresh alignment per call."""
     text_tokens = [t for seg in segments for t in seg.tokens
                    if t < tokenizer.eot]
     if not text_tokens:
         return
-    timings = find_word_alignment(model, tokenizer, text_tokens,
-                                  audio_features, num_frames,
-                                  language=language)
+    if timings is None:
+        timings = find_word_alignment(model, tokenizer, text_tokens,
+                                      audio_features, num_frames,
+                                      language=language)
 
     durations = [t.end - t.start for t in timings if t.end > t.start]
     median_duration = (min(0.7, float(np.median(durations)))

@@ -326,3 +326,40 @@ def test_word_segment_boundary_refinement(monkeypatch):
     assert seg.end == cc["end"]
     # segment start snaps to the first word start
     assert seg.start == ws[0]["start"]
+
+
+def test_batched_alignment_matches_single():
+    """find_word_alignment_batch must be timing-exact vs the per-window
+    path: full windows through the batched core (varying token counts in
+    one bucket call), partial windows through the delegated single path."""
+    from openai_whisper_coreml_tpu.timing import find_word_alignment_batch
+
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2, n_audio_ctx=64,
+                           n_text_ctx=96)
+    model = WhisperModel(cfg=cfg,
+                         params=init_params(cfg, jax.random.PRNGKey(0)))
+    tok = get_tokenizer(cfg, language="en")
+    rng = np.random.default_rng(1)
+
+    full = cfg.n_audio_ctx * 2  # num_frames that covers the whole context
+    jobs = [
+        (tok.encode(" alpha beta gamma"),
+         rng.standard_normal((64, 64)).astype(np.float32), full),
+        (tok.encode(" one two three four five six"),
+         rng.standard_normal((64, 64)).astype(np.float32), full),
+        # partial window -> single-path fallback (tail correction)
+        (tok.encode(" delta epsilon"),
+         rng.standard_normal((64, 64)).astype(np.float32), 40),
+        # empty tokens -> empty result
+        ([], rng.standard_normal((64, 64)).astype(np.float32), full),
+    ]
+    batched = find_word_alignment_batch(model, tok, jobs, language="en")
+    assert batched[3] == []
+    for i, (text_tokens, feats, num_frames) in enumerate(jobs[:3]):
+        single = find_word_alignment(model, tok, text_tokens, feats,
+                                     num_frames=num_frames, language="en")
+        assert [w.word for w in batched[i]] == [w.word for w in single]
+        for bw, sw in zip(batched[i], single):
+            assert bw.start == sw.start and bw.end == sw.end, (i, bw, sw)
+            np.testing.assert_allclose(bw.probability, sw.probability,
+                                       rtol=1e-5, atol=1e-6)
