@@ -68,7 +68,10 @@ def main() -> None:
     cfg = model.cfg
 
     def fence(x):
-        return np.asarray(x)[..., :1]
+        # slice ON DEVICE first: np.asarray(x)[...] would pull the whole
+        # array through the relay (the B24 feats are ~184 MB ~= 4 s of
+        # tunnel bandwidth, which masqueraded as frontend compute time)
+        return np.asarray(x[..., :1])
 
     def timed(fn, *args):
         fence(fn(*args))  # warmup/compile
