@@ -770,6 +770,7 @@ def _decode_impl(
         _spec_mod.LAST_STATS = spec_stats(np.asarray(n_sampled),
                                           np.asarray(n_iters),
                                           np.asarray(n_drafted))
+        _spec_mod.accumulate_stats(_spec_mod.LAST_STATS)
     else:
         # best_of: independent sampling candidates, ranked by avg logprob
         # (openai semantics; only meaningful at temperature > 0)

@@ -94,6 +94,7 @@ class WhisperHTTPServer:
     # -- batching worker ----------------------------------------------------
 
     def _drain(self) -> None:
+        from . import speculative
         from .serve import ServeOptions, transcribe_batch
 
         while not self._stop.is_set():
@@ -127,6 +128,7 @@ class WhisperHTTPServer:
                 opts = {**self.default_options, **json.loads(opts_key)}
                 t0 = time.monotonic()
                 audio_s = sum(len(j.audio) for j in group) / 16_000.0
+                spec_before = dict(speculative.TOTALS)
                 try:
                     results = transcribe_batch(
                         self.model, [j.audio for j in group],
@@ -147,6 +149,20 @@ class WhisperHTTPServer:
                     self.metrics.observe("batch_latency_s", elapsed)
                     if audio_s and elapsed > 0:
                         self.metrics.observe("batch_rtfx", audio_s / elapsed)
+                    d_iters = speculative.TOTALS["iters"] - spec_before["iters"]
+                    if d_iters > 0:  # this batch ran speculative decodes
+                        d_tok = (speculative.TOTALS["tokens"]
+                                 - spec_before["tokens"])
+                        d_drf = (speculative.TOTALS["drafted"]
+                                 - spec_before["drafted"])
+                        self.metrics.inc("spec_tokens", d_tok)
+                        self.metrics.inc("spec_iters", d_iters)
+                        self.metrics.set_gauge("spec_tokens_per_iter",
+                                               d_tok / d_iters)
+                        if d_drf > 0:
+                            self.metrics.set_gauge(
+                                "spec_acceptance_rate",
+                                (d_tok - d_iters) / d_drf)
                     log.info("batch done %s", kv(
                         requests=len(group), audio_s=round(audio_s, 2),
                         latency_s=round(elapsed, 3),

@@ -290,6 +290,18 @@ def draft_features(model, draft, mel: Optional[Array],
 # the DecodingResult schema (openai parity) and never read by library code.
 LAST_STATS: Optional[dict] = None
 
+# process-lifetime accumulation (same producer): serve_http's batch worker
+# diffs this around each batch to expose spec_acceptance_rate /
+# spec_tokens_per_iter gauges on /metrics without threading state through
+# the serving call chain. Single-writer (the decode path), so plain ints.
+TOTALS = {"iters": 0, "tokens": 0, "drafted": 0}
+
+
+def accumulate_stats(stats: dict) -> None:
+    TOTALS["iters"] += stats["iters"]
+    TOTALS["tokens"] += stats["tokens"]
+    TOTALS["drafted"] += stats["drafted"]
+
 
 def spec_stats(n_sampled: np.ndarray, n_iters: np.ndarray,
                n_drafted: np.ndarray) -> dict:
@@ -303,4 +315,5 @@ def spec_stats(n_sampled: np.ndarray, n_iters: np.ndarray,
                                  / np.sum(n_drafted)),
         "iters": int(np.sum(n_iters)),
         "tokens": int(np.sum(n_sampled)),
+        "drafted": int(np.sum(n_drafted)),
     }

@@ -82,3 +82,24 @@ def test_draft_ignored_on_sampled_rungs_and_cb(model, draft, rng):
     c = transcribe_batch(model, audios, opts_cb)
     d = transcribe_batch(spec_model, audios, opts_cb)
     assert _toks(c) == _toks(d)
+
+
+def test_spec_stats_accumulate(model, draft, rng):
+    """Every spec decode updates speculative.TOTALS (serve_http diffs it
+    around each batch to expose acceptance gauges on /metrics)."""
+    from openai_whisper_coreml_tpu import speculative
+
+    audios = _audios(rng, [0.8])
+    opts = ServeOptions(scheduler="static", batch_size=1, language="en",
+                        temperature=(0.0,), sample_len=10, spec_k=3,
+                        no_speech_threshold=None, logprob_threshold=None,
+                        compression_ratio_threshold=None)
+    before = dict(speculative.TOTALS)
+    transcribe_batch(dataclasses.replace(model, draft=draft), audios, opts)
+    after = speculative.TOTALS
+    assert after["iters"] > before["iters"]
+    assert after["tokens"] >= before["tokens"] + after["iters"] - before["iters"]
+    assert after["drafted"] == before["drafted"] + 3 * (after["iters"]
+                                                        - before["iters"])
+    assert speculative.LAST_STATS is not None
+    assert 0.0 <= speculative.LAST_STATS["acceptance_rate"] <= 1.0
