@@ -513,11 +513,9 @@ class WhisperHTTPServer:
                 if first("language"):
                     options["language"] = first("language")
                 if first("prompt"):
+                    # per-row first-window conditioning; both schedulers
+                    # support it (CB: per-row pads in serve_cb.CBState)
                     options["initial_prompt"] = first("prompt")
-                    # per-row prompts need the static scheduler; a server
-                    # default of continuous must not 500 valid OpenAI
-                    # requests (request options override server defaults)
-                    options["scheduler"] = "static"
                 if first("temperature") is not None:
                     try:
                         options["temperature"] = float(first("temperature"))

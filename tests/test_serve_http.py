@@ -375,8 +375,9 @@ def test_openai_validation_errors(oa_server, rng):
 
 
 def test_openai_prompt_overrides_continuous_scheduler(rng):
-    """A server deployed with --scheduler continuous must still serve
-    OpenAI requests that carry a prompt (per-request static fallback)."""
+    """A server deployed with --scheduler continuous serves OpenAI requests
+    that carry a prompt THROUGH the CB engine (per-row prompt support,
+    round 4 — previously forced a per-request static fallback)."""
     cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2)
     model = WhisperModel(cfg=cfg,
                          params=init_params(cfg, jax.random.PRNGKey(0)))
