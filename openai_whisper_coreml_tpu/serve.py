@@ -31,10 +31,31 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
+from . import speculative as _spec_mod
 from .audio import log_mel_spectrogram
 from .config import FRAMES_PER_SECOND, HOP_LENGTH, N_FRAMES
 from .decoding import DecodingOptions, DecodingResult, decode
 from .transcribe import Segment
+
+
+def spec_governor(model, options: "ServeOptions") -> _spec_mod.SpecGovernor:
+    """The model's acceptance governor, created on first use.
+
+    Attached to the model instance so the verdict persists across
+    transcribe_batch calls (the HTTP worker calls once per micro-batch);
+    a dataclasses.replace(model, draft=...) starts a fresh governor, which
+    is the right scope — a new draft pairing is new evidence. The threshold
+    is fixed at creation from the first call's options (serving runs one
+    option set; per-call thresholds would reset the evidence window).
+    """
+    gov = getattr(model, "_spec_governor", None)
+    if gov is None:
+        thr = options.spec_fallback_threshold
+        if thr is None:
+            thr = _spec_mod.break_even_tokens_per_iter(options.spec_k)
+        gov = _spec_mod.SpecGovernor(threshold=thr)
+        model._spec_governor = gov
+    return gov
 
 
 @dataclasses.dataclass
@@ -52,6 +73,14 @@ class ServeOptions:
     # engines keep the flat per-row loop (chunked per-row verify writes are
     # an un-built geometry; see docs/design.md).
     spec_k: int = 4
+    # acceptance governor (speculative.SpecGovernor): withhold the draft
+    # while measured tokens/iteration over recent batches sits below the
+    # measured break-even (content the draft can't predict makes speculative
+    # serving ~27% SLOWER — docs/benchmarks.md round 4), re-probing every
+    # Nth withheld batch so recoveries re-enable it. threshold None ->
+    # speculative.break_even_tokens_per_iter(spec_k).
+    spec_fallback: bool = True
+    spec_fallback_threshold: Optional[float] = None
     without_timestamps: bool = False
     logprob_threshold: Optional[float] = -1.0
     no_speech_threshold: Optional[float] = 0.6
@@ -405,12 +434,23 @@ def _decode_window_batches(model, windows: List[_Window], options,
             rung = dict(chunk_opts)
             if t > 0:
                 rung["beam_size"] = None
-            # paired draft (WhisperModel.draft): greedy rungs go speculative
-            draft = (model.draft if t == 0 and rung.get("beam_size") is None
-                     else None)
+            # paired draft (WhisperModel.draft): greedy rungs go speculative,
+            # subject to the acceptance governor's break-even verdict
+            # (getattr: serve accepts duck-typed models without the field)
+            draft = (getattr(model, "draft", None)
+                     if t == 0 and rung.get("beam_size") is None else None)
+            gov = (spec_governor(model, options) if draft is not None
+                   and options.spec_fallback else None)
+            if gov is not None:
+                if gov.permit():
+                    _spec_mod.LAST_STATS = None  # observe only THIS decode
+                else:
+                    draft = None
             res = decode(model, batch_mels,
                          DecodingOptions(temperature=float(t), **rung),
                          draft=draft)
+            if gov is not None and draft is not None:
+                gov.observe(_spec_mod.LAST_STATS)
             still: List[int] = []
             for i in pending:
                 r = res[i]

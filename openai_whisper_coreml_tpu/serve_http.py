@@ -163,6 +163,11 @@ class WhisperHTTPServer:
                             self.metrics.set_gauge(
                                 "spec_acceptance_rate",
                                 (d_tok - d_iters) / d_drf)
+                    gov = getattr(self.model, "_spec_governor", None)
+                    if gov is not None:  # acceptance-governor verdict
+                        self.metrics.set_gauge(
+                            "spec_draft_active",
+                            0.0 if gov.disabled else 1.0)
                     log.info("batch done %s", kv(
                         requests=len(group), audio_s=round(audio_s, 2),
                         latency_s=round(elapsed, 3),

@@ -317,3 +317,90 @@ def spec_stats(n_sampled: np.ndarray, n_iters: np.ndarray,
         "tokens": int(np.sum(n_sampled)),
         "drafted": int(np.sum(n_drafted)),
     }
+
+
+# -- acceptance governor: automatic draft fallback for serving ---------------
+
+# Measured iteration-cost model (benchmarks/spec_bench.py, large-v3 B24 int8
+# champion config, device-fenced): ms/iteration = 20.5 + 2.13*K (K=4 -> 29.05,
+# K=8 -> 37.59 measured), against 8.97 ms/token for the two-level greedy loop
+# the serving path otherwise runs. Acceptance below the resulting break-even
+# makes speculative decoding a net LOSS (measured: the serving smoke at the
+# random-weights acceptance floor ran 3.61 s vs 2.84 s plain — 27% slower).
+_ITER_MS_BASE = 20.5
+_ITER_MS_PER_K = 2.13
+_TWO_LEVEL_MS_PER_TOKEN = 8.97
+
+
+def break_even_tokens_per_iter(k: int) -> float:
+    """Tokens/iteration below which a speculative iteration costs more than
+    decoding the same tokens with the plain two-level greedy loop."""
+    return (_ITER_MS_BASE + _ITER_MS_PER_K * k) / _TWO_LEVEL_MS_PER_TOKEN
+
+
+class SpecGovernor:
+    """Withhold the draft while measured acceptance sits below break-even.
+
+    Acceptance is a property of the CONTENT x model pair, and serving has no
+    control over content: noise, music, or domain shift can push draft
+    agreement below the break-even where every speculative iteration costs
+    more than the plain steps it replaces. The governor tracks measured
+    tokens/iteration over a sliding window of decode batches and withholds
+    the draft while the windowed mean is below threshold; every
+    ``reprobe_every``-th withheld batch runs speculatively anyway, so a
+    recovery (content drift back toward the draft's competence) re-enables
+    the draft within one window. Decisions cost nothing on the accept path:
+    one float comparison per batch.
+
+    Single-threaded by design (the serving batch worker is one thread;
+    transcribe() is one call) — no locking.
+    """
+
+    def __init__(self, threshold: float, min_iters: int = 32,
+                 window: int = 8, reprobe_every: int = 8):
+        if threshold <= 1.0:
+            raise ValueError(
+                f"threshold must exceed 1.0 tokens/iter, got {threshold}")
+        self.threshold = float(threshold)
+        self.min_iters = int(min_iters)  # evidence mass before any verdict
+        self.window = int(window)  # observations in the sliding window
+        self.reprobe_every = int(reprobe_every)
+        self._obs: list = []  # [(tokens, iters), ...] newest last
+        self._skips = 0
+        self.disabled = False
+
+    @property
+    def tokens_per_iter(self) -> Optional[float]:
+        iters = sum(i for _, i in self._obs)
+        if iters == 0:
+            return None
+        return sum(t for t, _ in self._obs) / iters
+
+    def permit(self) -> bool:
+        """Should the NEXT decode batch use the draft?"""
+        if not self.disabled:
+            return True
+        self._skips += 1
+        if self._skips >= self.reprobe_every:
+            self._skips = 0
+            return True  # probe batch: measure whether acceptance recovered
+        return False
+
+    def observe(self, stats: Optional[dict]) -> None:
+        """Feed one decode batch's LAST_STATS (None-safe: a decode that took
+        a non-speculative path inside decoding.py contributes nothing)."""
+        if not stats or stats.get("iters", 0) <= 0:
+            return
+        self._obs.append((stats["tokens"], stats["iters"]))
+        if len(self._obs) > self.window:
+            del self._obs[: len(self._obs) - self.window]
+        iters = sum(i for _, i in self._obs)
+        if iters >= self.min_iters:
+            tpi = sum(t for t, _ in self._obs) / iters
+            was = self.disabled
+            self.disabled = tpi < self.threshold
+            if self.disabled and not was:
+                # the windowed evidence that damned the draft would keep
+                # damning it on every probe; start the probes from fresh eyes
+                self._obs = []
+                self._skips = 0

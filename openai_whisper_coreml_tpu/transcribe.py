@@ -271,6 +271,17 @@ def transcribe(
     all_segments: List[Segment] = []
     prompt_reset_since = 0
 
+    # acceptance governor for the draft (speculative.SpecGovernor): one per
+    # transcribe() call — long audio whose content the draft can't predict
+    # would otherwise pay the measured below-break-even loss on EVERY window
+    spec_gov = None
+    if draft_model is not None:
+        from . import speculative as _spec_mod
+
+        spec_gov = _spec_mod.SpecGovernor(
+            threshold=_spec_mod.break_even_tokens_per_iter(
+                int(decode_options.get("spec_k", 4))))
+
     remaining_prompt_length = cfg.n_text_ctx // 2 - 1
     if initial_prompt is not None:
         initial_prompt_tokens = tokenizer.encode(" " + initial_prompt.strip())
@@ -315,9 +326,20 @@ def transcribe(
                 without_timestamps=without_timestamps,
                 **rung_options,
             )
+            use_draft = draft_model if t == 0 else None
+            if use_draft is not None and spec_gov is not None:
+                if spec_gov.permit():
+                    from . import speculative as _spec_mod
+
+                    _spec_mod.LAST_STATS = None  # observe only THIS decode
+                else:
+                    use_draft = None
             result = decode(model, segment_feats, opts, from_features=True,
-                            tokenizer=None,
-                            draft=draft_model if t == 0 else None)[0]
+                            tokenizer=None, draft=use_draft)[0]
+            if use_draft is not None and spec_gov is not None:
+                from . import speculative as _spec_mod
+
+                spec_gov.observe(_spec_mod.LAST_STATS)
 
             needs_fallback = False
             if (compression_ratio_threshold is not None

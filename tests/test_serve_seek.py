@@ -67,7 +67,7 @@ def test_speculative_seek_matches_transcribe_mid_window(monkeypatch):
     }
 
     def fake_decode(model, x, options, from_features=False, tokenizer=None,
-                    seed=0):
+                    seed=0, draft=None):
         x = np.asarray(x)
         if x.ndim == 2:
             x = x[None]
@@ -120,7 +120,7 @@ def test_speculative_seek_repair_round_batches_requests(monkeypatch):
     calls = []
 
     def fake_decode(model, x, options, from_features=False, tokenizer=None,
-                    seed=0):
+                    seed=0, draft=None):
         x = np.asarray(x)
         if x.ndim == 2:
             x = x[None]

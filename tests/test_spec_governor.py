@@ -1,0 +1,234 @@
+"""Acceptance governor: automatic draft fallback when speculative decoding
+stops paying (speculative.SpecGovernor + the serve.py / transcribe.py wiring).
+
+Why it exists (measured): at the acceptance floor a speculative serving
+batch ran 27% SLOWER than plain (docs/benchmarks.md round 4 — every
+iteration drafts K and commits ~1). The governor watches tokens/iteration
+and withholds the draft below the measured break-even, re-probing so
+recoveries re-enable it. Reference counterpart: none (the reference never
+loops its decoder — Whisper.swift:36); this is serving robustness for the
+round-4 speculative tier.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+
+from openai_whisper_coreml_tpu import speculative
+from openai_whisper_coreml_tpu.config import tiny_test_config
+from openai_whisper_coreml_tpu.models.whisper import WhisperModel
+from openai_whisper_coreml_tpu.params import init_params
+from openai_whisper_coreml_tpu.serve import (
+    ServeOptions,
+    spec_governor,
+    transcribe_batch,
+)
+from openai_whisper_coreml_tpu.speculative import (
+    SpecGovernor,
+    break_even_tokens_per_iter,
+)
+
+
+# -- unit: the governor itself ------------------------------------------------
+
+
+def test_break_even_model():
+    # measured kinetics: K=4 -> 29.05 ms/iter vs 8.97 ms/token two-level
+    assert break_even_tokens_per_iter(4) == pytest.approx(3.24, abs=0.02)
+    assert break_even_tokens_per_iter(8) == pytest.approx(4.19, abs=0.02)
+    # monotonic in K, and always above 1 token/iter
+    ks = [1, 2, 4, 8, 16]
+    vals = [break_even_tokens_per_iter(k) for k in ks]
+    assert all(b > a for a, b in zip(vals, vals[1:]))
+    assert vals[0] > 1.0
+
+
+def test_governor_threshold_validation():
+    with pytest.raises(ValueError, match="threshold"):
+        SpecGovernor(threshold=1.0)
+
+
+def test_governor_disables_below_threshold_and_reprobes():
+    gov = SpecGovernor(threshold=3.0, min_iters=32, window=8,
+                       reprobe_every=4)
+    assert gov.permit()  # no evidence yet: draft runs
+    gov.observe({"tokens": 20, "iters": 20})  # tpi 1.0, not enough mass
+    assert not gov.disabled
+    gov.observe({"tokens": 20, "iters": 20})  # 40 iters >= 32: verdict
+    assert gov.disabled
+    # withheld for reprobe_every-1 batches, then one probe batch
+    permits = [gov.permit() for _ in range(8)]
+    assert permits == [False, False, False, True, False, False, False, True]
+
+
+def test_governor_reenables_on_recovery():
+    gov = SpecGovernor(threshold=3.0, min_iters=16, window=8,
+                       reprobe_every=2)
+    gov.observe({"tokens": 16, "iters": 16})
+    assert gov.disabled
+    # probe batches now measure high acceptance (tpi 4.0); the disable
+    # cleared the damning window, so recovery needs min_iters of fresh mass
+    gov.observe({"tokens": 32, "iters": 8})
+    assert gov.disabled  # 8 iters < min_iters: verdict unchanged
+    gov.observe({"tokens": 32, "iters": 8})
+    assert not gov.disabled  # 16 fresh iters at tpi 4.0: draft is back
+    assert gov.permit()
+
+
+def test_governor_ignores_non_spec_decodes():
+    gov = SpecGovernor(threshold=3.0, min_iters=1)
+    gov.observe(None)  # decode took a non-speculative path inside decoding
+    gov.observe({"tokens": 0, "iters": 0})
+    assert gov.tokens_per_iter is None
+    assert not gov.disabled
+
+
+def test_governor_window_slides():
+    gov = SpecGovernor(threshold=3.0, min_iters=4, window=2,
+                       reprobe_every=2)
+    gov.observe({"tokens": 40, "iters": 10})  # tpi 4.0: fine
+    assert not gov.disabled
+    # two low batches push the good one out of the 2-wide window
+    gov.observe({"tokens": 10, "iters": 10})
+    gov.observe({"tokens": 10, "iters": 10})
+    assert gov.disabled
+
+
+# -- integration: the serving ladder ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test_config(n_state=64, n_head=2, n_layer=2)
+    return WhisperModel(cfg=cfg,
+                        params=init_params(cfg, jax.random.PRNGKey(0)))
+
+
+def _audios(rng, seconds):
+    sr = 16_000
+    out = []
+    for i, s in enumerate(seconds):
+        t = np.arange(int(s * sr)) / sr
+        out.append((0.2 * np.sin(2 * np.pi * (180 + 40 * i) * t)
+                    + 0.02 * rng.standard_normal(t.shape)).astype(np.float32))
+    return out
+
+
+def _toks(results):
+    return [[t for seg in r["segments"] for t in seg["tokens"]]
+            for r in results]
+
+
+_OPTS = dict(scheduler="static", language="en", temperature=(0.0,),
+             spec_k=3, no_speech_threshold=None, logprob_threshold=None,
+             compression_ratio_threshold=None)
+
+
+def test_serving_governor_withholds_floor_draft(model, rng):
+    """Disagreeing draft (acceptance floor): the first batch gathers the
+    evidence, later batches run PLAIN (no spec iterations recorded), and
+    transcripts stay identical throughout."""
+    draft = WhisperModel(cfg=model.cfg,
+                         params=init_params(model.cfg, jax.random.PRNGKey(7)))
+    spec_model = dataclasses.replace(model, draft=draft)
+    audios = _audios(rng, [0.9, 1.2])
+    # sample_len 20 x 2 rows ~ 40 spec iterations at the floor: enough
+    # evidence mass (min_iters=32) for a verdict inside one batch
+    opts = ServeOptions(batch_size=2, sample_len=20, **_OPTS)
+    plain = transcribe_batch(model, audios, opts)
+
+    before = dict(speculative.TOTALS)
+    first = transcribe_batch(spec_model, audios, opts)
+    gov = spec_governor(spec_model, opts)
+    assert speculative.TOTALS["iters"] > before["iters"]  # spec ran once
+    assert gov.disabled  # floor acceptance measured below break-even
+
+    mid = dict(speculative.TOTALS)
+    second = transcribe_batch(spec_model, audios, opts)
+    assert speculative.TOTALS["iters"] == mid["iters"]  # draft withheld
+
+    assert _toks(plain) == _toks(first) == _toks(second)
+
+    # the serving wiring honours the probe: on the reprobe_every-th withheld
+    # batch, permit() lets the draft run so recoveries can be noticed
+    gov._skips = gov.reprobe_every - 1
+    third = transcribe_batch(spec_model, audios, opts)
+    assert speculative.TOTALS["iters"] > mid["iters"]  # probe batch ran spec
+    assert _toks(third) == _toks(plain)
+
+
+def test_serving_governor_keeps_agreeing_draft(model, rng):
+    """Draft == target: fp32 determinism makes every proposal match
+    (tokens/iter = K+1 > break-even), so the governor never withholds."""
+    draft = dataclasses.replace(model)
+    spec_model = dataclasses.replace(model, draft=draft)
+    audios = _audios(rng, [0.9, 1.2])
+    opts = ServeOptions(batch_size=2, sample_len=20, **_OPTS)
+
+    before = dict(speculative.TOTALS)
+    transcribe_batch(spec_model, audios, opts)
+    mid = dict(speculative.TOTALS)
+    assert mid["iters"] > before["iters"]
+    transcribe_batch(spec_model, audios, opts)
+    assert speculative.TOTALS["iters"] > mid["iters"]  # still speculative
+
+    gov = spec_governor(spec_model, opts)
+    assert not gov.disabled
+    assert gov.tokens_per_iter == pytest.approx(4.0)  # K+1 at alpha=1
+
+
+def test_serving_spec_fallback_opt_out(model, rng):
+    """spec_fallback=False: the draft always runs, no governor attached."""
+    draft = WhisperModel(cfg=model.cfg,
+                         params=init_params(model.cfg, jax.random.PRNGKey(7)))
+    spec_model = dataclasses.replace(model, draft=draft)
+    audios = _audios(rng, [0.9])
+    opts = ServeOptions(batch_size=1, sample_len=20, spec_fallback=False,
+                        **_OPTS)
+    before = dict(speculative.TOTALS)
+    transcribe_batch(spec_model, audios, opts)
+    mid = dict(speculative.TOTALS)
+    transcribe_batch(spec_model, audios, opts)
+    assert speculative.TOTALS["iters"] > mid["iters"] > before["iters"]
+    assert getattr(spec_model, "_spec_governor", None) is None
+
+
+def test_serving_custom_threshold(model, rng):
+    """spec_fallback_threshold below the floor's tpi (~1) keeps even the
+    disagreeing draft active — the knob reaches the governor."""
+    draft = WhisperModel(cfg=model.cfg,
+                         params=init_params(model.cfg, jax.random.PRNGKey(7)))
+    spec_model = dataclasses.replace(model, draft=draft)
+    audios = _audios(rng, [0.9, 1.2])
+    opts = ServeOptions(batch_size=2, sample_len=20,
+                        spec_fallback_threshold=1.01, **_OPTS)
+    transcribe_batch(spec_model, audios, opts)
+    gov = spec_governor(spec_model, opts)
+    assert gov.threshold == pytest.approx(1.01)
+    assert not gov.disabled
+    mid = dict(speculative.TOTALS)
+    transcribe_batch(spec_model, audios, opts)
+    assert speculative.TOTALS["iters"] > mid["iters"]
+
+
+def test_transcribe_governor_wiring(model, rng):
+    """transcribe(draft_model=...) keeps a per-call governor; transcripts
+    match the plain path regardless of its verdict."""
+    from openai_whisper_coreml_tpu.transcribe import transcribe
+
+    draft = WhisperModel(cfg=model.cfg,
+                         params=init_params(model.cfg, jax.random.PRNGKey(7)))
+    audio = _audios(rng, [0.9])[0]
+    kw = dict(language="en", temperature=0.0, sample_len=16,
+              no_speech_threshold=None, logprob_threshold=None,
+              compression_ratio_threshold=None, condition_on_previous_text=False)
+    plain = transcribe(model, audio, **kw)
+    before = dict(speculative.TOTALS)
+    spec = transcribe(model, audio, draft_model=draft, **kw)
+    assert speculative.TOTALS["iters"] > before["iters"]
+    p = [t for s in plain["segments"] for t in s["tokens"]]
+    s = [t for s_ in spec["segments"] for t in s_["tokens"]]
+    assert p == s

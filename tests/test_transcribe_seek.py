@@ -43,7 +43,7 @@ def _run(monkeypatch, cfg, script, audio_seconds=60, **kwargs):
     calls = {"n": 0}
 
     def fake_decode(model, mel, options, from_features=False, tokenizer=None,
-                    seed=0):
+                    seed=0, draft=None):
         i = min(calls["n"], len(script) - 1)
         calls["n"] += 1
         return [_result(list(script[i]))]
@@ -109,7 +109,7 @@ def test_initial_prompt_carried(monkeypatch, cfg):
     script = [[ts, 123, ts + 1500]]
 
     def fake_decode(model, mel, options, from_features=False, tokenizer=None,
-                    seed=0):
+                    seed=0, draft=None):
         seen_prompts.append(options.prompt)
         return [_result(list(script[0]))]
 
@@ -129,7 +129,7 @@ def test_no_speech_skip(monkeypatch, cfg):
     ts = cfg.timestamp_begin
 
     def fake_decode(model, mel, options, from_features=False, tokenizer=None,
-                    seed=0):
+                    seed=0, draft=None):
         return [_result([ts, 100, ts + 1500], no_speech=0.99,
                         avg_logprob=-5.0)]
 
