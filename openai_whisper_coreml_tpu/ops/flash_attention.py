@@ -37,6 +37,47 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _fa_kernel_single(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
+                      causal: bool, kv_len: int, block_q: int, block_k: int):
+    """One-KV-block specialisation: plain softmax, no online recurrence.
+
+    The encoder's 1500-position attention pads to ONE 1536-column block, so
+    the general kernel's flash bookkeeping (fp32 m/l/acc scratch init, the
+    alpha rescale exp, the accumulator read-modify-write, the three-way
+    @pl.when) is pure VPU overhead there — with a single KV block the online
+    recurrence degenerates to the textbook softmax this kernel computes
+    directly. Math is identical (at ik==0 the general path's alpha is 0 and
+    acc starts at 0), so numerics match the online kernel bit-for-bit up to
+    reduction order. sm_scale is folded into q before the dot: scaling the
+    (block_q, D) operand costs block_k/D = 24x fewer VPU elements than
+    scaling the (block_q, block_k) scores (q is fp32-upcast first, matching
+    the score-side scaling's rounding to fp32 precision).
+    """
+    iq = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32) * sm_scale
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        q.astype(k.dtype), k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (block_q, block_k)
+
+    if causal or kv_len < block_k:
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = col_ids < kv_len
+        if causal:
+            row_ids = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                       + iq * block_q)
+            mask = mask & (col_ids <= row_ids)
+        s = jnp.where(mask, s, MASK_VALUE)
+
+    m = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0, 0]  # (block_k, D)
+    o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0, 0] = (o * l_inv).astype(o_ref.dtype)
+
+
 def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
                sm_scale: float, causal: bool, kv_len: int,
                block_q: int, block_k: int, n_kv_blocks: int):
@@ -97,7 +138,7 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "block_q", "block_k", "interpret"),
+    static_argnames=("causal", "block_q", "block_k", "interpret", "online"),
 )
 def _flash_forward(
     q: jax.Array,  # (B, Tq, H, D)
@@ -108,6 +149,7 @@ def _flash_forward(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
+    online: Optional[bool] = None,
 ) -> jax.Array:
     """Flash attention kernel; returns (B, Tq, H, D) in q.dtype.
 
@@ -151,6 +193,44 @@ def _flash_forward(
 
     n_q_blocks = tq_p // block_q
     n_kv_blocks = tk_p // block_k
+    if online is None:
+        online = n_kv_blocks > 1  # single KV block: plain softmax suffices
+
+    if not online and n_kv_blocks == 1:
+        kernel = functools.partial(
+            _fa_kernel_single,
+            sm_scale=sm_scale,
+            causal=causal,
+            kv_len=tk,
+            block_q=block_q,
+            block_k=block_k,
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((b, h, tq_p, d), q.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(b, h, n_q_blocks),
+                in_specs=[
+                    pl.BlockSpec((1, 1, block_q, d),
+                                 lambda bi, hi, qi: (bi, hi, qi, 0)),
+                    pl.BlockSpec((1, 1, block_k, d),
+                                 lambda bi, hi, qi: (bi, hi, 0, 0)),
+                    pl.BlockSpec((1, 1, block_k, d),
+                                 lambda bi, hi, qi: (bi, hi, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, 1, block_q, d),
+                                       lambda bi, hi, qi: (bi, hi, qi, 0)),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(qt, kt, vt)
+        out = jnp.swapaxes(out, 1, 2)  # (B, Tq_p, H, D)
+        if tq_p != tq:
+            out = out[:, :tq]
+        return out
 
     kernel = functools.partial(
         _fa_kernel,
@@ -197,19 +277,19 @@ def _flash_forward(
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_diff(q, k, v, causal, block_q, block_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_diff(q, k, v, causal, block_q, block_k, interpret, online):
     return _flash_forward(q, k, v, causal=causal, block_q=block_q,
-                          block_k=block_k, interpret=interpret)
+                          block_k=block_k, interpret=interpret, online=online)
 
 
-def _flash_diff_fwd(q, k, v, causal, block_q, block_k, interpret):
+def _flash_diff_fwd(q, k, v, causal, block_q, block_k, interpret, online):
     out = _flash_forward(q, k, v, causal=causal, block_q=block_q,
-                         block_k=block_k, interpret=interpret)
+                         block_k=block_k, interpret=interpret, online=online)
     return out, (q, k, v)
 
 
-def _flash_diff_bwd(causal, block_q, block_k, interpret, residuals, g):
+def _flash_diff_bwd(causal, block_q, block_k, interpret, online, residuals, g):
     """Reference backward by recompute: differentiate the jnp oracle
     (models.layers.attention_core — the exact function the kernel matches
     to rounding). The (Tq, Tk) score matrix is materialised transiently in
@@ -244,13 +324,16 @@ def flash_attention(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
+    online: Optional[bool] = None,
 ) -> jax.Array:
     """Differentiable flash attention: Pallas kernel forward (measured
     1.6x vs the XLA path at encoder geometry, docs/benchmarks.md), exact
     reference gradient on the backward (recompute; no flash-backward
     kernel — its tiling pays off on much longer sequences than Whisper's
-    fixed 1500/448)."""
-    return _flash_diff(q, k, v, causal, block_q, block_k, interpret)
+    fixed 1500/448). When the KV fits one block (encoder geometry) the
+    kernel specialises to a scratch-free single-pass softmax; ``online``
+    forces the general online-softmax kernel for A/B probes."""
+    return _flash_diff(q, k, v, causal, block_q, block_k, interpret, online)
 
 
 def flash_attention_auto(

@@ -33,6 +33,42 @@ def test_flash_unpadded_1500(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("tq,tk", [(128, 128), (256, 384), (1500, 1500)])
+def test_flash_single_block_matches_online(rng, tq, tk):
+    """The scratch-free single-KV-block kernel (the default whenever the KV
+    fits one block — encoder geometry) equals the general online-softmax
+    kernel and the oracle. online=True forces the general kernel so both
+    code paths stay covered now that the default routes single-block."""
+    q, k, v = _rand_qkv(rng, 2, tq, tk, 2, 64)
+    ref = attention_core(q, k, v)
+    single = flash_attention(q, k, v, online=False)
+    online = flash_attention(q, k, v, online=True)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(online), np.asarray(ref),
+                               atol=2e-5)
+
+
+def test_flash_single_block_causal_matches_online(rng):
+    t = 448  # decoder prompt-prefill geometry
+    q, k, v = _rand_qkv(rng, 2, t, t, 2, 64)
+    mask = jnp.tril(jnp.ones((t, t), jnp.bool_))[None, None]
+    ref = attention_core(q, k, v, mask=mask)
+    for online in (False, True):
+        out = flash_attention(q, k, v, causal=True, online=online)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+
+def test_flash_multi_block_routes_online(rng):
+    """KV longer than one block must ignore online=None's single-block
+    shortcut and still match the oracle (block_k forced small)."""
+    q, k, v = _rand_qkv(rng, 1, 128, 512, 2, 64)
+    ref = attention_core(q, k, v)
+    out = flash_attention(q, k, v, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 @pytest.mark.parametrize("t", [128, 300])
 def test_flash_causal(rng, t):
     q, k, v = _rand_qkv(rng, 2, t, t, 2, 64)
