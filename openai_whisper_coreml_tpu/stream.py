@@ -86,7 +86,10 @@ class StreamingTranscriber:
         draft_model: speculative decoding for the tick decodes (greedy
         only; speculative.py). Batch-1 streaming is the regime where the
         draft pays most — the tick is one long serial decode whose matvecs
-        the verify step turns into M=spec_k+1 matmuls."""
+        the verify step turns into M=spec_k+1 matmuls. Tick decodes ride
+        the same acceptance governor as serving (speculative.SpecGovernor,
+        one per stream): content the draft can't predict would otherwise
+        pay the measured below-break-even loss on EVERY tick."""
         if agreement < 1:
             raise ValueError("agreement must be >= 1")
         self.model = model
@@ -96,6 +99,12 @@ class StreamingTranscriber:
         self.max_tokens_per_second = max_tokens_per_second
         self.vad_gate = vad_gate
         self.draft_model = draft_model
+        self._spec_gov = None
+        if draft_model is not None:
+            from . import speculative as _spec_mod
+
+            self._spec_gov = _spec_mod.SpecGovernor(
+                threshold=_spec_mod.break_even_tokens_per_iter(spec_k))
         self.opts = dict(
             task=task,
             language=language,
@@ -141,10 +150,22 @@ class StreamingTranscriber:
     def _decode_window(self) -> List[int]:
         mel = self.model.log_mel(pad_or_trim(self._buffer))
         opts = dict(self.opts, sample_len=self._tick_sample_len())
+        draft = self.draft_model
+        if draft is not None and self._spec_gov is not None:
+            from . import speculative as _spec_mod
+
+            if self._spec_gov.permit():
+                _spec_mod.LAST_STATS = None  # observe only THIS decode
+            else:
+                draft = None
         res = decode(
             self.model, np.asarray(mel)[None],
             DecodingOptions(prompt=self._prompt or None, **opts),
-            draft=self.draft_model)[0]
+            draft=draft)[0]
+        if draft is not None and self._spec_gov is not None:
+            from . import speculative as _spec_mod
+
+            self._spec_gov.observe(_spec_mod.LAST_STATS)
         return res.tokens
 
     @staticmethod

@@ -214,6 +214,37 @@ def test_serving_custom_threshold(model, rng):
     assert speculative.TOTALS["iters"] > mid["iters"]
 
 
+def test_streaming_governor_wiring(model, rng):
+    """StreamingTranscriber ticks feed the governor; a floor draft is
+    withheld after enough evidence and confirmed tokens match the plain
+    stream (fp32 spec is token-exact, and withheld ticks ARE plain)."""
+    from openai_whisper_coreml_tpu.stream import StreamingTranscriber
+
+    draft = WhisperModel(cfg=model.cfg,
+                         params=init_params(model.cfg, jax.random.PRNGKey(7)))
+    audio = _audios(rng, [8.0])[0]
+
+    def run(draft_model):
+        st = StreamingTranscriber(model, language="en", agreement=1,
+                                  decode_interval=2.0, sample_len=24,
+                                  draft_model=draft_model, spec_k=3)
+        toks: list = []
+        for off in range(0, len(audio), 2 * 16000):
+            for ev in st.feed(audio[off: off + 2 * 16000]):
+                toks.extend(ev.tokens)
+        for ev in st.finish():
+            toks.extend(ev.tokens)
+        return toks, st
+
+    plain_toks, _ = run(None)
+    before = dict(speculative.TOTALS)
+    spec_toks, st = run(draft)
+    assert speculative.TOTALS["iters"] > before["iters"]  # spec ran
+    assert st._spec_gov is not None
+    assert st._spec_gov.disabled  # floor acceptance: draft withheld
+    assert spec_toks == plain_toks
+
+
 def test_transcribe_governor_wiring(model, rng):
     """transcribe(draft_model=...) keeps a per-call governor; transcripts
     match the plain path regardless of its verdict."""

@@ -77,6 +77,35 @@ def test_validate_real_gate_plumbing(tmp_path, rng):
         save_params(init_params(cfg, jax.random.PRNGKey(5)), draft_ckpt,
                     model_name="tiny-test")
 
+        # gate K asset: unmerged-LoRA checkpoint with a NON-zero adapter
+        # (zero-init lora_b would make runtime==merged trivially; perturb it
+        # so the gate actually compares two changed-output paths). fp32
+        # params -> runtime and merged must agree token-exactly.
+        import jax.numpy as jnp
+
+        from openai_whisper_coreml_tpu.lora import add_lora
+
+        lora_params = add_lora(init_params(cfg, jax.random.PRNGKey(0)),
+                               rank=2)
+        lkey = jax.random.PRNGKey(11)
+
+        def perturb(node):
+            if isinstance(node, dict):
+                out = {}
+                for k, v in node.items():
+                    if k == "lora_b":
+                        nonlocal lkey
+                        lkey, sub = jax.random.split(lkey)
+                        out[k] = 0.02 * jax.random.normal(sub, v.shape,
+                                                          jnp.float32)
+                    else:
+                        out[k] = perturb(v)
+                return out
+            return node
+
+        lora_ckpt = str(tmp_path / "l.safetensors")
+        save_params(perturb(lora_params), lora_ckpt, model_name="tiny-test")
+
         rc = validate_main([
             "--weights", ckpt, "--model", "tiny-test",
             "--clip", clip, "--expect-transcript", str(exp_path),
@@ -89,6 +118,7 @@ def test_validate_real_gate_plumbing(tmp_path, rng):
             "--sched-wer-delta", "1e9",
             "--draft-weights", draft_ckpt, "--draft-model", "tiny-test",
             "--spec-k", "3",
+            "--lora-weights", lora_ckpt,
         ])
         assert rc == 0
         # the normaliser both sides must agree on the self-transcript

@@ -41,6 +41,12 @@ Gates (each prints PASS/FAIL and a JSON summary line at the end):
   J. speculative (needs --draft-weights): greedy speculative decoding's WER
      within --spec-wer-delta of plain greedy, with the measured acceptance
      rate reported (docs/benchmarks.md round 4 projects RTFx from it).
+  K. lora (needs --lora-weights: a checkpoint saved by tools/finetune.py
+     --lora-rank N --no-merge-lora, adapters unmerged): transcribing --clip
+     with runtime adapters equals transcribing with lora.merge_lora-merged
+     weights after normalisation (x@(w + ab) vs x@w + (x@a)@b round
+     differently in bf16, so raw tokens may flip near-ties — run --dtype
+     float32 for bit-exactness; token mismatches are reported either way).
 
 Every gate runs only when its assets are supplied; the JSON summary names
 the gates that ran so CI can assert coverage.
@@ -111,6 +117,10 @@ def main(argv=None) -> int:
     ap.add_argument("--draft-model", default=None,
                     help="draft model size name (e.g. large-v3-turbo)")
     ap.add_argument("--spec-k", type=int, default=4)
+    ap.add_argument("--lora-weights", default=None,
+                    help="fine-tuned checkpoint with UNMERGED adapters "
+                         "(tools/finetune.py --lora-rank N --no-merge-lora) "
+                         "for the runtime-vs-merged gate")
     args = ap.parse_args(argv)
 
     if args.vocab:
@@ -343,6 +353,25 @@ def main(argv=None) -> int:
               "wall_plain_s": round(t_plain, 2),
               "wall_spec_s": round(t_spec, 2),
               "last_batch_stats": spec_mod.LAST_STATS})
+
+    # ---- gate K: LoRA runtime adapters == merged weights ---------------------
+    if args.lora_weights and args.clip:
+        import dataclasses
+
+        from openai_whisper_coreml_tpu.lora import merge_lora
+
+        lckpt, lname = _ensure_converted(args.lora_weights,
+                                         args.model or model_name, args.dtype)
+        tuned = load_model(lname or model_name, checkpoint=lckpt)
+        merged = dataclasses.replace(tuned, params=merge_lora(tuned.params))
+        r_rt = tuned.transcribe(args.clip, language="en")
+        r_mg = merged.transcribe(args.clip, language="en")
+        toks_rt = [t for s in r_rt["segments"] for t in s["tokens"]]
+        toks_mg = [t for s in r_mg["segments"] for t in s["tokens"]]
+        mismatch = (sum(a != b for a, b in zip(toks_rt, toks_mg))
+                    + abs(len(toks_rt) - len(toks_mg)))
+        gate("lora", norm(r_rt["text"]) == norm(r_mg["text"]),
+             {"token_mismatches": mismatch, "tokens": len(toks_rt)})
 
     print(json.dumps({"ok": ok, **summary}))
     return 0 if ok else 1
