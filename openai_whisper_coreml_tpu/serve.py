@@ -52,7 +52,8 @@ def spec_governor(model, options: "ServeOptions") -> _spec_mod.SpecGovernor:
     if gov is None:
         thr = options.spec_fallback_threshold
         if thr is None:
-            thr = _spec_mod.break_even_tokens_per_iter(options.spec_k)
+            thr = _spec_mod.break_even_tokens_per_iter(
+                options.spec_k, batch=options.batch_size)
         gov = _spec_mod.SpecGovernor(threshold=thr)
         model._spec_governor = gov
     return gov
@@ -78,7 +79,8 @@ class ServeOptions:
     # measured break-even (content the draft can't predict makes speculative
     # serving ~27% SLOWER — docs/benchmarks.md round 4), re-probing every
     # Nth withheld batch so recoveries re-enable it. threshold None ->
-    # speculative.break_even_tokens_per_iter(spec_k).
+    # speculative.break_even_tokens_per_iter(spec_k, batch=batch_size)
+    # (batch-aware: break-even RISES as batch shrinks — B1/B24 calibrations).
     spec_fallback: bool = True
     spec_fallback_threshold: Optional[float] = None
     without_timestamps: bool = False

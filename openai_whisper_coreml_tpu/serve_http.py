@@ -375,7 +375,11 @@ class WhisperHTTPServer:
                     server.model, language=qs.get("language", "en"),
                     task=qs.get("task", "transcribe"),
                     vad_gate=qs.get("vad") in ("1", "true"),
-                    decode_interval=float(qs.get("decode_interval", "1.0")))
+                    decode_interval=float(qs.get("decode_interval", "1.0")),
+                    # the server's paired draft (if any) speeds the tick
+                    # decodes; per-stream governor handles low acceptance
+                    draft_model=getattr(server.model, "draft", None),
+                    spec_k=int(server.default_options.get("spec_k", 4)))
                 self.send_response(200)
                 self.send_header("Content-Type", "application/x-ndjson")
                 self._cors()

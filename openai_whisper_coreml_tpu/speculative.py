@@ -321,21 +321,35 @@ def spec_stats(n_sampled: np.ndarray, n_iters: np.ndarray,
 
 # -- acceptance governor: automatic draft fallback for serving ---------------
 
-# Measured iteration-cost model (benchmarks/spec_bench.py, large-v3 B24 int8
-# champion config, device-fenced): ms/iteration = 20.5 + 2.13*K (K=4 -> 29.05,
-# K=8 -> 37.59 measured), against 8.97 ms/token for the two-level greedy loop
-# the serving path otherwise runs. Acceptance below the resulting break-even
-# makes speculative decoding a net LOSS (measured: the serving smoke at the
-# random-weights acceptance floor ran 3.61 s vs 2.84 s plain — 27% slower).
-_ITER_MS_BASE = 20.5
-_ITER_MS_PER_K = 2.13
-_TWO_LEVEL_MS_PER_TOKEN = 8.97
+# Measured iteration-cost model (benchmarks/spec_bench.py, large-v3 +
+# large-v3-turbo draft, int8 champion config, device-fenced), two calibrated
+# geometries:
+#   B24 (serving): ms/iteration = 20.5 + 2.13*K (K=4 -> 29.05, K=8 -> 37.59
+#       measured) vs 8.97 ms/token two-level greedy -> BE(4)=3.24, BE(8)=4.19
+#   B1 (streaming/interactive): ms/iteration = 6.77 + 0.41*K (K=4 -> 8.40,
+#       K=8 -> 10.03 measured) vs 2.27 ms/token -> BE(4)=3.70, BE(8)=4.41
+# Break-even RISES as batch shrinks: the draft's fixed per-iteration overhead
+# stays while the target's per-token cost falls with fewer rows sharing the
+# weight/cross-KV ingest. Acceptance below break-even makes speculative
+# decoding a net LOSS (measured: the serving smoke at the random-weights
+# acceptance floor ran 3.61 s vs 2.84 s plain — 27% slower).
+_KINETICS = {
+    # batch: (iter_ms_base, iter_ms_per_k, plain_ms_per_token)
+    1: (6.77, 0.4075, 2.27),
+    24: (20.5, 2.13, 8.97),
+}
 
 
-def break_even_tokens_per_iter(k: int) -> float:
+def break_even_tokens_per_iter(k: int, batch: int = 24) -> float:
     """Tokens/iteration below which a speculative iteration costs more than
-    decoding the same tokens with the plain two-level greedy loop."""
-    return (_ITER_MS_BASE + _ITER_MS_PER_K * k) / _TWO_LEVEL_MS_PER_TOKEN
+    decoding the same tokens with the plain greedy loop, from the measured
+    calibration geometry nearest (in log batch) to ``batch``."""
+    import math
+
+    lb = math.log(max(int(batch), 1))
+    cal = min(_KINETICS, key=lambda b: abs(lb - math.log(b)))
+    base, slope, tok = _KINETICS[cal]
+    return (base + slope * k) / tok
 
 
 class SpecGovernor:

@@ -104,7 +104,8 @@ class StreamingTranscriber:
             from . import speculative as _spec_mod
 
             self._spec_gov = _spec_mod.SpecGovernor(
-                threshold=_spec_mod.break_even_tokens_per_iter(spec_k))
+                threshold=_spec_mod.break_even_tokens_per_iter(
+                    spec_k, batch=1))
         self.opts = dict(
             task=task,
             language=language,
@@ -330,13 +331,29 @@ class MultiStreamTranscriber:
                  sample_len: Optional[int] = None,
                  max_tokens_per_second: Optional[float] = 8.0,
                  condition_on_committed_text: bool = True,
-                 vad_gate: bool = False) -> None:
+                 vad_gate: bool = False,
+                 draft_model=None,
+                 spec_k: int = 4) -> None:
+        """draft_model: speculative decoding for the batched tick decodes
+        (greedy; speculative.py), governed by ONE tier-level acceptance
+        governor — the batch mixes streams, so acceptance evidence is a
+        property of the tier's aggregate content, matching serving's
+        per-model governor scope."""
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
         self.model = model
         self.language = language
         self.condition_on_committed_text = condition_on_committed_text
         self.task = task
+        self.draft_model = draft_model
+        self.spec_k = spec_k
+        self._spec_gov = None
+        if draft_model is not None:
+            from . import speculative as _spec_mod
+
+            self._spec_gov = _spec_mod.SpecGovernor(
+                threshold=_spec_mod.break_even_tokens_per_iter(
+                    spec_k, batch=n_streams))
         self.streams = [
             StreamingTranscriber(
                 model, language=language, task=task, agreement=agreement,
@@ -392,11 +409,23 @@ class MultiStreamTranscriber:
         # compiled graphs beyond one per (bucket, horizon) pair
         prompt_opt = (prompts if self.condition_on_committed_text
                       and any(p for p in prompts) else None)
+        draft = self.draft_model
+        if draft is not None and self._spec_gov is not None:
+            from . import speculative as _spec_mod
+
+            if self._spec_gov.permit():
+                _spec_mod.LAST_STATS = None  # observe only THIS decode
+            else:
+                draft = None
         res = _decode(self.model, mel, DecodingOptions(
             task=self.task,
             language=self.language, without_timestamps=True,
-            prompt=prompt_opt,
-            sample_len=sample_len))[: len(due)]
+            prompt=prompt_opt, spec_k=self.spec_k,
+            sample_len=sample_len), draft=draft)[: len(due)]
+        if draft is not None and self._spec_gov is not None:
+            from . import speculative as _spec_mod
+
+            self._spec_gov.observe(_spec_mod.LAST_STATS)
 
         events: dict = {}
         for i, r in zip(due, res):

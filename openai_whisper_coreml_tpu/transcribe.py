@@ -183,7 +183,9 @@ def transcribe(
     verbose: Optional[bool] = None,
     draft_model=None,  # speculative decoding: a smaller WhisperModel sharing
     # the tokenizer drafts spec_k tokens per target verify step (greedy t=0
-    # rungs only — speculative.py; pass spec_k=K in decode_options to tune)
+    # rungs only — speculative.py; pass spec_k=K in decode_options to tune;
+    # spec_fallback=False in decode_options disables the per-call acceptance
+    # governor that withholds a below-break-even draft)
     **decode_options,
 ) -> Dict[str, Any]:
     """Transcribe (or translate) audio of any length.
@@ -273,14 +275,16 @@ def transcribe(
 
     # acceptance governor for the draft (speculative.SpecGovernor): one per
     # transcribe() call — long audio whose content the draft can't predict
-    # would otherwise pay the measured below-break-even loss on EVERY window
+    # would otherwise pay the measured below-break-even loss on EVERY window.
+    # decode_options["spec_fallback"]=False opts out (matches ServeOptions).
     spec_gov = None
-    if draft_model is not None:
+    spec_fallback = bool(decode_options.pop("spec_fallback", True))
+    if draft_model is not None and spec_fallback:
         from . import speculative as _spec_mod
 
         spec_gov = _spec_mod.SpecGovernor(
             threshold=_spec_mod.break_even_tokens_per_iter(
-                int(decode_options.get("spec_k", 4))))
+                int(decode_options.get("spec_k", 4)), batch=1))
 
     remaining_prompt_length = cfg.n_text_ctx // 2 - 1
     if initial_prompt is not None:

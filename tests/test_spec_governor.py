@@ -39,11 +39,28 @@ def test_break_even_model():
     # measured kinetics: K=4 -> 29.05 ms/iter vs 8.97 ms/token two-level
     assert break_even_tokens_per_iter(4) == pytest.approx(3.24, abs=0.02)
     assert break_even_tokens_per_iter(8) == pytest.approx(4.19, abs=0.02)
+    # batch-1 calibration (streaming): measured 3.70 / 4.41 on chip
+    assert break_even_tokens_per_iter(4, batch=1) == pytest.approx(
+        3.70, abs=0.02)
+    assert break_even_tokens_per_iter(8, batch=1) == pytest.approx(
+        4.41, abs=0.02)
+    # break-even rises as batch shrinks (fixed draft overhead vs cheaper
+    # per-token target steps)
+    assert (break_even_tokens_per_iter(4, batch=1)
+            > break_even_tokens_per_iter(4, batch=24))
+    # nearest-in-log-batch selection: 4 -> B1 cal, 8 -> B24 cal, 48 -> B24
+    assert (break_even_tokens_per_iter(4, batch=4)
+            == break_even_tokens_per_iter(4, batch=1))
+    assert (break_even_tokens_per_iter(4, batch=8)
+            == break_even_tokens_per_iter(4, batch=24))
+    assert (break_even_tokens_per_iter(4, batch=48)
+            == break_even_tokens_per_iter(4, batch=24))
     # monotonic in K, and always above 1 token/iter
-    ks = [1, 2, 4, 8, 16]
-    vals = [break_even_tokens_per_iter(k) for k in ks]
-    assert all(b > a for a, b in zip(vals, vals[1:]))
-    assert vals[0] > 1.0
+    for b in (1, 24):
+        vals = [break_even_tokens_per_iter(k, batch=b)
+                for k in (1, 2, 4, 8, 16)]
+        assert all(y > x for x, y in zip(vals, vals[1:]))
+        assert vals[0] > 1.0
 
 
 def test_governor_threshold_validation():
@@ -245,6 +262,39 @@ def test_streaming_governor_wiring(model, rng):
     assert spec_toks == plain_toks
 
 
+def test_multistream_governor_wiring(model, rng):
+    """MultiStreamTranscriber's batched tick decodes carry the draft under
+    ONE tier-level governor; a floor draft is withheld and confirmations
+    match the draft-less tier."""
+    from openai_whisper_coreml_tpu.stream import MultiStreamTranscriber
+
+    draft = WhisperModel(cfg=model.cfg,
+                         params=init_params(model.cfg, jax.random.PRNGKey(7)))
+    audio = _audios(rng, [8.0])[0]
+
+    def run(draft_model):
+        mst = MultiStreamTranscriber(model, n_streams=2, language="en",
+                                     agreement=1, decode_interval=2.0,
+                                     sample_len=24, draft_model=draft_model,
+                                     spec_k=3)
+        confirmed = {0: [], 1: []}
+        for off in range(0, len(audio), 2 * 16000):
+            chunk = audio[off: off + 2 * 16000]
+            mst.feed(0, chunk)
+            mst.feed(1, chunk)
+            for i, evs in mst.poll().items():
+                for ev in evs:
+                    confirmed[i].extend(ev.tokens)
+        return confirmed, mst
+
+    plain, _ = run(None)
+    before = dict(speculative.TOTALS)
+    spec, mst = run(draft)
+    assert speculative.TOTALS["iters"] > before["iters"]  # spec ran batched
+    assert mst._spec_gov is not None and mst._spec_gov.disabled
+    assert spec == plain
+
+
 def test_transcribe_governor_wiring(model, rng):
     """transcribe(draft_model=...) keeps a per-call governor; transcripts
     match the plain path regardless of its verdict."""
@@ -263,3 +313,12 @@ def test_transcribe_governor_wiring(model, rng):
     p = [t for s in plain["segments"] for t in s["tokens"]]
     s = [t for s_ in spec["segments"] for t in s_["tokens"]]
     assert p == s
+
+    # spec_fallback=False is popped before DecodingOptions sees it and the
+    # draft still runs ungoverned
+    mid = dict(speculative.TOTALS)
+    spec2 = transcribe(model, audio, draft_model=draft, spec_fallback=False,
+                       **kw)
+    assert speculative.TOTALS["iters"] > mid["iters"]
+    s2 = [t for s_ in spec2["segments"] for t in s_["tokens"]]
+    assert s2 == p
