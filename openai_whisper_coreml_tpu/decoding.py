@@ -693,6 +693,15 @@ def _decode_impl(
     if options.max_initial_timestamp is not None and not options.without_timestamps:
         max_init_idx = round(options.max_initial_timestamp / 0.02)
 
+    # governor kinetics: wall the decode core (speculative.LAST_TIMING).
+    # The window starts after the encoder/host prompt work and closes at the
+    # host readback below — it includes the in-graph setup (cross-KV
+    # precompute + prefill), a documented conservative bias (SpecGovernor).
+    import time as _time
+
+    _timing_path = None
+    _t_core0 = _time.perf_counter()
+
     use_beam = options.beam_size is not None and options.temperature == 0.0
     if use_beam and per_sample_prompt:
         raise ValueError(
@@ -771,6 +780,7 @@ def _decode_impl(
                                           np.asarray(n_iters),
                                           np.asarray(n_drafted))
         _spec_mod.accumulate_stats(_spec_mod.LAST_STATS)
+        _timing_path = ("spec", int(np.max(np.asarray(n_iters))))
     else:
         # best_of: independent sampling candidates, ranked by avg logprob
         # (openai semantics; only meaningful at temperature > 0)
@@ -820,6 +830,29 @@ def _decode_impl(
     sum_lp = np.asarray(sum_lp)
     n_sampled = np.asarray(n_sampled)
     no_speech_prob = np.asarray(no_speech_prob)
+
+    # publish the decode-core wall for governor calibration. "plain" = the
+    # single-candidate lockstep loop (greedy OR sampled — identical step
+    # kinetics); beam/best_of geometries publish None. The np.asarray
+    # readbacks above are the fence.
+    from . import speculative as _spec_mod
+
+    if _timing_path is None and not use_beam and not (
+            options.best_of and options.best_of > 1
+            and options.temperature > 0):
+        _timing_path = ("plain", int(np.max(n_sampled)))
+    if _timing_path is not None:
+        path, units = _timing_path
+        _spec_mod.LAST_TIMING = {
+            "path": path,
+            "wall_s": _time.perf_counter() - _t_core0,
+            "units": units,
+            "batch": b,
+            "k": options.spec_k if path == "spec" else None,
+            "temperature": float(options.temperature),
+        }
+    else:
+        _spec_mod.LAST_TIMING = None
 
     results = []
     for i in range(b):

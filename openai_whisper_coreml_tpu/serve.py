@@ -51,10 +51,14 @@ def spec_governor(model, options: "ServeOptions") -> _spec_mod.SpecGovernor:
     gov = getattr(model, "_spec_governor", None)
     if gov is None:
         thr = options.spec_fallback_threshold
+        # an explicit user threshold is PINNED (no live calibration); the
+        # static-table prior self-calibrates from walled decodes at the
+        # live geometry (SpecGovernor.observe_timing)
+        pinned = thr is not None
         if thr is None:
             thr = _spec_mod.break_even_tokens_per_iter(
                 options.spec_k, batch=options.batch_size)
-        gov = _spec_mod.SpecGovernor(threshold=thr)
+        gov = _spec_mod.SpecGovernor(threshold=thr, pinned=pinned)
         model._spec_governor = gov
     return gov
 
@@ -441,9 +445,13 @@ def _decode_window_batches(model, windows: List[_Window], options,
             # (getattr: serve accepts duck-typed models without the field)
             draft = (getattr(model, "draft", None)
                      if t == 0 and rung.get("beam_size") is None else None)
-            gov = (spec_governor(model, options) if draft is not None
+            # the governor exists whenever a draft is paired; it also
+            # ingests PLAIN decode walls (withheld batches, t>0 rungs) for
+            # the live break-even calibration
+            gov = (spec_governor(model, options)
+                   if getattr(model, "draft", None) is not None
                    and options.spec_fallback else None)
-            if gov is not None:
+            if gov is not None and draft is not None:
                 if gov.permit():
                     _spec_mod.LAST_STATS = None  # observe only THIS decode
                 else:
@@ -453,6 +461,8 @@ def _decode_window_batches(model, windows: List[_Window], options,
                          draft=draft)
             if gov is not None and draft is not None:
                 gov.observe(_spec_mod.LAST_STATS)
+            if gov is not None:
+                gov.observe_timing(_spec_mod.LAST_TIMING)
             still: List[int] = []
             for i in pending:
                 r = res[i]

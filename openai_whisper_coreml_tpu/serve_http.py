@@ -168,6 +168,20 @@ class WhisperHTTPServer:
                         self.metrics.set_gauge(
                             "spec_draft_active",
                             0.0 if gov.disabled else 1.0)
+                        # live break-even calibration (SpecGovernor): the
+                        # threshold in force plus the two walled cost terms
+                        # behind it (absent until each has evidence)
+                        self.metrics.set_gauge("spec_governor_threshold",
+                                               gov.threshold)
+                        self.metrics.set_gauge(
+                            "spec_governor_calibrated",
+                            1.0 if gov.calibrated else 0.0)
+                        if gov.live_iter_ms is not None:
+                            self.metrics.set_gauge("spec_live_ms_per_iter",
+                                                   gov.live_iter_ms)
+                        if gov.live_tok_ms is not None:
+                            self.metrics.set_gauge("spec_live_ms_per_token",
+                                                   gov.live_tok_ms)
                     log.info("batch done %s", kv(
                         requests=len(group), audio_s=round(audio_s, 2),
                         latency_s=round(elapsed, 3),

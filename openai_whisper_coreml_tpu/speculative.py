@@ -321,7 +321,7 @@ def spec_stats(n_sampled: np.ndarray, n_iters: np.ndarray,
 
 # -- acceptance governor: automatic draft fallback for serving ---------------
 
-# Measured iteration-cost model (benchmarks/spec_bench.py, large-v3 +
+# Measured iteration-cost PRIOR (benchmarks/spec_bench.py, large-v3 +
 # large-v3-turbo draft, int8 champion config, device-fenced), two calibrated
 # geometries:
 #   B24 (serving): ms/iteration = 20.5 + 2.13*K (K=4 -> 29.05, K=8 -> 37.59
@@ -333,6 +333,12 @@ def spec_stats(n_sampled: np.ndarray, n_iters: np.ndarray,
 # weight/cross-KV ingest. Acceptance below break-even makes speculative
 # decoding a net LOSS (measured: the serving smoke at the random-weights
 # acceptance floor ran 3.61 s vs 2.84 s plain — 27% slower).
+#
+# These constants are ONLY the prior (round-4 calibrations from one
+# chip/session): SpecGovernor re-derives the break-even live from walled
+# decodes at its own geometry (observe_timing below) and switches to the
+# live number once both cost terms have evidence — a B48 server no longer
+# silently runs B24 numbers, and new hardware/model pairs self-calibrate.
 _KINETICS = {
     # batch: (iter_ms_base, iter_ms_per_k, plain_ms_per_token)
     1: (6.77, 0.4075, 2.27),
@@ -352,6 +358,22 @@ def break_even_tokens_per_iter(k: int, batch: int = 24) -> float:
     return (base + slope * k) / tok
 
 
+# most recent decode-core wall timing, produced by decoding._decode_impl for
+# every decode() call: {"path": "spec"|"plain", "wall_s", "units", "batch",
+# ...} where units is max-row iterations (spec) or max-row committed tokens
+# (plain) — the loop runs lockstep until the slowest row finishes, so the
+# max row is what the wall clock paid for. None when the call took a path
+# with different kinetics (beam, best_of fan-out). Single-writer, same
+# producer discipline as LAST_STATS.
+LAST_TIMING: Optional[dict] = None
+
+
+def _median(xs) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
 class SpecGovernor:
     """Withhold the draft while measured acceptance sits below break-even.
 
@@ -366,20 +388,43 @@ class SpecGovernor:
     the draft within one window. Decisions cost nothing on the accept path:
     one float comparison per batch.
 
+    The break-even THRESHOLD self-calibrates (round-5): every decode()
+    already pays a device sync, so decoding.py walls the core call and
+    publishes LAST_TIMING; feeding those here maintains windowed medians of
+    spec ms/iteration and plain ms/token at the LIVE geometry (model pair,
+    batch, chip, K). Once both terms have ``calib_min_obs`` observations the
+    threshold becomes their ratio; before that it is the constructor prior
+    (the round-4 static table). Medians, not EMAs, so the one
+    compile-poisoned first wall per graph cannot skew the estimate. Two
+    biases, both conservative: the walls include the per-call setup
+    (cross-KV precompute + prefill) that true marginal costs exclude, and
+    setup/units is larger for spec (fewer iterations than tokens per call)
+    — so the live threshold sits slightly HIGH, withholding a touch early
+    (the cheap direction: a withheld draft forgoes upside; a mis-enabled
+    one pays the measured 27% regression). ``pinned=True`` (an explicit
+    user threshold) disables calibration.
+
     Single-threaded by design (the serving batch worker is one thread;
     transcribe() is one call) — no locking.
     """
 
     def __init__(self, threshold: float, min_iters: int = 32,
-                 window: int = 8, reprobe_every: int = 8):
+                 window: int = 8, reprobe_every: int = 8,
+                 pinned: bool = False, calib_window: int = 16,
+                 calib_min_obs: int = 3):
         if threshold <= 1.0:
             raise ValueError(
                 f"threshold must exceed 1.0 tokens/iter, got {threshold}")
-        self.threshold = float(threshold)
+        self.prior_threshold = float(threshold)
+        self.pinned = bool(pinned)
         self.min_iters = int(min_iters)  # evidence mass before any verdict
         self.window = int(window)  # observations in the sliding window
         self.reprobe_every = int(reprobe_every)
+        self.calib_window = int(calib_window)
+        self.calib_min_obs = int(calib_min_obs)
         self._obs: list = []  # [(tokens, iters), ...] newest last
+        self._iter_ms: list = []  # spec ms/iteration walls, newest last
+        self._tok_ms: list = []  # plain ms/token walls, newest last
         self._skips = 0
         self.disabled = False
 
@@ -389,6 +434,47 @@ class SpecGovernor:
         if iters == 0:
             return None
         return sum(t for t, _ in self._obs) / iters
+
+    # -- live kinetics calibration -------------------------------------------
+
+    @property
+    def live_iter_ms(self) -> Optional[float]:
+        return _median(self._iter_ms) if self._iter_ms else None
+
+    @property
+    def live_tok_ms(self) -> Optional[float]:
+        return _median(self._tok_ms) if self._tok_ms else None
+
+    @property
+    def calibrated(self) -> bool:
+        return (not self.pinned
+                and len(self._iter_ms) >= self.calib_min_obs
+                and len(self._tok_ms) >= self.calib_min_obs)
+
+    @property
+    def threshold(self) -> float:
+        """Break-even tokens/iteration: live once calibrated, else prior."""
+        if self.calibrated:
+            # a threshold <=1 would be unfalsifiable (tpi >= 1 always);
+            # floor just above it so a degenerate calibration cannot lock
+            # the draft permanently ON
+            return max(1.0 + 1e-6, self.live_iter_ms / self.live_tok_ms)
+        return self.prior_threshold
+
+    def observe_timing(self, timing: Optional[dict]) -> None:
+        """Feed one decode()'s LAST_TIMING (None-safe). Spec walls calibrate
+        ms/iteration; plain walls (withheld batches, probe misses, sampled
+        fallback rungs — same lockstep loop) calibrate ms/token."""
+        if self.pinned or not timing or timing.get("units", 0) <= 0:
+            return
+        per_unit = timing["wall_s"] * 1e3 / timing["units"]
+        dest = (self._iter_ms if timing.get("path") == "spec"
+                else self._tok_ms if timing.get("path") == "plain" else None)
+        if dest is None:
+            return
+        dest.append(per_unit)
+        if len(dest) > self.calib_window:
+            del dest[: len(dest) - self.calib_window]
 
     def permit(self) -> bool:
         """Should the NEXT decode batch use the draft?"""

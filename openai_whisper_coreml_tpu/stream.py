@@ -163,10 +163,13 @@ class StreamingTranscriber:
             self.model, np.asarray(mel)[None],
             DecodingOptions(prompt=self._prompt or None, **opts),
             draft=draft)[0]
-        if draft is not None and self._spec_gov is not None:
+        if self._spec_gov is not None:
             from . import speculative as _spec_mod
 
-            self._spec_gov.observe(_spec_mod.LAST_STATS)
+            if draft is not None:
+                self._spec_gov.observe(_spec_mod.LAST_STATS)
+            # plain (withheld) AND spec tick walls calibrate break-even
+            self._spec_gov.observe_timing(_spec_mod.LAST_TIMING)
         return res.tokens
 
     @staticmethod
@@ -422,10 +425,12 @@ class MultiStreamTranscriber:
             language=self.language, without_timestamps=True,
             prompt=prompt_opt, spec_k=self.spec_k,
             sample_len=sample_len), draft=draft)[: len(due)]
-        if draft is not None and self._spec_gov is not None:
+        if self._spec_gov is not None:
             from . import speculative as _spec_mod
 
-            self._spec_gov.observe(_spec_mod.LAST_STATS)
+            if draft is not None:
+                self._spec_gov.observe(_spec_mod.LAST_STATS)
+            self._spec_gov.observe_timing(_spec_mod.LAST_TIMING)
 
         events: dict = {}
         for i, r in zip(due, res):

@@ -340,10 +340,13 @@ def transcribe(
                     use_draft = None
             result = decode(model, segment_feats, opts, from_features=True,
                             tokenizer=None, draft=use_draft)[0]
-            if use_draft is not None and spec_gov is not None:
+            if spec_gov is not None:
                 from . import speculative as _spec_mod
 
-                spec_gov.observe(_spec_mod.LAST_STATS)
+                if use_draft is not None:
+                    spec_gov.observe(_spec_mod.LAST_STATS)
+                # plain AND spec walls feed the live break-even calibration
+                spec_gov.observe_timing(_spec_mod.LAST_TIMING)
 
             needs_fallback = False
             if (compression_ratio_threshold is not None

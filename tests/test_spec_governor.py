@@ -103,6 +103,76 @@ def test_governor_ignores_non_spec_decodes():
     assert not gov.disabled
 
 
+def test_governor_live_calibration():
+    """Once both cost terms have walled evidence at the live geometry the
+    threshold is their ratio, not the static prior (round-5: a B48 server
+    no longer runs the B24 table numbers)."""
+    gov = SpecGovernor(threshold=3.0, calib_min_obs=3)
+    assert gov.threshold == 3.0 and not gov.calibrated
+    for _ in range(3):  # spec: 0.24 s for 10 iterations -> 24 ms/iter
+        gov.observe_timing({"path": "spec", "wall_s": 0.24, "units": 10})
+    assert not gov.calibrated  # needs BOTH terms
+    assert gov.live_iter_ms == pytest.approx(24.0)
+    for _ in range(3):  # plain: 0.12 s for 10 tokens -> 12 ms/token
+        gov.observe_timing({"path": "plain", "wall_s": 0.12, "units": 10})
+    assert gov.calibrated
+    assert gov.live_tok_ms == pytest.approx(12.0)
+    assert gov.threshold == pytest.approx(2.0)  # 24 / 12
+
+
+def test_governor_calibration_median_kills_compile_wall():
+    """The first wall per compiled graph includes XLA compile; the windowed
+    MEDIAN discards it without any explicit first-call special case."""
+    gov = SpecGovernor(threshold=3.0, calib_min_obs=3)
+    gov.observe_timing({"path": "spec", "wall_s": 30.0, "units": 10})  # compile
+    for _ in range(4):
+        gov.observe_timing({"path": "spec", "wall_s": 0.24, "units": 10})
+    assert gov.live_iter_ms == pytest.approx(24.0)
+
+
+def test_governor_live_threshold_drives_verdict():
+    """Acceptance above the LIVE break-even but below the stale prior keeps
+    the draft — the verdict follows the calibrated number."""
+    gov = SpecGovernor(threshold=3.5, min_iters=16, calib_min_obs=3)
+    for _ in range(3):
+        gov.observe_timing({"path": "spec", "wall_s": 0.24, "units": 10})
+        gov.observe_timing({"path": "plain", "wall_s": 0.12, "units": 10})
+    assert gov.threshold == pytest.approx(2.0)
+    gov.observe({"tokens": 50, "iters": 20})  # tpi 2.5: > live, < prior
+    assert not gov.disabled
+    gov.observe({"tokens": 20, "iters": 20})  # window tpi 1.75 < live 2.0
+    assert gov.disabled
+
+
+def test_governor_pinned_threshold_ignores_calibration():
+    """An explicit user threshold is pinned: timings are dropped and the
+    threshold never moves (ServeOptions.spec_fallback_threshold)."""
+    gov = SpecGovernor(threshold=1.5, pinned=True)
+    for _ in range(5):
+        gov.observe_timing({"path": "spec", "wall_s": 0.24, "units": 10})
+        gov.observe_timing({"path": "plain", "wall_s": 0.12, "units": 10})
+    assert not gov.calibrated
+    assert gov.live_iter_ms is None and gov.live_tok_ms is None
+    assert gov.threshold == pytest.approx(1.5)
+
+
+def test_governor_timing_none_safe():
+    gov = SpecGovernor(threshold=3.0)
+    gov.observe_timing(None)  # beam/best_of decode published no timing
+    gov.observe_timing({"path": "plain", "wall_s": 0.1, "units": 0})
+    gov.observe_timing({"path": "beam", "wall_s": 0.1, "units": 10})
+    assert gov.live_iter_ms is None and gov.live_tok_ms is None
+
+
+def test_governor_calibration_window_slides():
+    gov = SpecGovernor(threshold=3.0, calib_window=4)
+    for _ in range(4):
+        gov.observe_timing({"path": "spec", "wall_s": 0.40, "units": 10})
+    for _ in range(4):  # the cheap regime pushes the old walls out
+        gov.observe_timing({"path": "spec", "wall_s": 0.20, "units": 10})
+    assert gov.live_iter_ms == pytest.approx(20.0)
+
+
 def test_governor_window_slides():
     gov = SpecGovernor(threshold=3.0, min_iters=4, window=2,
                        reprobe_every=2)
@@ -175,6 +245,23 @@ def test_serving_governor_withholds_floor_draft(model, rng):
     third = transcribe_batch(spec_model, audios, opts)
     assert speculative.TOTALS["iters"] > mid["iters"]  # probe batch ran spec
     assert _toks(third) == _toks(plain)
+
+
+def test_serving_governor_calibration_feeds(model, rng):
+    """The serving ladder walls every decode: the first (speculative) batch
+    feeds ms/iteration, withheld (plain) batches feed ms/token — the two
+    terms of the live break-even."""
+    draft = WhisperModel(cfg=model.cfg,
+                         params=init_params(model.cfg, jax.random.PRNGKey(7)))
+    spec_model = dataclasses.replace(model, draft=draft)
+    audios = _audios(rng, [0.9, 1.2])
+    opts = ServeOptions(batch_size=2, sample_len=20, **_OPTS)
+    transcribe_batch(spec_model, audios, opts)  # spec batch (floor verdict)
+    gov = spec_governor(spec_model, opts)
+    assert gov.live_iter_ms is not None and gov.live_iter_ms > 0
+    assert gov.disabled
+    transcribe_batch(spec_model, audios, opts)  # withheld -> plain wall
+    assert gov.live_tok_ms is not None and gov.live_tok_ms > 0
 
 
 def test_serving_governor_keeps_agreeing_draft(model, rng):
