@@ -30,6 +30,15 @@ int8 / bf16 — cache int8 is a measured regression, see docs),
 BENCH_TWO_LEVEL (default on; "0" reverts to the flat decode loop),
 BENCH_STAGE_WIDTH (two-level staging-block columns, default 64 — the
 measured sweet spot at B48: w64=288.4, w128=276.7, w192 fails).
+
+BENCH_SPEC=1 decodes SPECULATIVELY instead (draft = BENCH_DRAFT, default
+large-v3-turbo; proposals per verify = BENCH_SPEC_K, default 4) — the
+reproducible spec row the round-4 verdict asked for. With this image's
+random weights it measures the acceptance FLOOR (~1 token/iteration, a
+deliberate worst case — docs/benchmarks.md round 4); with real
+checkpoints the same command measures the production speculative RTFx.
+Pair it with BENCH_BATCH per the round-5 batch sweep (B24 is the
+spec-optimal serving batch; B48 needs the two cross-KV pools to fit).
 """
 
 from __future__ import annotations
@@ -72,9 +81,18 @@ def main() -> None:
     # two-level (frozen-prefix) decode; "0" reverts to the flat loop for A/B
     two_level = os.environ.get("BENCH_TWO_LEVEL", "1") not in ("", "0")
     stage_width = int(os.environ.get("BENCH_STAGE_WIDTH", "64"))
+    spec = os.environ.get("BENCH_SPEC", "") not in ("", "0")
+    draft_name = os.environ.get("BENCH_DRAFT", "large-v3-turbo")
+    spec_k = int(os.environ.get("BENCH_SPEC_K", "4"))
 
     model = wt.load_model(model_name, quantize=quantize)
     cfg = model.cfg
+    draft = None
+    if spec:
+        from openai_whisper_coreml_tpu.speculative import check_pair
+
+        draft = wt.load_model(draft_name, quantize=quantize, seed=1)
+        check_pair(cfg, draft.cfg)
     tok = get_tokenizer(cfg, language="en")
     opts = DecodingOptions(language="en")
 
@@ -94,6 +112,17 @@ def main() -> None:
     def run(audio_in):
         mel = log_mel_spectrogram(audio_in, n_mels=cfg.n_mels)
         feats = model._encode_jit(model.params, mel=mel)
+        if spec:
+            from openai_whisper_coreml_tpu.speculative import spec_decode_core
+
+            # turbo's decoder was distilled against the frozen large-v3
+            # encoder: one encoder forward feeds both decoders
+            out = spec_decode_core(
+                model.params, draft.params, cfg, draft.cfg, feats, feats,
+                initial_dev, suppress, blank, jnp.int32(50), jnp.int32(1),
+                jnp.int32(2), sample_len=sample_len, use_timestamps=True,
+                prompt_len=prompt_len, spec_k=spec_k, kv_dtype=kv_dtype)
+            return out[0]
         tokens, sum_lp, n_sampled, nsp = greedy_decode_core(
             model.params, cfg, feats, initial_dev, suppress, blank,
             jnp.float32(0.0), key, jnp.int32(50), jnp.int32(1), jnp.int32(2),
@@ -120,8 +149,10 @@ def main() -> None:
     audio_seconds = batch * 30.0
     rtfx = audio_seconds / elapsed
 
+    tag = "_spec" if spec else ""
     print(json.dumps({
-        "metric": f"rtfx_{model_name.replace('-', '_')}_batched_b{batch}",
+        "metric": f"rtfx_{model_name.replace('-', '_')}_batched_b{batch}"
+                  f"{tag}",
         "value": round(rtfx, 2),
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rtfx / 150.0, 3),

@@ -21,6 +21,19 @@ ACCEPTS, reproducing the turbo distillation recipe at tiny scale:
 
 One JSON line per K. The acceptance numbers feed the derived RTFx table in
 docs/benchmarks.md (spec_bench.py's alpha sweep).
+
+Round-5 additions (verdict #1: "turn the derived claim into a measured
+headline"):
+  --long           train/eval on ~40-token concatenated phrases so the
+                   decode horizon resembles real transcripts instead of
+                   ~12-token fragments;
+  --time-batches   after the acceptance measurement, wall-clock the REAL
+                   end-to-end pipeline (mel + encoder + decode to EOT,
+                   device-fenced) at each batch: plain two-level greedy
+                   (the production champion loop) vs speculative at each
+                   K with the trained pair's TRUE acceptance — a measured,
+                   not derived, spec-vs-champion RTFx table. One JSON line
+                   per (batch, K).
 """
 
 from __future__ import annotations
@@ -40,7 +53,21 @@ from openai_whisper_coreml_tpu.utils.platform import sync_platform_from_env
 sync_platform_from_env()
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from int8_agreement_trained import PHRASES, tone_audio  # noqa: E402
+from int8_agreement_trained import PHRASES as PHRASES_SHORT  # noqa: E402
+from int8_agreement_trained import tone_audio  # noqa: E402
+
+# --long corpus: ~40-token utterances (short phrases concatenated with
+# distinct connectives) so the timed decode horizon matches real speech
+# transcripts (~45 tokens / 8 s) instead of toy fragments
+PHRASES_LONG = [
+    (PHRASES_SHORT[i] + " and then "
+     + PHRASES_SHORT[(i + 1) % len(PHRASES_SHORT)] + " while "
+     + PHRASES_SHORT[(i + 3) % len(PHRASES_SHORT)] + " although "
+     + PHRASES_SHORT[(i + 5) % len(PHRASES_SHORT)])
+    for i in range(len(PHRASES_SHORT))
+]
+
+PHRASES = PHRASES_SHORT  # reassigned by --long in main()
 
 
 def train_model(cfg, tok, steps, batch, target_loss, *, init_params_fn,
@@ -101,7 +128,17 @@ def main() -> int:
     ap.add_argument("--target-loss", type=float, default=0.05)
     ap.add_argument("--ks", default="2,4,8")
     ap.add_argument("--out", default="/tmp/spec_acceptance_trained.jsonl")
+    ap.add_argument("--long", action="store_true",
+                    help="~40-token utterances (realistic decode horizon)")
+    ap.add_argument("--time-batches", default="",
+                    help="comma list: wall-clock plain-champion vs spec "
+                         "end to end at each batch (measured headline)")
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
+
+    global PHRASES
+    if args.long:
+        PHRASES = PHRASES_LONG
 
     import jax
     import jax.numpy as jnp
@@ -197,6 +234,102 @@ def main() -> int:
         print(json.dumps(rec), flush=True)
         out_f.write(json.dumps(rec) + "\n")
         results.append(rec)
+
+    # -- 4. measured end-to-end wall clock: plain champion vs spec ----------
+    # (round-5) The REAL serving pipeline — mel + encoder + decode-to-EOT —
+    # timed device-fenced at each batch with the trained pair's TRUE
+    # acceptance. Plain baseline = two-level greedy (the bench champion
+    # loop). bf16 params + int8 cross-KV = the shipping serving dtype.
+    if args.time_batches:
+        import time
+
+        from openai_whisper_coreml_tpu.audio import (
+            log_mel_spectrogram as _mel, pad_or_trim as _pt)
+
+        params_tb = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params_t)
+        params_db = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params_d)
+
+        def fence(x):
+            return np.asarray(x[..., :1])
+
+        def timed(fn, *fargs):
+            fence(fn(*fargs))  # warmup/compile
+            ts = []
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                fence(fn(*fargs))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        @jax.jit
+        def frontend(p, a):
+            from openai_whisper_coreml_tpu.models.encoder import encode
+            return encode(p, cfg, _mel(a, n_mels=cfg.n_mels))
+
+        for b in [int(s) for s in args.time_batches.split(",") if s]:
+            cls_b = [i % n_cls for i in range(b)]
+            audio_b = jnp.asarray(np.stack(
+                [_pt(tone_audio(c, seed=555 + i))
+                 for i, c in enumerate(cls_b)]))
+            init_b = jnp.asarray(np.tile(np.asarray([seq], np.int32),
+                                         (b, 1)))
+            t_front = timed(frontend, params_tb, audio_b)
+            feats_b = frontend(params_tb, audio_b)
+            feats_b.block_until_ready()
+
+            def plain_run(f):
+                return greedy_decode_core(
+                    params_tb, cfg, f, init_b, suppress, blank,
+                    jnp.float32(0.0), jax.random.PRNGKey(0), jnp.int32(-1),
+                    jnp.int32(0), jnp.int32(sot_idx), sample_len=sample_len,
+                    use_timestamps=False, prompt_len=prompt_len,
+                    kv_dtype="int8", two_level=True)[0]
+
+            t_plain = timed(plain_run, feats_b)
+            rtfx_plain = b * 30.0 / (t_front + t_plain)
+            audio_seconds = b * 30.0
+            for k in [int(s) for s in args.ks.split(",") if s]:
+                def spec_run(f, kk=k):
+                    return spec_decode_core(
+                        params_tb, params_db, cfg, cfg_d, f, f, init_b,
+                        suppress, blank, jnp.int32(-1), jnp.int32(0),
+                        jnp.int32(sot_idx), sample_len=sample_len,
+                        use_timestamps=False, prompt_len=prompt_len,
+                        spec_k=kk, kv_dtype="int8")[0]
+
+                t_spec = timed(spec_run, feats_b)
+                out_k = spec_decode_core(
+                    params_tb, params_db, cfg, cfg_d, feats_b, feats_b,
+                    init_b, suppress, blank, jnp.int32(-1), jnp.int32(0),
+                    jnp.int32(sot_idx), sample_len=sample_len,
+                    use_timestamps=False, prompt_len=prompt_len,
+                    spec_k=k, kv_dtype="int8")
+                st = spec_stats(np.asarray(out_k[2]), np.asarray(out_k[4]),
+                                np.asarray(out_k[5]))
+                rtfx_spec = audio_seconds / (t_front + t_spec)
+                rec = {
+                    "metric": "spec_trained_e2e",
+                    "model": args.model,
+                    "long": bool(args.long),
+                    "batch": b,
+                    "spec_k": k,
+                    "sample_len": sample_len,
+                    "frontend_s": round(t_front, 4),
+                    "decode_plain_s": round(t_plain, 4),
+                    "decode_spec_s": round(t_spec, 4),
+                    "rtfx_plain_champion": round(rtfx_plain, 2),
+                    "rtfx_spec": round(rtfx_spec, 2),
+                    "speedup_e2e": round(rtfx_spec / rtfx_plain, 3),
+                    "speedup_decode": round(t_plain / max(t_spec, 1e-9), 3),
+                    "tokens_per_iter": round(st["tokens_per_iter"], 3),
+                    "acceptance_rate": round(st["acceptance_rate"], 4),
+                }
+                print(json.dumps(rec), flush=True)
+                out_f.write(json.dumps(rec) + "\n")
     out_f.close()
     return 0
 

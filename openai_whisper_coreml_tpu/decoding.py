@@ -77,7 +77,8 @@ class DecodingOptions:
     # at B48; 192 exceeds the relay graph limit.
     stage_width: int = 64
     # speculative decoding: draft-proposal block size K (used when a draft
-    # model is passed to decode(); greedy only — see speculative.py)
+    # model is passed to decode(); greedy verifies by argmax agreement,
+    # temperature > 0 by rejection sampling — see speculative.py)
     spec_k: int = 4
 
     def __post_init__(self):
@@ -332,16 +333,27 @@ def greedy_decode_core(
     no_speech_prob = jax.nn.softmax(
         sot_logits.astype(jnp.float32), axis=-1)[:, cfg.no_speech_token]
 
-    def sample(logits, k):
+    rows_b = jnp.arange(b)
+
+    def sample(logits, pos):
+        """temperature > 0: COUNTER-BASED per-(row, absolute position) keys
+        — fold_in(fold_in(key, pos), row) — so a sampled token is a pure
+        function of (seed, row, position). That property is what makes the
+        sampled speculative path (speculative.py, whose rows sit at
+        DIFFERENT positions after per-row acceptance) seed-exact against
+        this lockstep loop when the draft equals the target."""
         def argmax(_):
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-        def sample_t(k):
-            return jax.random.categorical(
-                k, logits / jnp.maximum(temperature, 1e-6), axis=-1
+        def sample_t(_):
+            ks = jax.vmap(
+                lambda r: jax.random.fold_in(jax.random.fold_in(key, pos), r)
+            )(rows_b)
+            return jax.vmap(jax.random.categorical)(
+                ks, logits / jnp.maximum(temperature, 1e-6)
             ).astype(jnp.int32)
 
-        return jax.lax.cond(temperature > 0, sample_t, argmax, k)
+        return jax.lax.cond(temperature > 0, sample_t, argmax, 0)
 
     def make_step(frozen):
         def step(carry):
@@ -352,8 +364,7 @@ def greedy_decode_core(
                 logits, tokens, pos, cfg, prompt_len, suppress_mask,
                 blank_mask, use_timestamps, ts_max, max_initial_ts_index)
 
-            key, sub = jax.random.split(key)
-            tok = sample(filtered, sub)
+            tok = sample(filtered, pos)
             logprobs = jax.nn.log_softmax(filtered, axis=-1)
             tok_lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
 
@@ -740,11 +751,15 @@ def _decode_impl(
             all_scores, best[:, None], axis=1)[:, 0])
         n_sampled = np.asarray(jnp.take_along_axis(
             all_lens, best[:, None], axis=1)[:, 0])
-    elif (draft is not None and options.temperature == 0.0
-          and not (options.best_of and options.best_of > 1)
+    elif (draft is not None
+          and not (options.best_of and options.best_of > 1
+                   and options.temperature > 0)
           and options.cache_dtype != "int8"):
-        # speculative decoding: greedy only (a sampled chain can't be
-        # verified by argmax comparison); int8 self-cache unsupported
+        # speculative decoding: greedy rungs verify by argmax agreement;
+        # sampled rungs (t > 0, round-5) use rejection sampling, which
+        # preserves the plain sampled distribution exactly. best_of fan-out
+        # keeps the plain path (candidate geometry); int8 self-cache
+        # unsupported.
         from .speculative import check_pair, draft_features, spec_decode_core
 
         check_pair(cfg, draft.cfg)
@@ -753,6 +768,7 @@ def _decode_impl(
         # candidate writes overshoot by up to K columns; keep them in-context
         sample_len = min(sample_len,
                          cfg.n_text_ctx - prompt_len - options.spec_k - 1)
+        sampled = options.temperature > 0
         tokens, sum_lp, n_sampled, no_speech_prob, n_iters, n_drafted = (
             spec_decode_core(
                 model.params,
@@ -767,11 +783,14 @@ def _decode_impl(
                 jnp.int32(max_init_idx),
                 jnp.asarray(pad, jnp.int32),
                 jnp.asarray(sot_index, jnp.int32),
+                jnp.float32(options.temperature) if sampled else None,
+                jax.random.PRNGKey(seed) if sampled else None,
                 sample_len=sample_len,
                 use_timestamps=not options.without_timestamps,
                 prompt_len=prompt_len,
                 spec_k=options.spec_k,
                 kv_dtype=options.kv_dtype,
+                sampled=sampled,
             ))
         from . import speculative as _spec_mod
         from .speculative import spec_stats

@@ -443,8 +443,11 @@ def _decode_window_batches(model, windows: List[_Window], options,
             # paired draft (WhisperModel.draft): greedy rungs go speculative,
             # subject to the acceptance governor's break-even verdict
             # (getattr: serve accepts duck-typed models without the field)
+            # the draft rides every non-beam rung: greedy rungs verify by
+            # argmax agreement, t>0 fallback rungs by rejection sampling
+            # (round-5; decoding.py routes best_of fan-outs to plain)
             draft = (getattr(model, "draft", None)
-                     if t == 0 and rung.get("beam_size") is None else None)
+                     if rung.get("beam_size") is None else None)
             # the governor exists whenever a draft is paired; it also
             # ingests PLAIN decode walls (withheld batches, t>0 rungs) for
             # the live break-even calibration

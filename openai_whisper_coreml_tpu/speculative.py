@@ -72,7 +72,7 @@ def check_pair(cfg: WhisperConfig, cfg_d: WhisperConfig) -> None:
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "cfg_d", "sample_len", "use_timestamps",
-                     "prompt_len", "spec_k", "kv_dtype"),
+                     "prompt_len", "spec_k", "kv_dtype", "sampled"),
 )
 def spec_decode_core(
     params,
@@ -89,23 +89,47 @@ def spec_decode_core(
     max_initial_ts_index: Array,  # scalar int32; -1 disables
     pad_len: Array,  # int32 scalar or (B,)
     sot_index: Array,  # int32 scalar or (B,)
+    temperature: Optional[Array] = None,  # scalar fp32 (sampled mode only)
+    key: Optional[Array] = None,  # PRNG key (sampled mode only)
     *,
     sample_len: int,
     use_timestamps: bool,
     prompt_len: int,
     spec_k: int,
     kv_dtype: str = "bf16",
+    sampled: bool = False,
 ) -> Tuple[Array, Array, Array, Array, Array, Array]:
-    """Greedy speculative decode. Returns (tokens (B, P+sample_len), sum_lp,
+    """Speculative decode. Returns (tokens (B, P+sample_len), sum_lp,
     n_sampled, no_speech_prob, n_iters (B,), n_drafted (B,)).
 
     n_iters counts verify steps while the row was live; n_drafted counts
     draft proposals offered (= spec_k * n_iters) — acceptance rate per
     offered draft token is (n_sampled - n_iters) / n_drafted.
 
-    Token-exact vs greedy_decode_core(two_level=False) up to bf16 tiling
-    noise between the T=1 and T=K+1 decoder graphs (fp32 is bit-exact;
-    pinned by tests/test_speculative.py).
+    Greedy mode (sampled=False): token-exact vs
+    greedy_decode_core(two_level=False) up to bf16 tiling noise between the
+    T=1 and T=K+1 decoder graphs (fp32 is bit-exact; pinned by
+    tests/test_speculative.py).
+
+    Sampled mode (sampled=True, round-5): standard speculative REJECTION
+    sampling (Leviathan et al.) so the temperature-fallback rungs keep the
+    draft — the committed sequence is distributed EXACTLY as the plain
+    sampled loop's:
+      * the draft SAMPLES proposals d_j ~ q_j (its rules-filtered,
+        temperature-scaled distribution), with the same counter-based
+        per-(row, position) keys the plain loop uses
+        (decoding.greedy_decode_core sample());
+      * the verify walk accepts d_j with probability
+        min(1, p_j(d_j)/q_j(d_j)) using a fresh tagged uniform;
+      * the first rejection carries log(max(p_j - q_j, 0)) — the residual
+        distribution — and the next iteration's first token is drawn from
+        it with a tagged key (fresh randomness, never the proposal's);
+        accepted-through iterations carry the raw target logits and sample
+        exactly like the plain loop.
+    With draft == target every ratio is 1, nothing is ever rejected, and
+    the output is SEED-EXACT vs the plain sampled path (pinned by
+    tests/test_speculative.py); the per-position residual math is
+    distribution-checked by Monte-Carlo in the same file.
     """
     b = audio_features.shape[0]
     eot = cfg.eot_token
@@ -117,6 +141,32 @@ def spec_decode_core(
     buf_len = total_len + k + 1
     cache_len = min(-(-buf_len // 128) * 128, cfg.n_text_ctx)
     rows = jnp.arange(b)
+
+    if sampled:
+        if temperature is None or key is None:
+            raise ValueError(
+                "sampled speculative decode needs temperature and key")
+
+        def _scaled(x):
+            # the EXACT expression the plain loop feeds categorical
+            # (decoding.greedy_decode_core sample_t) — bit-identical scaled
+            # logits keep the gumbel argmax seed-exact across paths
+            return x / jnp.maximum(temperature, 1e-6)
+
+    def _keys_at(pos_vec, tag=None):
+        """Counter-based per-(row, absolute position) keys — the SAME
+        derivation as the plain loop's sample() (seed-exact parity when
+        draft == target); tags split off independent streams (1: residual
+        commit, 2: acceptance uniform) so rejection-path randomness is
+        never the rejected proposal's."""
+        def one(p, r):
+            kk = jax.random.fold_in(jax.random.fold_in(key, p), r)
+            return kk if tag is None else jax.random.fold_in(kk, tag)
+        return jax.vmap(one)(jnp.broadcast_to(pos_vec, (b,)), rows)
+
+    def _cat(keys, logits):
+        return jax.vmap(jax.random.categorical)(keys, logits).astype(
+            jnp.int32)
 
     if kv_dtype == "int8":
         cross_t = dec_mod.precompute_cross_kv_int8(params, cfg,
@@ -153,8 +203,12 @@ def spec_decode_core(
             use_timestamps, ts, max_initial_ts_index)
 
     def body(carry):
-        (tokens, pos, logits, finished, sum_lp, n_sampled, ts_max,
-         cache_t, cache_d, n_iters) = carry
+        if sampled:
+            (tokens, pos, logits, finished, sum_lp, n_sampled, ts_max,
+             cache_t, cache_d, n_iters, carried_res, ready) = carry
+        else:
+            (tokens, pos, logits, finished, sum_lp, n_sampled, ts_max,
+             cache_t, cache_d, n_iters) = carry
         # finished rows idle at pos <= total_len; the buffer's K+1 columns of
         # slack keep even their (gated/garbage) accesses in bounds, so pos is
         # NEVER clamped — a clamp would shrink the carried pos of a finished
@@ -162,7 +216,15 @@ def spec_decode_core(
 
         # -- 1) commit g: the token the carried target logits determine -----
         filt = rules(logits, tokens, pos, ts_max)
-        g = jnp.argmax(filt, axis=-1).astype(jnp.int32)
+        if sampled:
+            # ready rows commit from the carried RESIDUAL distribution
+            # (rejection correction, tagged key — fresh randomness); others
+            # sample from the target exactly like the plain loop
+            g_raw = _cat(_keys_at(pos), _scaled(filt))
+            g_res = _cat(_keys_at(pos, tag=1), carried_res)
+            g = jnp.where(ready, g_res, g_raw)
+        else:
+            g = jnp.argmax(filt, axis=-1).astype(jnp.int32)
         lp_g = jnp.take_along_axis(jax.nn.log_softmax(filt, axis=-1),
                                    g[:, None], axis=1)[:, 0]
         g = jnp.where(finished, eot, g)
@@ -173,10 +235,12 @@ def spec_decode_core(
         ts_max = jnp.where((g >= ts_begin) & ~finished, g, ts_max)
         fin_g = finished | (g == eot) | (pos + 1 >= total_len)
 
-        # -- 2) draft proposes d_1..d_K (rules-greedy chain) -----------------
+        # -- 2) draft proposes d_1..d_K (rules-filtered chain: greedy argmax
+        # or temperature sampling from q_j with the plain loop's keys) ------
         d_ts = ts_max
         d_tok, d_pos = g, pos
         d_list = []
+        q_list = []  # sampled mode: the draft distribution at each position
         dcache = cache_d
         for j in range(1, k + 1):
             d_logits, dcache = dec_mod.decode_step(
@@ -184,7 +248,12 @@ def spec_decode_core(
                 valid_from=pad_len)
             d_filt = rules(d_logits[:, 0].astype(jnp.float32), tokens,
                            d_pos + 1, d_ts)
-            d_next = jnp.argmax(d_filt, axis=-1).astype(jnp.int32)
+            if sampled:
+                q_j = jax.nn.softmax(_scaled(d_filt), axis=-1)
+                d_next = _cat(_keys_at(d_pos + 1), _scaled(d_filt))
+                q_list.append(q_j)
+            else:
+                d_next = jnp.argmax(d_filt, axis=-1).astype(jnp.int32)
             # the proposal lands in the token buffer NOW: the rule grammar at
             # position pos+j+1 reads tokens[pos+j] (candidate history). The
             # rejected tail stays as garbage above each row's write pointer
@@ -208,16 +277,43 @@ def spec_decode_core(
         # v_logits[:, j] predicts position pos+j+1 given candidates <= pos+j
 
         # -- 4) acceptance walk ----------------------------------------------
+        # greedy: keep the longest prefix where the target's rules-greedy
+        # choice equals the proposal. sampled: standard rejection sampling —
+        # accept d_j with prob min(1, p_j(d_j)/q_j(d_j)); the first
+        # rejection stashes the residual max(p_j - q_j, 0) for the next
+        # iteration's commit (distribution-exact vs the plain sampled loop).
         acc = jnp.zeros((b,), jnp.int32)
         accepting = ~fin_g
         eot_hit = (g == eot) & ~finished
         w_ts = ts_max
+        if sampled:
+            new_res = jnp.zeros((b, cfg.n_vocab), jnp.float32)
+            new_ready = jnp.zeros((b,), jnp.bool_)
         for j in range(k):
             filt_j = rules(v_logits[:, j].astype(jnp.float32), tokens,
                            pos + j + 1, w_ts)
-            g_j = jnp.argmax(filt_j, axis=-1).astype(jnp.int32)
             d_j = d_list[j]
-            match = accepting & (g_j == d_j)
+            if sampled:
+                p_j = jax.nn.softmax(_scaled(filt_j), axis=-1)
+                q_j = q_list[j]
+                p_d = jnp.take_along_axis(p_j, d_j[:, None], axis=1)[:, 0]
+                q_d = jnp.take_along_axis(q_j, d_j[:, None], axis=1)[:, 0]
+                u = jax.vmap(jax.random.uniform)(_keys_at(pos + j + 1,
+                                                          tag=2))
+                # u*q < p  <=>  u < p/q (q_d > 0: d_j was drawn from q_j)
+                match = accepting & (u * q_d < p_d)
+                rej = accepting & ~match
+                res_j = jnp.log(jnp.maximum(p_j - q_j, 0.0))
+                # p == q exactly => rejection has probability 0, but guard
+                # the all-empty residual against fp ties: fall back to p
+                has_mass = jnp.any(p_j > q_j, axis=-1)
+                res_j = jnp.where(has_mass[:, None], res_j,
+                                  jnp.log(jnp.maximum(p_j, 1e-38)))
+                new_res = jnp.where(rej[:, None], res_j, new_res)
+                new_ready = new_ready | rej
+            else:
+                g_j = jnp.argmax(filt_j, axis=-1).astype(jnp.int32)
+                match = accepting & (g_j == d_j)
             lp_j = jnp.take_along_axis(
                 jax.nn.log_softmax(filt_j, axis=-1), d_j[:, None],
                 axis=1)[:, 0]
@@ -236,8 +332,11 @@ def spec_decode_core(
         next_logits = jnp.where(finished[:, None], logits, next_logits)
         n_iters = n_iters + jnp.where(finished, 0, 1)
         new_finished = finished | eot_hit | (new_pos >= total_len)
-        return (tokens, new_pos, next_logits, new_finished, sum_lp,
-                n_sampled, ts_max, cache_t, dcache, n_iters)
+        out = (tokens, new_pos, next_logits, new_finished, sum_lp,
+               n_sampled, ts_max, cache_t, dcache, n_iters)
+        if sampled:
+            out = out + (new_res, new_ready & ~new_finished)
+        return out
 
     def cond(carry):
         finished = carry[3]
@@ -255,8 +354,11 @@ def spec_decode_core(
         cache_d,
         jnp.zeros((b,), jnp.int32),
     )
-    (tokens, pos, _, _, sum_lp, n_sampled, _, _, _, n_iters) = (
-        jax.lax.while_loop(cond, body, init))
+    if sampled:
+        init = init + (jnp.zeros((b, cfg.n_vocab), jnp.float32),
+                       jnp.zeros((b,), jnp.bool_))
+    fin = jax.lax.while_loop(cond, body, init)
+    (tokens, pos, _, _, sum_lp, n_sampled, _, _, _, n_iters) = fin[:10]
 
     # clear the rejected-candidate tail above each row's commit pointer
     col = jnp.arange(buf_len)[None, :]

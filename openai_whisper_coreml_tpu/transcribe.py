@@ -330,7 +330,10 @@ def transcribe(
                 without_timestamps=without_timestamps,
                 **rung_options,
             )
-            use_draft = draft_model if t == 0 else None
+            # greedy rung verifies by argmax agreement; t>0 retry rungs keep
+            # the draft via rejection sampling (round-5). best_of fan-outs
+            # take the plain path inside decoding.py.
+            use_draft = draft_model
             if use_draft is not None and spec_gov is not None:
                 if spec_gov.permit():
                     from . import speculative as _spec_mod

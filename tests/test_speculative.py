@@ -70,14 +70,31 @@ def _flat(cfg, params, feats, toks, pads, sots, *, sample_len,
 
 
 def _spec(cfg, cfg_d, params, params_d, feats, toks, pads, sots, *,
-          sample_len, use_timestamps, spec_k, kv_dtype="bf16"):
+          sample_len, use_timestamps, spec_k, kv_dtype="bf16",
+          temperature=None, seed=1):
+    sampled = temperature is not None
     out = spec_decode_core(
         params, params_d, cfg, cfg_d, feats, feats,
         jnp.asarray(toks),
         jnp.zeros((cfg.n_vocab,), bool), jnp.zeros((cfg.n_vocab,), bool),
         jnp.int32(50), jnp.asarray(pads), jnp.asarray(sots),
+        jnp.float32(temperature) if sampled else None,
+        jax.random.PRNGKey(seed) if sampled else None,
         sample_len=sample_len, use_timestamps=use_timestamps,
-        prompt_len=toks.shape[1], spec_k=spec_k, kv_dtype=kv_dtype)
+        prompt_len=toks.shape[1], spec_k=spec_k, kv_dtype=kv_dtype,
+        sampled=sampled)
+    return [np.asarray(o) for o in out]
+
+
+def _flat_sampled(cfg, params, feats, toks, pads, sots, *, sample_len,
+                  use_timestamps, temperature, seed=1):
+    out = decoding.greedy_decode_core(
+        params, cfg, feats, jnp.asarray(toks),
+        jnp.zeros((cfg.n_vocab,), bool), jnp.zeros((cfg.n_vocab,), bool),
+        jnp.float32(temperature), jax.random.PRNGKey(seed), jnp.int32(50),
+        jnp.asarray(pads), jnp.asarray(sots),
+        sample_len=sample_len, use_timestamps=use_timestamps,
+        prompt_len=toks.shape[1], two_level=False)
     return [np.asarray(o) for o in out]
 
 
@@ -176,6 +193,148 @@ def test_spec_through_decode_api(setup):
     for a, b in zip(base, spec):
         assert abs(a.avg_logprob - b.avg_logprob) < 1e-4
         assert abs(a.no_speech_prob - b.no_speech_prob) < 1e-5
+
+
+# -- sampled (rejection) speculative decoding — round 5 -----------------------
+
+
+def test_spec_sampled_seed_exact_self_draft(setup):
+    """Draft == target at temperature > 0: every ratio p/q is 1, nothing is
+    rejected, and the counter-based per-(row, position) keys make the
+    committed sequence SEED-EXACT vs the plain sampled loop (fp32 CPU)."""
+    cfg, _, params, _, feats = setup
+    toks, pads, sots = _inputs(cfg, 3, 4)
+    for temp, seed in ((0.8, 1), (1.3, 5)):
+        plain = _flat_sampled(cfg, params, feats, toks, pads, sots,
+                              sample_len=36, use_timestamps=True,
+                              temperature=temp, seed=seed)
+        spec = _spec(cfg, cfg, params, params, feats, toks, pads, sots,
+                     sample_len=36, use_timestamps=True, spec_k=4,
+                     temperature=temp, seed=seed)
+        np.testing.assert_array_equal(plain[0], spec[0])
+        np.testing.assert_array_equal(plain[2], spec[2])
+        np.testing.assert_allclose(plain[1], spec[1], atol=1e-4)
+
+
+def test_spec_sampled_distribution_preserved(setup):
+    """Rejection sampling must keep the committed sequence distributed
+    exactly as plain sampling: Monte-Carlo over seeds with a DISAGREEING
+    draft (frequent rejections -> the residual path does real work),
+    comparing the joint frequency of the first two sampled tokens.
+
+    The suppression mask narrows the live vocabulary to 12 tokens (the
+    rules filter both p and q, so this is a legal grammar, not a hack) —
+    a support small enough for empirical distributions to converge.
+    Total-variation distance between the two joints must sit at sampling
+    noise; a residual bug (committing from q, or reusing the rejected
+    proposal's randomness) shifts mass detectably (TV ~ 0.5+)."""
+    cfg, cfg_d, params, params_d, feats3 = setup
+    b, n_seeds = 32, 100
+    rng = np.random.default_rng(17)
+    feats = jnp.asarray(
+        rng.standard_normal((b, cfg.n_audio_ctx, cfg.n_audio_state)),
+        jnp.float32)
+    toks, pads, sots = _inputs(cfg, b, 4)
+    allowed = np.arange(100, 112)
+    suppress = np.ones((cfg.n_vocab,), bool)
+    suppress[allowed] = False  # EOT stays suppressed: rows decode 2 tokens
+
+    def run(fn_params, spec_mode, seed):
+        kw = dict(sample_len=2, use_timestamps=False, temperature=1.0,
+                  seed=seed)
+        if spec_mode:
+            out = spec_decode_core(
+                params, params_d, cfg, cfg_d, feats, feats,
+                jnp.asarray(toks), jnp.asarray(suppress),
+                jnp.zeros((cfg.n_vocab,), bool), jnp.int32(50),
+                jnp.asarray(pads), jnp.asarray(sots),
+                jnp.float32(1.0), jax.random.PRNGKey(seed),
+                sample_len=2, use_timestamps=False, prompt_len=4,
+                spec_k=1, sampled=True)
+        else:
+            out = decoding.greedy_decode_core(
+                params, cfg, feats, jnp.asarray(toks),
+                jnp.asarray(suppress), jnp.zeros((cfg.n_vocab,), bool),
+                jnp.float32(1.0), jax.random.PRNGKey(seed), jnp.int32(50),
+                jnp.asarray(pads), jnp.asarray(sots),
+                sample_len=2, use_timestamps=False, prompt_len=4,
+                two_level=False)
+        return [np.asarray(o) for o in out]
+
+    from collections import Counter
+
+    joint_plain, joint_spec = Counter(), Counter()
+    rejected_any = 0
+    for seed in range(n_seeds):
+        plain = run(params, False, seed)
+        spec = run(params, True, seed)
+        for row in plain[0]:
+            joint_plain[(int(row[4]), int(row[5]))] += 1
+        for row in spec[0]:
+            joint_spec[(int(row[4]), int(row[5]))] += 1
+        stats = spec_stats(spec[2], spec[4], spec[5])
+        rejected_any += stats["drafted"] - (stats["tokens"] - stats["iters"])
+    n = b * n_seeds
+    keys = set(joint_plain) | set(joint_spec)
+    tv = 0.5 * sum(abs(joint_plain[k_] - joint_spec[k_]) for k_ in keys) / n
+    # every committed token obeys the grammar
+    for (t1, t2) in keys:
+        assert t1 in allowed and t2 in allowed
+    # the disagreeing draft must actually exercise the rejection path
+    assert rejected_any > n_seeds, rejected_any
+    assert tv < 0.15, (tv, sorted(joint_plain.items())[:8],
+                       sorted(joint_spec.items())[:8])
+
+
+def test_spec_sampled_grammar_and_determinism(setup):
+    """Sampled spec under the timestamp grammar: same seed -> identical
+    output (pure function of the key), rejections occur, and committed
+    rows terminate inside the horizon with sane bookkeeping."""
+    cfg, cfg_d, params, params_d, feats = setup
+    toks, pads, sots = _inputs(cfg, 3, 4)
+    a = _spec(cfg, cfg_d, params, params_d, feats, toks, pads, sots,
+              sample_len=30, use_timestamps=True, spec_k=3,
+              temperature=0.7, seed=9)
+    b_ = _spec(cfg, cfg_d, params, params_d, feats, toks, pads, sots,
+               sample_len=30, use_timestamps=True, spec_k=3,
+               temperature=0.7, seed=9)
+    np.testing.assert_array_equal(a[0], b_[0])
+    np.testing.assert_array_equal(a[2], b_[2])
+    c = _spec(cfg, cfg_d, params, params_d, feats, toks, pads, sots,
+              sample_len=30, use_timestamps=True, spec_k=3,
+              temperature=0.7, seed=10)
+    assert not np.array_equal(a[0], c[0])  # a different seed moves tokens
+    assert a[0].shape[1] == 4 + 30
+    assert (a[2] <= 30).all() and (a[2] >= 1).all()
+
+
+def test_spec_sampled_through_decode_api(setup):
+    """decode(draft=..., temperature>0) routes to the sampled spec core and
+    the stats/timing plumbing reports a spec decode."""
+    from openai_whisper_coreml_tpu import speculative
+    from openai_whisper_coreml_tpu.models.whisper import WhisperModel
+
+    cfg, cfg_d, params, params_d, feats = setup
+    model = WhisperModel(cfg=cfg, params=params)
+    draft = WhisperModel(cfg=cfg_d, params=params_d)
+    opts = decoding.DecodingOptions(language="en", sample_len=16, spec_k=3,
+                                    temperature=0.8)
+    before = dict(speculative.TOTALS)
+    r1 = decoding.decode(model, feats, opts, from_features=True, draft=draft,
+                         seed=3)
+    assert speculative.TOTALS["iters"] > before["iters"]
+    assert speculative.LAST_TIMING["path"] == "spec"
+    r2 = decoding.decode(model, feats, opts, from_features=True, draft=draft,
+                         seed=3)
+    assert [r.tokens for r in r1] == [r.tokens for r in r2]  # deterministic
+    # best_of fan-out keeps the plain path (no spec geometry for candidates)
+    before = dict(speculative.TOTALS)
+    decoding.decode(model, feats,
+                    decoding.DecodingOptions(language="en", sample_len=8,
+                                             temperature=0.8, best_of=2),
+                    from_features=True, draft=draft, seed=3)
+    assert speculative.TOTALS["iters"] == before["iters"]
+    assert speculative.LAST_TIMING is None
 
 
 def test_spec_draft_token_space_mismatch():
