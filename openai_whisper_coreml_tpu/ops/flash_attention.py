@@ -358,9 +358,18 @@ def flash_attention_auto(
     (batch not divisible by the data axis, or heads by the model axis) —
     callers fall back to the sharding-clean jnp path.
     """
+    import os
+
+    # A/B hook for on-chip block sweeps through the REAL serving path
+    # (bench.py + WHISPER_TPU_FLASH_BLOCK_Q=1536 measures the bq1536
+    # single-pass variant end to end instead of in an isolated probe).
+    # Unset -> the kernel's measured default (512).
+    bq = os.environ.get("WHISPER_TPU_FLASH_BLOCK_Q")
+    block_q = int(bq) if bq else None
+
     mesh = jax.sharding.get_abstract_mesh()
     if mesh.empty:
-        return flash_attention(q, k, v, causal=causal)
+        return flash_attention(q, k, v, causal=causal, block_q=block_q)
 
     from ..parallel.mesh import AXIS_DATA, AXIS_MODEL
     from jax.sharding import PartitionSpec as P
@@ -373,7 +382,7 @@ def flash_attention_auto(
         return None
     spec = P(AXIS_DATA, None, AXIS_MODEL, None)
     fn = jax.shard_map(
-        functools.partial(flash_attention, causal=causal),
+        functools.partial(flash_attention, causal=causal, block_q=block_q),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

@@ -23,7 +23,7 @@ from openai_whisper_coreml_tpu.utils.checkpoint import save_params
 pytestmark = pytest.mark.slow
 
 
-def test_validate_real_gate_plumbing(tmp_path, rng):
+def test_validate_real_gate_plumbing(tmp_path, rng, capsys):
     from tools.validate_real import main as validate_main
 
     # a "converted checkpoint": tiny-test geometry registered under a name
@@ -116,11 +116,24 @@ def test_validate_real_gate_plumbing(tmp_path, rng):
             "--beam-wer-delta", "1e9",
             "--vad-wer-delta", "1e9",
             "--sched-wer-delta", "1e9",
+            "--stream-wer-delta", "1e9",  # random weights: plumbing only
             "--draft-weights", draft_ckpt, "--draft-model", "tiny-test",
             "--spec-k", "3",
             "--lora-weights", lora_ckpt,
         ])
         assert rc == 0
+        # every gate the assets enable must have RUN (the summary JSON is
+        # the CI coverage contract) — incl. round-5's streaming tier gate L
+        import json as _json
+
+        summary_line = [ln for ln in capsys.readouterr().out.splitlines()
+                        if ln.startswith('{"ok"')][-1]
+        summary = _json.loads(summary_line)
+        for g in ("transcript", "word_timestamps", "http", "prequantized",
+                  "wer", "beam", "vad", "scheduler", "speculative",
+                  "streaming", "multistream", "lora"):
+            assert g in summary, f"gate {g} did not run"
+        assert summary["streaming"]["tick_p50_ms"] > 0
         # the normaliser both sides must agree on the self-transcript
         norm = EnglishTextNormalizer()
         assert norm(expected) == norm(expected)

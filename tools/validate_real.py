@@ -41,6 +41,14 @@ Gates (each prints PASS/FAIL and a JSON summary line at the end):
   J. speculative (needs --draft-weights): greedy speculative decoding's WER
      within --spec-wer-delta of plain greedy, with the measured acceptance
      rate reported (docs/benchmarks.md round 4 projects RTFx from it).
+  L. streaming (needs --clip): StreamingTranscriber fed 0.5 s chunks must
+     commit text whose WER against the batch transcribe() of the same clip
+     is <= --stream-wer-delta (LocalAgreement confirmation is allowed to
+     differ at hypothesis boundaries, not to drop content), with per-tick
+     wall latency p50/p95 reported; MultiStreamTranscriber (2 concurrent
+     copies of the clip, batched tick decodes + per-stream conditioning)
+     must match the single-stream tier within the same delta on BOTH
+     streams.
   K. lora (needs --lora-weights: a checkpoint saved by tools/finetune.py
      --lora-rank N --no-merge-lora, adapters unmerged): transcribing --clip
      with runtime adapters equals transcribing with lora.merge_lora-merged
@@ -111,6 +119,8 @@ def main(argv=None) -> int:
     ap.add_argument("--skip-sched", action="store_true")
     ap.add_argument("--skip-http", action="store_true")
     ap.add_argument("--skip-prequantized", action="store_true")
+    ap.add_argument("--skip-streaming", action="store_true")
+    ap.add_argument("--stream-wer-delta", type=float, default=0.05)
     ap.add_argument("--draft-weights", default=None,
                     help="draft checkpoint for the speculative gate (e.g. "
                          "large-v3-turbo when validating large-v3)")
@@ -353,6 +363,61 @@ def main(argv=None) -> int:
               "wall_plain_s": round(t_plain, 2),
               "wall_spec_s": round(t_spec, 2),
               "last_batch_stats": spec_mod.LAST_STATS})
+
+    # ---- gate L: streaming tiers ---------------------------------------------
+    if args.clip and not args.skip_streaming:
+        import time as _time
+
+        import numpy as _np
+
+        from openai_whisper_coreml_tpu.eval.wer import compute_wer
+        from openai_whisper_coreml_tpu.stream import (
+            MultiStreamTranscriber, StreamingTranscriber)
+        from openai_whisper_coreml_tpu.utils.audio_io import load_audio
+
+        model = load_model(model_name, checkpoint=ckpt)
+        audio = load_audio(args.clip)
+        chunk = int(0.5 * 16_000)
+
+        st = StreamingTranscriber(model, language="en")
+        stream_text, ticks = [], []
+        for off in range(0, len(audio), chunk):
+            t0 = _time.perf_counter()
+            for ev in st.feed(audio[off : off + chunk]):
+                stream_text.append(ev.text)
+            ticks.append(_time.perf_counter() - t0)
+        for ev in st.finish():
+            stream_text.append(ev.text)
+        stream_text = "".join(stream_text)
+        # steady-state tick latency: drop the compile-spike ticks (first 3)
+        steady = sorted(ticks[3:]) or sorted(ticks)
+        p50 = steady[len(steady) // 2]
+        p95 = steady[min(len(steady) - 1, int(len(steady) * 0.95))]
+        ref = norm(clip_text)
+        wer_stream = compute_wer([ref], [norm(stream_text)]).wer
+        gate("streaming", wer_stream <= args.stream_wer_delta,
+             {"wer_vs_batch": round(wer_stream, 4),
+              "tick_p50_ms": round(p50 * 1e3, 1),
+              "tick_p95_ms": round(p95 * 1e3, 1),
+              "ticks": len(ticks)})
+
+        # multi-stream tier: 2 concurrent copies, batched ticks + per-stream
+        # prompt conditioning; both must match the batch transcript
+        mst = MultiStreamTranscriber(model, n_streams=2, language="en")
+        texts = {0: [], 1: []}
+        for off in range(0, len(audio), chunk):
+            mst.feed(0, audio[off : off + chunk])
+            mst.feed(1, audio[off : off + chunk])
+            for i, evs in mst.poll().items():
+                for ev in evs:
+                    texts[i].append(ev.text)
+        for i in (0, 1):
+            for ev in mst.finish(i):
+                texts[i].append(ev.text)
+        wers = [compute_wer([ref], [norm("".join(texts[i]))]).wer
+                for i in (0, 1)]
+        gate("multistream", max(wers) <= args.stream_wer_delta,
+             {"wer_vs_batch": [round(w, 4) for w in wers]})
 
     # ---- gate K: LoRA runtime adapters == merged weights ---------------------
     if args.lora_weights and args.clip:
