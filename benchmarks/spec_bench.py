@@ -22,7 +22,10 @@ Three measurements, one JSON line each:
 Env: SPEC_MODEL (large-v3), SPEC_DRAFT (large-v3-turbo), SPEC_BATCH (24),
 SPEC_K (4) or SPEC_KS (comma list — one process, models loaded once),
 SPEC_SAMPLE_LEN (224), SPEC_QUANTIZE (int8), SPEC_KV (int8),
-SPEC_SKIP_PROBE / SPEC_PROBE_ONLY, SPEC_REPEATS (3), SPEC_NO_BASELINE
+SPEC_SKIP_PROBE / SPEC_PROBE_ONLY, SPEC_REPEATS (3), SPEC_TEMPERATURE
+(>0 measures the round-5 REJECTION-SAMPLING iteration — the t>0 ladder
+rungs' kinetics; baselines then sample at the same temperature),
+SPEC_NO_BASELINE
 (skip the flat/two-level baseline decodes — the round-5 B48 retry: the
 round-4 "two cross-KV pools exceed HBM" negative was recorded from a
 process that ALSO allocated the baselines' caches; spec alone may fit).
@@ -65,6 +68,7 @@ def main() -> None:
     ks = [int(k) for k in os.environ.get(
         "SPEC_KS", os.environ.get("SPEC_K", "4")).split(",")]
     no_baseline = bool(os.environ.get("SPEC_NO_BASELINE"))
+    temp = float(os.environ.get("SPEC_TEMPERATURE", "0") or 0)
     sample_len = int(os.environ.get("SPEC_SAMPLE_LEN", "224"))
     quantize = os.environ.get("SPEC_QUANTIZE", "int8") or None
     kv_dtype = os.environ.get("SPEC_KV", "int8")
@@ -175,17 +179,26 @@ def main() -> None:
     feats = frontend(model.params, audio_dev)
     feats.block_until_ready()
 
-    def spec_run(f, sl, k):
+    sampled = temp > 0
+
+    def spec_core(f, sl, k):
         return spec_decode_core(
             model.params, draft.params, cfg, draft.cfg, f, f,
             initial_dev, suppress, blank, jnp.int32(50), jnp.int32(1),
-            jnp.int32(1), sample_len=sl, use_timestamps=True,
-            prompt_len=prompt_len, spec_k=k, kv_dtype=kv_dtype)[0]
+            jnp.int32(1),
+            jnp.float32(temp) if sampled else None,
+            jax.random.PRNGKey(0) if sampled else None,
+            sample_len=sl, use_timestamps=True,
+            prompt_len=prompt_len, spec_k=k, kv_dtype=kv_dtype,
+            sampled=sampled)
+
+    def spec_run(f, sl, k):
+        return spec_core(f, sl, k)[0]
 
     def flat_run(f, sl, two_level=False):
         return greedy_decode_core(
             model.params, cfg, f, initial_dev, suppress, blank,
-            jnp.float32(0.0), jax.random.PRNGKey(0), jnp.int32(50),
+            jnp.float32(temp), jax.random.PRNGKey(0), jnp.int32(50),
             jnp.int32(1), jnp.int32(1), sample_len=sl, use_timestamps=True,
             prompt_len=prompt_len, kv_dtype=kv_dtype,
             two_level=two_level)[0]
@@ -215,18 +228,10 @@ def main() -> None:
         t_short = timed(lambda f: spec_run(f, short_len, spec_k), feats)
         t_full = timed(lambda f: spec_run(f, sample_len, spec_k), feats)
         # iteration counts from an actual run (device arrays -> host)
-        out = spec_decode_core(
-            model.params, draft.params, cfg, draft.cfg, feats, feats,
-            initial_dev, suppress, blank, jnp.int32(50), jnp.int32(1),
-            jnp.int32(1), sample_len=sample_len, use_timestamps=True,
-            prompt_len=prompt_len, spec_k=spec_k, kv_dtype=kv_dtype)
+        out = spec_core(feats, sample_len, spec_k)
         n_sampled = np.asarray(out[2])
         iters_full = int(np.max(np.asarray(out[4])))
-        out_s = spec_decode_core(
-            model.params, draft.params, cfg, draft.cfg, feats, feats,
-            initial_dev, suppress, blank, jnp.int32(50), jnp.int32(1),
-            jnp.int32(1), sample_len=short_len, use_timestamps=True,
-            prompt_len=prompt_len, spec_k=spec_k, kv_dtype=kv_dtype)
+        out_s = spec_core(feats, short_len, spec_k)
         iters_short = int(np.max(np.asarray(out_s[4])))
 
         c_iter = (t_full - t_short) / max(iters_full - iters_short, 1)
@@ -274,7 +279,8 @@ def main() -> None:
         print(json.dumps({
             "metric": f"spec_decode_{model_name.replace('-', '_')}"
                       f"_draft_{draft_name.replace('-', '_')}"
-                      f"_b{batch}_k{spec_k}",
+                      f"_b{batch}_k{spec_k}"
+                      + (f"_t{temp}" if sampled else ""),
             "unit": "audio_sec/sec/chip",
             "value": round(rtfx_floor, 2),
             "vs_baseline": round(rtfx_floor / 150.0, 3),
