@@ -442,9 +442,20 @@ def spec_stats(n_sampled: np.ndarray, n_iters: np.ndarray,
 # live number once both cost terms have evidence — a B48 server no longer
 # silently runs B24 numbers, and new hardware/model pairs self-calibrate.
 _KINETICS = {
-    # batch: (iter_ms_base, iter_ms_per_k, plain_ms_per_token)
+    # batch: (iter_ms_base, iter_ms_per_k, plain_ms_per_token).
+    # B1 from the round-4 streaming-geometry run; B8-B32 from the round-5
+    # same-session sweep (benchmarks/tpu_queue_r5.sh: spec K=4,8 + flat +
+    # two-level baselines measured in ONE process per batch; fit of the two
+    # K points, plain = two-level ms/token). B24 reproduced round-4 within
+    # noise (29.06 vs 29.05 ms/iter). Large-v3 target + large-v3-turbo
+    # draft, int8 weights + int8 cross-KV, v5e via the axon relay. This is
+    # only the PRIOR: SpecGovernor self-calibrates from walled decodes at
+    # the live geometry once enough observations accumulate.
     1: (6.77, 0.4075, 2.27),
-    24: (20.5, 2.13, 8.97),
+    8: (7.56, 1.39, 4.53),
+    16: (16.49, 1.545, 6.52),
+    24: (20.46, 2.15, 8.95),
+    32: (25.37, 3.12, 11.07),
 }
 
 

@@ -36,27 +36,35 @@ from openai_whisper_coreml_tpu.speculative import (
 
 
 def test_break_even_model():
-    # measured kinetics: K=4 -> 29.05 ms/iter vs 8.97 ms/token two-level
-    assert break_even_tokens_per_iter(4) == pytest.approx(3.24, abs=0.02)
-    assert break_even_tokens_per_iter(8) == pytest.approx(4.19, abs=0.02)
+    # round-5 same-session sweep (tpu_queue_r5.sh): K=4 -> 29.06 ms/iter vs
+    # 8.95 ms/token two-level at B24
+    assert break_even_tokens_per_iter(4) == pytest.approx(3.25, abs=0.02)
+    assert break_even_tokens_per_iter(8) == pytest.approx(4.21, abs=0.02)
     # batch-1 calibration (streaming): measured 3.70 / 4.41 on chip
     assert break_even_tokens_per_iter(4, batch=1) == pytest.approx(
         3.70, abs=0.02)
     assert break_even_tokens_per_iter(8, batch=1) == pytest.approx(
         4.41, abs=0.02)
-    # break-even rises as batch shrinks (fixed draft overhead vs cheaper
-    # per-token target steps)
+    # per-batch sweep points (same-session baselines at each geometry)
+    assert break_even_tokens_per_iter(4, batch=8) == pytest.approx(
+        2.90, abs=0.02)
+    assert break_even_tokens_per_iter(4, batch=16) == pytest.approx(
+        3.48, abs=0.02)
+    assert break_even_tokens_per_iter(4, batch=32) == pytest.approx(
+        3.42, abs=0.02)
+    # B1 keeps the highest break-even (fixed draft overhead vs cheaper
+    # per-token target steps); B8 is the sweep's most spec-favourable point
     assert (break_even_tokens_per_iter(4, batch=1)
-            > break_even_tokens_per_iter(4, batch=24))
-    # nearest-in-log-batch selection: 4 -> B1 cal, 8 -> B24 cal, 48 -> B24
+            > break_even_tokens_per_iter(4, batch=24)
+            > break_even_tokens_per_iter(4, batch=8))
+    # nearest-in-log-batch selection: 4 -> B8 cal (log-nearer than B1),
+    # 48 -> B32 cal
     assert (break_even_tokens_per_iter(4, batch=4)
-            == break_even_tokens_per_iter(4, batch=1))
-    assert (break_even_tokens_per_iter(4, batch=8)
-            == break_even_tokens_per_iter(4, batch=24))
+            == break_even_tokens_per_iter(4, batch=8))
     assert (break_even_tokens_per_iter(4, batch=48)
-            == break_even_tokens_per_iter(4, batch=24))
+            == break_even_tokens_per_iter(4, batch=32))
     # monotonic in K, and always above 1 token/iter
-    for b in (1, 24):
+    for b in (1, 8, 16, 24, 32):
         vals = [break_even_tokens_per_iter(k, batch=b)
                 for k in (1, 2, 4, 8, 16)]
         assert all(y > x for x, y in zip(vals, vals[1:]))
