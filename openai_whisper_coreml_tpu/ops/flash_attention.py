@@ -172,11 +172,17 @@ def _flash_forward(
     # Whisper head_dim is 64, so the QK^T contraction only half-fills the MXU;
     # large tiles amortise that. At encoder geometry (1500 -> 1536) the whole
     # KV fits one block (online softmax degenerates to one pass), which
-    # benchmarked ~4x faster than 128x128 tiling on v5e.
-    if block_q is None:
-        block_q = min(512, _round_up(tq, 128))
+    # benchmarked ~4x faster than 128x128 tiling on v5e. When the KV is a
+    # single block, the query side also runs as ONE block (encoder: 1536,
+    # i.e. one kernel invocation per (batch, head)) — measured 291.16 vs
+    # 290.62 RTFx through the full B48 champion bench (round 5, same
+    # session; scores tile 1536x1536 f32 = 9.4 MB, comfortably in VMEM).
+    # Multi-block KV keeps the 512 query tile.
     if block_k is None:
         block_k = min(1536, _round_up(tk, 128))
+    if block_q is None:
+        cap = 1536 if _round_up(tk, 128) <= block_k else 512
+        block_q = min(cap, _round_up(tq, 128))
 
     tq_p = _round_up(tq, block_q)
     tk_p = _round_up(tk, block_k)
@@ -361,9 +367,11 @@ def flash_attention_auto(
     import os
 
     # A/B hook for on-chip block sweeps through the REAL serving path
-    # (bench.py + WHISPER_TPU_FLASH_BLOCK_Q=1536 measures the bq1536
-    # single-pass variant end to end instead of in an isolated probe).
-    # Unset -> the kernel's measured default (512).
+    # (bench.py + WHISPER_TPU_FLASH_BLOCK_Q=N overrides the query tile end
+    # to end instead of in an isolated probe). Unset -> the kernel's
+    # geometry-aware default (single-block KV -> full-query tile, 1536 at
+    # encoder geometry — promoted round 5 after 291.16 vs 290.62 RTFx
+    # through the champion bench; multi-block KV -> 512).
     bq = os.environ.get("WHISPER_TPU_FLASH_BLOCK_Q")
     block_q = int(bq) if bq else None
 

@@ -158,14 +158,32 @@ _ALIGN_BUCKETS = (32, 64, 128, 256, 512)
 
 def _median_filter_dev(x, width: int):
     """jnp median filter over the last axis, reflect padding — mirrors
-    median_filter (np.pad mode='reflect' + sliding median) on device."""
+    median_filter (np.pad mode='reflect' + sliding median) on device.
+
+    The median is selected by an odd-even transposition network over the
+    `width` shifted views (pairwise min/max passes) instead of
+    jnp.median's stack+sort: sorting a stacked (..., width) axis
+    materialises the full windowed tensor TWICE (values + stable-sort
+    iota, each padded ~1.2x by the (8,128) tile) — measured 2x7.5 GB and
+    an HBM OOM for the batched alignment core at large-v3 B8
+    (benchmarks/wordts_bench.py, round 5). The comparator network is all
+    elementwise min/max on shifted slices, which XLA fuses into one
+    kernel, and selects the EXACT same order statistic (odd width, no
+    NaNs: softmax-derived inputs)."""
+    assert width % 2 == 1, "median filter width must be odd"
     pad = width // 2
     left = x[..., 1:pad + 1][..., ::-1]
     right = x[..., -pad - 1:-1][..., ::-1]
     xp = jnp.concatenate([left, x, right], axis=-1)
-    win = jnp.stack([xp[..., k:k + x.shape[-1]] for k in range(width)],
-                    axis=-1)
-    return jnp.median(win, axis=-1)
+    parts = [xp[..., k:k + x.shape[-1]] for k in range(width)]
+    # odd-even transposition sort: `width` alternating passes of pairwise
+    # compare-exchange sort any width-length sequence; take the middle.
+    for p in range(width):
+        for i in range(p % 2, width - 1, 2):
+            lo = jnp.minimum(parts[i], parts[i + 1])
+            hi = jnp.maximum(parts[i], parts[i + 1])
+            parts[i], parts[i + 1] = lo, hi
+    return parts[width // 2]
 
 
 def _alignment_core(params, tokens, audio_features, li, hi, t_valid,
@@ -200,38 +218,96 @@ _alignment_core_jit = jax.jit(
     _alignment_core, static_argnames=("cfg", "medfilt_width"))
 
 
-def _alignment_core_batch(params, tokens, audio_features, li, hi, t_valid,
-                          gather_pos, gather_ids, *, cfg, medfilt_width):
+def _alignment_core_batch(params, tokens, audio_features, head_mask, n_sel,
+                          t_valid, gather_pos, gather_ids, *, cfg,
+                          medfilt_width):
     """Batched _alignment_core over FULL windows (n_audio == S for every
     row, so the single-window path's reflect-at-n_audio tail correction
-    never applies). tokens (B, T_bucket); t_valid/gather_* per row. Returns
-    (text_probs (B, T_bucket), matrix (B, T_bucket, S)).
+    never applies). tokens (B, T_bucket); head_mask (L, H) f32 alignment-
+    head selection; n_sel = head_mask.sum(); t_valid/gather_* per row.
+    Returns (text_probs (B, T_bucket), matrix (B, T_bucket, S)).
 
     Serving runs one alignment forward per window today; a 96-window
     word-timestamp workload pays 96 relay dispatches (~30 ms each,
     CLAUDE.md) plus 96 M=T matmul chains the MXU ingests one window at a
     time. Batching the full windows of each encoder chunk into ONE call
-    amortises both (serve._align_words)."""
-    logits, weights = _cross_attention_weights(params, cfg, tokens,
-                                               audio_features)
+    amortises both (serve._align_words).
+
+    Unlike the single-window core, the standardise/median-filter/head-mean
+    post-processing runs INSIDE the layer scan and only a (B, T, S) f32
+    accumulator is carried: stacking every layer's cross-attention weights
+    as scan ys — (L, B, H, T, S) f32 — is 14.7 GB for large-v3 at B24 and
+    OOM'd at B8 once the median filter doubled it (round-5
+    wordts_bench run). Per-layer peak is now one (B, H, T, S) f32 plus
+    fused elementwise temps. Standardisation and filtering are per-head,
+    so fusing changes only the head-mean summation order (f32, ~1e-7)."""
+    cross_kv = dec_mod.precompute_cross_kv(params, cfg, audio_features)
+    compute_dtype = params["decoder"]["token_embedding"].dtype
+    x = dec_mod.embed_tokens(params, cfg, tokens, 0, compute_dtype)
+    n_head = cfg.n_text_head
+    b, t_bucket = tokens.shape
+    s = cross_kv.k.shape[-1]  # d-major (L, B, H, D, S)
+
+    tmask = (jnp.arange(t_bucket)[None, :]
+             < t_valid[:, None])[:, None, :, None]  # (B, 1, T, 1)
+    cnt = jnp.maximum(t_valid, 1).astype(jnp.float32)[:, None, None, None]
+
+    def body(carry, xs):
+        x, acc = carry
+        layer_params, xk, xv, mask_l = xs
+        from .models.layers import attention_core, merge_heads
+
+        t = x.shape[1]
+        causal = jnp.tril(jnp.ones((t, t), jnp.bool_))[None, None]
+        h = layer_norm(x, layer_params["attn_ln"])
+        p = layer_params["attn"]
+        q = split_heads(linear(h, p["q"]), n_head)
+        k = split_heads(linear(h, p["k"]), n_head)
+        v = split_heads(linear(h, p["v"]), n_head)
+        x = x + linear(merge_heads(attention_core(q, k, v, mask=causal)),
+                       p["out"])
+
+        cp = layer_params["cross_attn"]
+        h2 = layer_norm(x, layer_params["cross_attn_ln"])
+        q2 = split_heads(linear(h2, cp["q"]), n_head)
+        d = q2.shape[-1]
+        scale = d ** -0.25
+        logits2 = jnp.einsum("bqhd,bhds->bhqs", (q2 * scale).astype(q2.dtype),
+                             (xk * scale).astype(xk.dtype),
+                             preferred_element_type=jnp.float32,
+                             precision=matmul_precision(q2.dtype))
+        w = jax.nn.softmax(logits2.astype(jnp.float32), axis=-1)  # (B,H,T,S)
+        out2 = jnp.einsum("bhqs,bhds->bqhd", w.astype(xv.dtype), xv,
+                          preferred_element_type=jnp.float32,
+                          precision=matmul_precision(xv.dtype))
+        x = x + linear(merge_heads(out2.astype(x.dtype)), cp["out"])
+
+        from .models.layers import mlp
+
+        x = x + mlp(layer_norm(x, layer_params["mlp_ln"]), layer_params["mlp"])
+
+        # per-frame standardisation over VALID tokens (per head, per layer
+        # — independent across layers, so safe to fuse into the scan)
+        mean = jnp.sum(jnp.where(tmask, w, 0.0), axis=-2, keepdims=True) / cnt
+        var = jnp.sum(jnp.where(tmask, (w - mean) ** 2, 0.0),
+                      axis=-2, keepdims=True) / cnt
+        std = (w - mean) / (jnp.sqrt(var) + 1e-8)
+        filt = _median_filter_dev(std, medfilt_width)
+        acc = acc + jnp.einsum("h,bhts->bts", mask_l, filt)
+        return (x, acc), None
+
+    acc0 = jnp.zeros((b, t_bucket, s), jnp.float32)
+    (x, acc), _ = jax.lax.scan(
+        body, (x, acc0),
+        (params["decoder"]["blocks"], cross_kv.k, cross_kv.v, head_mask))
+    logits = dec_mod.final_logits(params, x)
+
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     # per-row double gather: probs[b, gather_pos[b,t], gather_ids[b,t]]
     by_pos = jnp.take_along_axis(probs, gather_pos[:, :, None], axis=1)
     text_probs = jnp.take_along_axis(by_pos, gather_ids[:, :, None],
                                      axis=2)[:, :, 0]
-
-    # (L, B, H, T, S) -> (n_sel, B, T, S); advanced indices on axes 0 and 2
-    # move to the front
-    sel = weights[li, :, hi].astype(jnp.float32)
-    tmask = (jnp.arange(sel.shape[2])[None, :]
-             < t_valid[:, None])[None, :, :, None]
-    cnt = jnp.maximum(t_valid, 1).astype(jnp.float32)[None, :, None, None]
-    mean = jnp.sum(jnp.where(tmask, sel, 0.0), axis=-2, keepdims=True) / cnt
-    var = jnp.sum(jnp.where(tmask, (sel - mean) ** 2, 0.0),
-                  axis=-2, keepdims=True) / cnt
-    sel = (sel - mean) / (jnp.sqrt(var) + 1e-8)
-    filt = _median_filter_dev(sel, medfilt_width)
-    matrix = filt.mean(axis=0)  # (B, T_bucket, S)
+    matrix = acc / n_sel  # (B, T_bucket, S)
     return text_probs, matrix
 
 
@@ -570,7 +646,8 @@ def find_word_alignment_batch(
 
         probs_d, matrix_d = _alignment_core_batch_jit(
             model.params, jnp.asarray(toks_b), feats_b,
-            jnp.asarray(li, jnp.int32), jnp.asarray(hi, jnp.int32),
+            jnp.asarray(alignment_heads, jnp.float32),
+            jnp.float32(max(1, li.size)),
             jnp.asarray(t_valid), jnp.asarray(gather_pos),
             jnp.asarray(gather_ids), cfg=cfg, medfilt_width=medfilt_width)
         probs_h = np.asarray(probs_d)
