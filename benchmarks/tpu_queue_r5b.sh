@@ -53,10 +53,8 @@ step "[7] beam + word-timestamps combined row (medium B8 champion int8)" \
 step "[8] reproducible spec floor row via bench.py (BENCH_SPEC=1, B24)" \
   env BENCH_SPEC=1 BENCH_BATCH=24 python bench.py
 
-echo "=== queue r5b complete ==="
-
 step "[9] sampled-spec kinetics (rejection-sampling rung, B24 K4 t0.7)" \
   env SPEC_SKIP_PROBE=1 SPEC_KS=4 SPEC_BATCH=24 SPEC_TEMPERATURE=0.7 \
   python benchmarks/spec_bench.py
 
-echo "=== queue r5b (incl. sampled kinetics) complete ==="
+echo "=== queue r5b complete ==="

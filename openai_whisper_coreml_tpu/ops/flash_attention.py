@@ -32,6 +32,17 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 LANES = 128
 
+# WHISPER_TPU_FLASH_BLOCK_Q: query-tile override for on-chip A/B sweeps,
+# snapshotted at import — flash_attention_auto runs under the caller's jit,
+# so a mid-process change could never retrace (it would silently re-measure
+# the first compiled geometry); one process per setting is the sweep
+# protocol (benchmarks/tpu_queue_r5b.sh).
+import os as _os  # noqa: E402
+
+_env_bq = _os.environ.get("WHISPER_TPU_FLASH_BLOCK_Q")
+_ENV_BLOCK_Q: Optional[int] = int(_env_bq) if _env_bq else None
+del _env_bq
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -364,16 +375,17 @@ def flash_attention_auto(
     (batch not divisible by the data axis, or heads by the model axis) —
     callers fall back to the sharding-clean jnp path.
     """
-    import os
-
     # A/B hook for on-chip block sweeps through the REAL serving path
     # (bench.py + WHISPER_TPU_FLASH_BLOCK_Q=N overrides the query tile end
     # to end instead of in an isolated probe). Unset -> the kernel's
     # geometry-aware default (single-block KV -> full-query tile, 1536 at
     # encoder geometry — promoted round 5 after 291.16 vs 290.62 RTFx
-    # through the champion bench; multi-block KV -> 512).
-    bq = os.environ.get("WHISPER_TPU_FLASH_BLOCK_Q")
-    block_q = int(bq) if bq else None
+    # through the champion bench; multi-block KV -> 512). Read ONCE at
+    # import (module constant): this call sits under the caller's jit, so a
+    # mid-process env change could never retrace — it would silently reuse
+    # the first compiled geometry. One process per setting (as the queue
+    # scripts run) is the only honest sweep protocol.
+    block_q = _ENV_BLOCK_Q
 
     mesh = jax.sharding.get_abstract_mesh()
     if mesh.empty:

@@ -454,8 +454,9 @@ def _decode_window_batches(model, windows: List[_Window], options,
             gov = (spec_governor(model, options)
                    if getattr(model, "draft", None) is not None
                    and options.spec_fallback else None)
+            sampled_rung = float(t) > 0
             if gov is not None and draft is not None:
-                if gov.permit():
+                if gov.permit(sampled=sampled_rung):
                     _spec_mod.LAST_STATS = None  # observe only THIS decode
                 else:
                     draft = None
@@ -463,7 +464,7 @@ def _decode_window_batches(model, windows: List[_Window], options,
                          DecodingOptions(temperature=float(t), **rung),
                          draft=draft)
             if gov is not None and draft is not None:
-                gov.observe(_spec_mod.LAST_STATS)
+                gov.observe(_spec_mod.LAST_STATS, sampled=sampled_rung)
             if gov is not None:
                 gov.observe_timing(_spec_mod.LAST_TIMING)
             still: List[int] = []

@@ -168,6 +168,9 @@ class WhisperHTTPServer:
                         self.metrics.set_gauge(
                             "spec_draft_active",
                             0.0 if gov.disabled else 1.0)
+                        self.metrics.set_gauge(
+                            "spec_draft_active_sampled",
+                            0.0 if gov.disabled_sampled else 1.0)
                         # live break-even calibration (SpecGovernor): the
                         # threshold in force plus the two walled cost terms
                         # behind it (absent until each has evidence)

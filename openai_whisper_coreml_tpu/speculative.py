@@ -505,7 +505,13 @@ class SpecGovernor:
     already pays a device sync, so decoding.py walls the core call and
     publishes LAST_TIMING; feeding those here maintains windowed medians of
     spec ms/iteration and plain ms/token at the LIVE geometry (model pair,
-    batch, chip, K). Once both terms have ``calib_min_obs`` observations the
+    batch, chip, K). Walls are bucketed BY geometry — spec by (batch, K,
+    sampled), plain by batch — and the threshold is the ratio at the most
+    recent spec geometry's bucket pair: per-batch kinetics differ ~4x
+    (ms/token 2.27 at B1 vs 8.95 at B24, _KINETICS), so mixing a remainder
+    chunk's B1 plain wall into a B24 server's calibration would set an
+    unreachable threshold and permanently withhold a profitable draft.
+    Once both matched buckets have ``calib_min_obs`` observations the
     threshold becomes their ratio; before that it is the constructor prior
     (the round-4 static table). Medians, not EMAs, so the one
     compile-poisoned first wall per graph cannot skew the estimate. Two
@@ -516,6 +522,15 @@ class SpecGovernor:
     (the cheap direction: a withheld draft forgoes upside; a mis-enabled
     one pays the measured 27% regression). ``pinned=True`` (an explicit
     user threshold) disables calibration.
+
+    Acceptance evidence is tracked PER REGIME (greedy argmax verification
+    vs t>0 rejection sampling — ``sampled=True`` on permit/observe):
+    rejection sampling naturally accepts fewer proposals at high
+    temperature, and a burst of hard-audio fallback rungs must not disable
+    the draft for healthy greedy traffic (or vice versa). Each regime
+    keeps its own window, verdict, and reprobe counter; ``disabled`` and
+    ``tokens_per_iter`` expose the greedy regime (the primary rung — the
+    /metrics gauges; ``disabled_sampled`` for the other).
 
     Single-threaded by design (the serving batch worker is one thread;
     transcribe() is one call) — no locking.
@@ -535,85 +550,136 @@ class SpecGovernor:
         self.reprobe_every = int(reprobe_every)
         self.calib_window = int(calib_window)
         self.calib_min_obs = int(calib_min_obs)
-        self._obs: list = []  # [(tokens, iters), ...] newest last
-        self._iter_ms: list = []  # spec ms/iteration walls, newest last
-        self._tok_ms: list = []  # plain ms/token walls, newest last
-        self._skips = 0
-        self.disabled = False
+        # per-regime acceptance state, keyed by sampled: False = greedy
+        # argmax verification, True = t>0 rejection sampling
+        self._obs = {False: [], True: []}  # [(tokens, iters), ...]
+        self._skips = {False: 0, True: 0}
+        self._disabled = {False: False, True: False}
+        # kinetics walls bucketed by geometry (timings without the batch/k
+        # fields all land in one None bucket — still self-consistent)
+        self._iter_ms: dict = {}  # (batch, k, sampled) -> [ms/iter, ...]
+        self._tok_ms: dict = {}  # batch -> [ms/token, ...]
+        self._geom = {False: None, True: None}  # newest spec (batch, k, s)
+        self._tok_geom = None  # newest plain batch (pre-spec gauge fallback)
+
+    @property
+    def disabled(self) -> bool:
+        return self._disabled[False]
+
+    @disabled.setter
+    def disabled(self, value: bool) -> None:
+        self._disabled[False] = bool(value)
+
+    @property
+    def disabled_sampled(self) -> bool:
+        return self._disabled[True]
 
     @property
     def tokens_per_iter(self) -> Optional[float]:
-        iters = sum(i for _, i in self._obs)
+        iters = sum(i for _, i in self._obs[False])
         if iters == 0:
             return None
-        return sum(t for t, _ in self._obs) / iters
+        return sum(t for t, _ in self._obs[False]) / iters
 
     # -- live kinetics calibration -------------------------------------------
 
+    def _iter_list(self, sampled: bool) -> Optional[list]:
+        key = self._geom[sampled]
+        return None if key is None else self._iter_ms.get(key)
+
+    def _tok_list(self, sampled: bool) -> Optional[list]:
+        key = self._geom[sampled]
+        batch = key[0] if key is not None else self._tok_geom
+        return self._tok_ms.get(batch)
+
     @property
     def live_iter_ms(self) -> Optional[float]:
-        return _median(self._iter_ms) if self._iter_ms else None
+        walls = self._iter_list(False)
+        return _median(walls) if walls else None
 
     @property
     def live_tok_ms(self) -> Optional[float]:
-        return _median(self._tok_ms) if self._tok_ms else None
+        walls = self._tok_list(False)
+        return _median(walls) if walls else None
+
+    def _calibrated(self, sampled: bool) -> bool:
+        if self.pinned:
+            return False
+        iters, toks = self._iter_list(sampled), self._tok_list(sampled)
+        return (iters is not None and len(iters) >= self.calib_min_obs
+                and toks is not None and len(toks) >= self.calib_min_obs)
 
     @property
     def calibrated(self) -> bool:
-        return (not self.pinned
-                and len(self._iter_ms) >= self.calib_min_obs
-                and len(self._tok_ms) >= self.calib_min_obs)
+        return self._calibrated(False)
+
+    def _threshold_for(self, sampled: bool) -> float:
+        if self._calibrated(sampled):
+            # a threshold <=1 would be unfalsifiable (tpi >= 1 always);
+            # floor just above it so a degenerate calibration cannot lock
+            # the draft permanently ON
+            return max(1.0 + 1e-6, _median(self._iter_list(sampled))
+                       / _median(self._tok_list(sampled)))
+        return self.prior_threshold
 
     @property
     def threshold(self) -> float:
         """Break-even tokens/iteration: live once calibrated, else prior."""
-        if self.calibrated:
-            # a threshold <=1 would be unfalsifiable (tpi >= 1 always);
-            # floor just above it so a degenerate calibration cannot lock
-            # the draft permanently ON
-            return max(1.0 + 1e-6, self.live_iter_ms / self.live_tok_ms)
-        return self.prior_threshold
+        return self._threshold_for(False)
 
     def observe_timing(self, timing: Optional[dict]) -> None:
         """Feed one decode()'s LAST_TIMING (None-safe). Spec walls calibrate
-        ms/iteration; plain walls (withheld batches, probe misses, sampled
-        fallback rungs — same lockstep loop) calibrate ms/token."""
+        ms/iteration; plain walls (withheld batches, probe misses, routed
+        best_of fan-outs — same lockstep loop) calibrate ms/token. Both are
+        bucketed by the wall's geometry so decodes at a different batch
+        (remainder chunks, batch-1 transcribe calls) never contaminate the
+        serving batch's break-even ratio."""
         if self.pinned or not timing or timing.get("units", 0) <= 0:
             return
         per_unit = timing["wall_s"] * 1e3 / timing["units"]
-        dest = (self._iter_ms if timing.get("path") == "spec"
-                else self._tok_ms if timing.get("path") == "plain" else None)
-        if dest is None:
+        if timing.get("path") == "spec":
+            sampled = bool(timing.get("temperature") or 0.0)
+            key = (timing.get("batch"), timing.get("k"), sampled)
+            self._geom[sampled] = key
+            dest = self._iter_ms.setdefault(key, [])
+        elif timing.get("path") == "plain":
+            batch = timing.get("batch")
+            self._tok_geom = batch
+            dest = self._tok_ms.setdefault(batch, [])
+        else:
             return
         dest.append(per_unit)
         if len(dest) > self.calib_window:
             del dest[: len(dest) - self.calib_window]
 
-    def permit(self) -> bool:
-        """Should the NEXT decode batch use the draft?"""
-        if not self.disabled:
+    def permit(self, sampled: bool = False) -> bool:
+        """Should the NEXT decode batch use the draft? Per-regime verdict:
+        greedy (default) and sampled rungs reprobe independently."""
+        if not self._disabled[sampled]:
             return True
-        self._skips += 1
-        if self._skips >= self.reprobe_every:
-            self._skips = 0
+        self._skips[sampled] += 1
+        if self._skips[sampled] >= self.reprobe_every:
+            self._skips[sampled] = 0
             return True  # probe batch: measure whether acceptance recovered
         return False
 
-    def observe(self, stats: Optional[dict]) -> None:
+    def observe(self, stats: Optional[dict], sampled: bool = False) -> None:
         """Feed one decode batch's LAST_STATS (None-safe: a decode that took
-        a non-speculative path inside decoding.py contributes nothing)."""
+        a non-speculative path inside decoding.py contributes nothing).
+        ``sampled`` routes the evidence to the matching regime window."""
         if not stats or stats.get("iters", 0) <= 0:
             return
-        self._obs.append((stats["tokens"], stats["iters"]))
-        if len(self._obs) > self.window:
-            del self._obs[: len(self._obs) - self.window]
-        iters = sum(i for _, i in self._obs)
+        obs = self._obs[sampled]
+        obs.append((stats["tokens"], stats["iters"]))
+        if len(obs) > self.window:
+            del obs[: len(obs) - self.window]
+        iters = sum(i for _, i in obs)
         if iters >= self.min_iters:
-            tpi = sum(t for t, _ in self._obs) / iters
-            was = self.disabled
-            self.disabled = tpi < self.threshold
-            if self.disabled and not was:
+            tpi = sum(t for t, _ in obs) / iters
+            was = self._disabled[sampled]
+            self._disabled[sampled] = tpi < self._threshold_for(sampled)
+            if self._disabled[sampled] and not was:
                 # the windowed evidence that damned the draft would keep
                 # damning it on every probe; start the probes from fresh eyes
-                self._obs = []
-                self._skips = 0
+                self._obs[sampled] = []
+                self._skips[sampled] = 0

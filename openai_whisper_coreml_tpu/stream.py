@@ -152,10 +152,14 @@ class StreamingTranscriber:
         mel = self.model.log_mel(pad_or_trim(self._buffer))
         opts = dict(self.opts, sample_len=self._tick_sample_len())
         draft = self.draft_model
+        # one fixed temperature per stream (no ladder): every tick is the
+        # same verification regime, tagged so its acceptance evidence lands
+        # in the matching governor window
+        sampled = float(opts.get("temperature", 0.0) or 0.0) > 0
         if draft is not None and self._spec_gov is not None:
             from . import speculative as _spec_mod
 
-            if self._spec_gov.permit():
+            if self._spec_gov.permit(sampled=sampled):
                 _spec_mod.LAST_STATS = None  # observe only THIS decode
             else:
                 draft = None
@@ -167,7 +171,7 @@ class StreamingTranscriber:
             from . import speculative as _spec_mod
 
             if draft is not None:
-                self._spec_gov.observe(_spec_mod.LAST_STATS)
+                self._spec_gov.observe(_spec_mod.LAST_STATS, sampled=sampled)
             # plain (withheld) AND spec tick walls calibrate break-even
             self._spec_gov.observe_timing(_spec_mod.LAST_TIMING)
         return res.tokens

@@ -293,7 +293,10 @@ def _alignment_core_batch(params, tokens, audio_features, head_mask, n_sel,
                       axis=-2, keepdims=True) / cnt
         std = (w - mean) / (jnp.sqrt(var) + 1e-8)
         filt = _median_filter_dev(std, medfilt_width)
-        acc = acc + jnp.einsum("h,bhts->bts", mask_l, filt)
+        # fp32 x fp32 contraction: HIGHEST, or the MXU truncates the
+        # standardised weights to bf16 (CLAUDE.md numerics invariant)
+        acc = acc + jnp.einsum("h,bhts->bts", mask_l, filt,
+                               precision=matmul_precision(jnp.float32))
         return (x, acc), None
 
     acc0 = jnp.zeros((b, t_bucket, s), jnp.float32)

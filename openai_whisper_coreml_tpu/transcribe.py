@@ -334,8 +334,9 @@ def transcribe(
             # the draft via rejection sampling (round-5). best_of fan-outs
             # take the plain path inside decoding.py.
             use_draft = draft_model
+            sampled_rung = float(t) > 0  # regime tag: greedy vs rejection
             if use_draft is not None and spec_gov is not None:
-                if spec_gov.permit():
+                if spec_gov.permit(sampled=sampled_rung):
                     from . import speculative as _spec_mod
 
                     _spec_mod.LAST_STATS = None  # observe only THIS decode
@@ -347,7 +348,8 @@ def transcribe(
                 from . import speculative as _spec_mod
 
                 if use_draft is not None:
-                    spec_gov.observe(_spec_mod.LAST_STATS)
+                    spec_gov.observe(_spec_mod.LAST_STATS,
+                                     sampled=sampled_rung)
                 # plain AND spec walls feed the live break-even calibration
                 spec_gov.observe_timing(_spec_mod.LAST_TIMING)
 

@@ -128,6 +128,49 @@ def test_governor_live_calibration():
     assert gov.threshold == pytest.approx(2.0)  # 24 / 12
 
 
+def test_governor_calibration_buckets_by_geometry():
+    """Walls from a DIFFERENT batch must not contaminate the live ratio:
+    per-batch kinetics differ ~4x (ms/token 2.27 at B1 vs 8.95 at B24), so
+    a remainder chunk's B1 plain walls mixed into a B24 server's
+    calibration would set an unreachable threshold and permanently
+    withhold a profitable draft (round-5 review finding)."""
+    gov = SpecGovernor(threshold=3.0, calib_min_obs=3)
+    for _ in range(3):  # spec walls at the serving geometry (B24, K4)
+        gov.observe_timing({"path": "spec", "wall_s": 0.29, "units": 10,
+                            "batch": 24, "k": 4, "temperature": 0.0})
+    for _ in range(3):  # plain walls from a B1 remainder chunk: 2.27 ms/tok
+        gov.observe_timing({"path": "plain", "wall_s": 0.0227, "units": 10,
+                            "batch": 1, "temperature": 0.0})
+    # no plain evidence AT B24 yet: the prior holds (NOT 29/2.27 ~ 12.8)
+    assert not gov.calibrated
+    assert gov.threshold == pytest.approx(3.0)
+    for _ in range(3):  # plain walls at the matched batch: 8.95 ms/token
+        gov.observe_timing({"path": "plain", "wall_s": 0.0895, "units": 10,
+                            "batch": 24, "temperature": 0.0})
+    assert gov.calibrated
+    assert gov.threshold == pytest.approx(0.29 * 1e3 / 10 / 8.95)
+
+
+def test_governor_regimes_are_independent():
+    """A burst of low-acceptance t>0 rejection-sampling rungs must not
+    disable the draft for healthy greedy traffic (round-5 review finding:
+    the regimes verify differently, so their evidence never mixes)."""
+    gov = SpecGovernor(threshold=3.0, min_iters=16, window=8,
+                       reprobe_every=4)
+    # healthy greedy traffic
+    gov.observe({"tokens": 64, "iters": 16}, sampled=False)  # tpi 4.0
+    assert not gov.disabled
+    # hard-audio fallback rungs: rejection sampling accepts almost nothing
+    gov.observe({"tokens": 17, "iters": 16}, sampled=True)  # tpi ~1.06
+    assert gov.disabled_sampled
+    assert not gov.disabled  # greedy verdict untouched
+    assert gov.permit(sampled=False)  # greedy rungs keep the draft
+    assert not gov.permit(sampled=True)  # sampled rungs withhold it
+    # sampled recovery reprobes without spending greedy probes
+    permits = [gov.permit(sampled=True) for _ in range(4)]
+    assert permits == [False, False, True, False]
+
+
 def test_governor_calibration_median_kills_compile_wall():
     """The first wall per compiled graph includes XLA compile; the windowed
     MEDIAN discards it without any explicit first-call special case."""
@@ -249,7 +292,7 @@ def test_serving_governor_withholds_floor_draft(model, rng):
 
     # the serving wiring honours the probe: on the reprobe_every-th withheld
     # batch, permit() lets the draft run so recoveries can be noticed
-    gov._skips = gov.reprobe_every - 1
+    gov._skips[False] = gov.reprobe_every - 1  # greedy regime's counter
     third = transcribe_batch(spec_model, audios, opts)
     assert speculative.TOTALS["iters"] > mid["iters"]  # probe batch ran spec
     assert _toks(third) == _toks(plain)
