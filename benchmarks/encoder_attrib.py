@@ -96,6 +96,23 @@ def main() -> int:
                 carry = carry + self_attention(
                     layer_norm(carry, lp["attn_ln"]), lp["attn"], n_head,
                     flash=flash)
+            elif which == "attn_skipcore":
+                # the attention sublayer with the QK/AV core REPLACED BY
+                # IDENTITY: all four projections, LN, split/merge and the
+                # residual still run (0*k + 0*v keeps the k/v matmuls from
+                # being dead-code-eliminated — elementwise, ~free), so
+                # t_attn - t_skipcore isolates the flash kernel IN SITU
+                # (with XLA's real overlap) instead of in an isolated probe
+                from openai_whisper_coreml_tpu.models.layers import (
+                    linear, merge_heads, split_heads)
+
+                h = layer_norm(carry, lp["attn_ln"])
+                ap = lp["attn"]
+                q = split_heads(linear(h, ap["q"]), n_head)
+                k = split_heads(linear(h, ap["k"]), n_head)
+                v = split_heads(linear(h, ap["v"]), n_head)
+                out = q + 0.0 * k + 0.0 * v
+                carry = carry + linear(merge_heads(out), ap["out"])
             else:
                 carry = carry + mlp(layer_norm(carry, lp["mlp_ln"]),
                                     lp["mlp"])
@@ -107,6 +124,8 @@ def main() -> int:
     t_full = timed(full, model.params, mel)
     t_stem = timed(stem, model.params, mel)
     t_attn = timed(lambda p, x: chain(p, x, which="attn"),
+                   model.params, feats_like)
+    t_skip = timed(lambda p, x: chain(p, x, which="attn_skipcore"),
                    model.params, feats_like)
     t_mlp = timed(lambda p, x: chain(p, x, which="mlp"),
                   model.params, feats_like)
@@ -121,6 +140,8 @@ def main() -> int:
             "full_s": round(t_full, 4),
             "conv_stem_s": round(t_stem, 4),
             "attention_chain_s": round(t_attn, 4),
+            "attention_proj_glue_s": round(t_skip, 4),
+            "attention_core_in_situ_s": round(t_attn - t_skip, 4),
             "mlp_chain_s": round(t_mlp, 4),
             "sum_vs_full": round(t_sum / max(t_full, 1e-9), 3),
             "share_of_full": {

@@ -71,14 +71,21 @@ def _fa_kernel_single(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
         q.astype(k.dtype), k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (block_q, block_k)
 
-    if causal or kv_len < block_k:
+    if causal:
         col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         mask = col_ids < kv_len
-        if causal:
-            row_ids = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-                       + iq * block_q)
-            mask = mask & (col_ids <= row_ids)
+        row_ids = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                   + iq * block_q)
+        mask = mask & (col_ids <= row_ids)
         s = jnp.where(mask, s, MASK_VALUE)
+    elif kv_len < block_k:
+        # non-causal key-padding mask as a (1, block_k) additive bias row:
+        # the full-tile iota+compare+select costs three VPU passes over the
+        # (block_q, block_k) scores; a row-iota bias broadcast-add costs
+        # one (and the row itself is block_k elements, not block_q*block_k)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        bias = jnp.where(col < kv_len, 0.0, MASK_VALUE).astype(jnp.float32)
+        s = s + bias
 
     m = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
     p = jnp.exp(s - m)
