@@ -88,6 +88,14 @@ def main() -> None:
             flash_attention, online=False, block_q=768)),
         "single_bq1536": make_chain(functools.partial(
             flash_attention, online=False, block_q=1536)),
+        "single_bq1536_split2": make_chain(functools.partial(
+            flash_attention, online=False, block_q=1536, split=2)),
+        "single_bq1536_split3": make_chain(functools.partial(
+            flash_attention, online=False, block_q=1536, split=3)),
+        "single_bq1536_split4": make_chain(functools.partial(
+            flash_attention, online=False, block_q=1536, split=4)),
+        "single_bq1536_split6": make_chain(functools.partial(
+            flash_attention, online=False, block_q=1536, split=6)),
         "xla": make_chain(lambda q, k, v: attention_core(q, k, v)),
     }
 
@@ -98,12 +106,15 @@ def main() -> None:
     ref1 = np.asarray(flash_attention(q0, k0, v0, online=True, block_q=512),
                       np.float32)
     parity = {}
-    for name, force in (("single_bq512", (False, 512)), ("xla", None)):
+    for name, force in (("single_bq512", (False, 512)),
+                        ("single_bq1536_split2", (False, 1536, 2)),
+                        ("xla", None)):
         if force is None:
             alt = attention_core(q0, k0, v0)
         else:
             alt = flash_attention(q0, k0, v0, online=force[0],
-                                  block_q=force[1])
+                                  block_q=force[1],
+                                  split=force[2] if len(force) > 2 else 1)
         parity[name] = float(np.max(np.abs(np.asarray(alt, np.float32)
                                            - ref1)))
 

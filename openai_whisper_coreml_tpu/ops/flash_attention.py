@@ -43,13 +43,20 @@ _env_bq = _os.environ.get("WHISPER_TPU_FLASH_BLOCK_Q")
 _ENV_BLOCK_Q: Optional[int] = int(_env_bq) if _env_bq else None
 del _env_bq
 
+# WHISPER_TPU_FLASH_SPLIT: two-tile interleave A/B (same import-snapshot
+# semantics as BLOCK_Q above). 1 = off (default).
+_env_split = _os.environ.get("WHISPER_TPU_FLASH_SPLIT")
+_ENV_SPLIT: int = int(_env_split) if _env_split else 1
+del _env_split
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
 def _fa_kernel_single(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
-                      causal: bool, kv_len: int, block_q: int, block_k: int):
+                      causal: bool, kv_len: int, block_q: int, block_k: int,
+                      split: int = 1):
     """One-KV-block specialisation: plain softmax, no online recurrence.
 
     The encoder's 1500-position attention pads to ONE 1536-column block, so
@@ -67,33 +74,54 @@ def _fa_kernel_single(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
     iq = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32) * sm_scale
     k = k_ref[0, 0]
-    s = jax.lax.dot_general(
-        q.astype(k.dtype), k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (block_q, block_k)
-
-    if causal:
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = col_ids < kv_len
-        row_ids = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-                   + iq * block_q)
-        mask = mask & (col_ids <= row_ids)
-        s = jnp.where(mask, s, MASK_VALUE)
-    elif kv_len < block_k:
-        # non-causal key-padding mask as a (1, block_k) additive bias row:
-        # the full-tile iota+compare+select costs three VPU passes over the
-        # (block_q, block_k) scores; a row-iota bias broadcast-add costs
-        # one (and the row itself is block_k elements, not block_q*block_k)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-        bias = jnp.where(col < kv_len, 0.0, MASK_VALUE).astype(jnp.float32)
-        s = s + bias
-
-    m = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
     v = v_ref[0, 0]  # (block_k, D)
-    o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    o_ref[0, 0] = (o * l_inv).astype(o_ref.dtype)
+
+    def softmax_av(s):
+        """Plain softmax over one (rows, block_k) score tile, then AV."""
+        if causal:
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            mask = col_ids < kv_len
+            row_ids = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                       + iq * block_q)
+            mask = mask & (col_ids <= row_ids)
+            s = jnp.where(mask, s, MASK_VALUE)
+        elif kv_len < block_k:
+            # non-causal key-padding mask as a (1, block_k) additive bias
+            # row: the full-tile iota+compare+select costs three VPU passes
+            # over the (block_q, block_k) scores; a row-iota bias
+            # broadcast-add costs one (and the row itself is block_k
+            # elements, not block_q*block_k)
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+            bias = jnp.where(col < kv_len, 0.0,
+                             MASK_VALUE).astype(jnp.float32)
+            s = s + bias
+        m = jnp.max(s, axis=1, keepdims=True)  # (rows, 1)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        return o * l_inv
+
+    def qk(qi):
+        return jax.lax.dot_general(
+            qi.astype(k.dtype), k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (rows, block_k)
+
+    if split == 1 or causal:
+        o_ref[0, 0] = softmax_av(qk(q)).astype(o_ref.dtype)
+    else:
+        # two-tile interleave probe: issue BOTH half-tiles' QK^T matmuls
+        # before either softmax so the scheduler can overlap tile B's MXU
+        # work with tile A's serial VPU softmax (the in-situ attribution
+        # measured the core ~3x above its half-fill MXU floor precisely
+        # because QK -> softmax -> AV is one dependent chain per
+        # invocation). Identical math per half — only the tile order of
+        # independent rows changes.
+        rows = block_q // split
+        halves_s = [qk(q[i * rows:(i + 1) * rows]) for i in range(split)]
+        halves_o = [softmax_av(s) for s in halves_s]
+        o_ref[0, 0] = jnp.concatenate(halves_o, axis=0).astype(o_ref.dtype)
 
 
 def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
@@ -156,7 +184,8 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "block_q", "block_k", "interpret", "online"),
+    static_argnames=("causal", "block_q", "block_k", "interpret", "online",
+                     "split"),
 )
 def _flash_forward(
     q: jax.Array,  # (B, Tq, H, D)
@@ -168,6 +197,7 @@ def _flash_forward(
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
     online: Optional[bool] = None,
+    split: int = 1,
 ) -> jax.Array:
     """Flash attention kernel; returns (B, Tq, H, D) in q.dtype.
 
@@ -221,6 +251,8 @@ def _flash_forward(
         online = n_kv_blocks > 1  # single KV block: plain softmax suffices
 
     if not online and n_kv_blocks == 1:
+        if split > 1 and (causal or block_q % (split * 8) != 0):
+            split = 1  # interleave needs even sublane-aligned halves
         kernel = functools.partial(
             _fa_kernel_single,
             sm_scale=sm_scale,
@@ -228,6 +260,7 @@ def _flash_forward(
             kv_len=tk,
             block_q=block_q,
             block_k=block_k,
+            split=split,
         )
         out = pl.pallas_call(
             kernel,
@@ -301,19 +334,23 @@ def _flash_forward(
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_diff(q, k, v, causal, block_q, block_k, interpret, online):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_diff(q, k, v, causal, block_q, block_k, interpret, online, split):
     return _flash_forward(q, k, v, causal=causal, block_q=block_q,
-                          block_k=block_k, interpret=interpret, online=online)
+                          block_k=block_k, interpret=interpret, online=online,
+                          split=split)
 
 
-def _flash_diff_fwd(q, k, v, causal, block_q, block_k, interpret, online):
+def _flash_diff_fwd(q, k, v, causal, block_q, block_k, interpret, online,
+                    split):
     out = _flash_forward(q, k, v, causal=causal, block_q=block_q,
-                         block_k=block_k, interpret=interpret, online=online)
+                         block_k=block_k, interpret=interpret, online=online,
+                         split=split)
     return out, (q, k, v)
 
 
-def _flash_diff_bwd(causal, block_q, block_k, interpret, online, residuals, g):
+def _flash_diff_bwd(causal, block_q, block_k, interpret, online, split,
+                    residuals, g):
     """Reference backward by recompute: differentiate the jnp oracle
     (models.layers.attention_core — the exact function the kernel matches
     to rounding). The (Tq, Tk) score matrix is materialised transiently in
@@ -349,6 +386,7 @@ def flash_attention(
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
     online: Optional[bool] = None,
+    split: int = 1,
 ) -> jax.Array:
     """Differentiable flash attention: Pallas kernel forward (measured
     1.6x vs the XLA path at encoder geometry, docs/benchmarks.md), exact
@@ -356,8 +394,11 @@ def flash_attention(
     kernel — its tiling pays off on much longer sequences than Whisper's
     fixed 1500/448). When the KV fits one block (encoder geometry) the
     kernel specialises to a scratch-free single-pass softmax; ``online``
-    forces the general online-softmax kernel for A/B probes."""
-    return _flash_diff(q, k, v, causal, block_q, block_k, interpret, online)
+    forces the general online-softmax kernel for A/B probes; ``split``
+    interleaves that many independent query sub-tiles inside one
+    invocation (MXU/VPU overlap probe — non-causal single-block only)."""
+    return _flash_diff(q, k, v, causal, block_q, block_k, interpret, online,
+                       split)
 
 
 def flash_attention_auto(
@@ -393,10 +434,12 @@ def flash_attention_auto(
     # the first compiled geometry. One process per setting (as the queue
     # scripts run) is the only honest sweep protocol.
     block_q = _ENV_BLOCK_Q
+    split = _ENV_SPLIT
 
     mesh = jax.sharding.get_abstract_mesh()
     if mesh.empty:
-        return flash_attention(q, k, v, causal=causal, block_q=block_q)
+        return flash_attention(q, k, v, causal=causal, block_q=block_q,
+                               split=split)
 
     from ..parallel.mesh import AXIS_DATA, AXIS_MODEL
     from jax.sharding import PartitionSpec as P
